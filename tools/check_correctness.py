@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
+compares schema + values (columns sorted by name, rows sorted, exact match;
+floats compared exactly after both sides round — mirrors a hash compare).
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+def load_spark_result(path):
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+    return pq.read_table(files[0]).to_pandas()
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    tables = ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    present = {n for n in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(oracles.keys() | present):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            print(f"FAIL {name}: spark query produced no output dir")
+            n_fail += 1; continue
+        got = load_spark_result(qdir)
+        if got is None:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        if name not in oracles:
+            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
+            print(f"{status} {name}: {len(got)} rows")
+            n_pass += len(got) > 0; n_fail += len(got) == 0
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        # dtype check (schema match proxy)
+        dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype))
+                       for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                          check_exact=True)
+        except AssertionError as ex:
+            print(f"FAIL {name}: values differ: {str(ex)[:500]}")
+            n_fail += 1; continue
+        if dt_mismatch:
+            print(f"WARN {name}: dtype mismatch {dt_mismatch} (values match)")
+        print(f"PASS {name}: {len(g)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
