@@ -19,12 +19,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Temporal.queries
+      graft.queries.Temporal.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.DedupOps.queries ++
+      graft.queries.SimilarityOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.Temporal.oracles
+      graft.queries.Temporal.oracles ++
+      graft.queries.TextOps.oracles ++
+      graft.queries.DedupOps.oracles ++
+      graft.queries.SimilarityOps.oracles
 }

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{TextAnalysis => TA}
+
+/** Corpus deduplication for training-data pipelines: exact (content-hash),
+  * MinHash + LSH banding, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale notes (the whole point of each design):
+  *  - Exact dedup is one hash-shuffle (`groupBy(content_hash)`) — the
+  *    canonical 100 TB dedup; AQE handles skew from viral duplicates.
+  *  - MinHash signatures and SimHash values are computed INSIDE a single
+  *    projection via higher-order array functions — no explode, no shuffle,
+  *    no UDF; per-doc cost is O(shingles × perms). The only shuffle is the
+  *    LSH band self-join, which touches `bands × docs` short rows, not the
+  *    documents themselves.
+  *  - n-gram Jaccard is the exact (quadratic-within-block) method; use it on
+  *    LSH survivors or small blocks, never the raw corpus.
+  *  - `hasher` defaults to the oracle-portable md5-based hash
+  *    ([[Hashing.md5Long]]); pass [[Hashing.fastLongSeeded]] at scale for
+  *    codegen'd xxhash64.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct content,
+    * keeping the minimum id as the canonical survivor.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature array (`sigs`): element i = min over shingles of the
+    * i-th seeded hash. Computed per-row in one projection (no shuffle).
+    */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+                           numPerm: Int, shingleN: Int,
+                           hasher: (Int, Column) => Column = Hashing.md5LongSeeded)
+  : DataFrame = {
+    val sh = TA.shingles(TA.tokens(col(textCol)), shingleN)
+    val sigs = (0 until numPerm).map(i => array_min(transform(sh, s => hasher(i, s))))
+    df.withColumn("sigs", array(sigs: _*))
+  }
+
+  /** LSH banding: split each signature into `numPerm / bandRows` bands,
+    * bucket on (band index, band key), self-join buckets for candidate
+    * pairs. Returns one row per candidate pair with both signatures.
+    */
+  def lshCandidatePairs(sigDf: DataFrame, idCol: String,
+                        numPerm: Int, bandRows: Int): DataFrame = {
+    val nBands = numPerm / bandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val key = concat_ws(",",
+        (0 until bandRows).map(r => element_at(col("sigs"), b * bandRows + r + 1)): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val exploded = sigDf
+      .select(col(idCol), col("sigs"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("sigs"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sigs").as("sigs_a"), col("b.sigs").as("sigs_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard = fraction of matching signature slots. */
+  def estimatedJaccard(sigsA: Column, sigsB: Column, numPerm: Int): Column =
+    aggregate(
+      zip_with(sigsA, sigsB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numPerm
+
+  /** End-to-end MinHash near-dup pairs above an estimated-Jaccard floor. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      numPerm: Int = 8, shingleN: Int = 3, bandRows: Int = 2,
+                      minJaccard: Double = 0.5,
+                      hasher: (Int, Column) => Column = Hashing.md5LongSeeded)
+  : DataFrame = {
+    val sigs = withMinhashSignature(df, textCol, numPerm, shingleN, hasher)
+    lshCandidatePairs(sigs, idCol, numPerm, bandRows)
+      .withColumn("est_jaccard",
+        round(estimatedJaccard(col("sigs_a"), col("sigs_b"), numPerm), 4))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash value over whitespace tokens, `bits` wide (≤ 63): bit b is set
+    * iff the ±1 vote of all token-hash bits b is positive. Pure projection
+    * (no shuffle); near-dup docs differ in few bits (small Hamming distance).
+    */
+  def simhashExpr(textCol: Column, bits: Int = 32,
+                  hasher: Column => Column = Hashing.md5Long): Column = {
+    val hs = transform(TA.tokens(textCol), t => hasher(t))
+    (0 until bits).map { b =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within blocks (e.g. language) at Hamming
+    * distance ≤ `maxHamming`. Blocking bounds the quadratic pair join; at
+    * scale replace blocks with simhash-prefix buckets (same join shape).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      blockCols: Seq[String], bits: Int = 32, maxHamming: Int = 8,
+                      hasher: Column => Column = Hashing.md5Long): DataFrame = {
+    val withSim = df.withColumn("simhash", simhashExpr(col(textCol), bits, hasher))
+      .select((idCol +: "simhash" +: blockCols).map(col): _*)
+    val a = withSim.alias("a")
+    val b = withSim.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    a.join(b, blockCond)
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram (shingle) Jaccard pairs within blocks: explode distinct
+    * shingles, shuffle-join on shingle to count intersections, divide by the
+    * inclusion–exclusion union. The standard exact verifier for LSH
+    * candidates.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String], shingleN: Int = 3,
+                        minJaccard: Double = 0.4): DataFrame = {
+    val base = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        array_distinct(TA.shingles(TA.tokens(col(textCol)), shingleN)).as("sh"): _*)
+    val exploded = base.select(
+      (col(idCol) +: blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
+    val sizes = base.select(col(idCol), size(col("sh")).as("n_sh"))
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    val inter = a.join(b, blockCond)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity primitives over an embedding column (`array<float>`):
+  * cosine top-k (brute force) and an LSH-bucketed approximate variant.
+  *
+  * Scale design:
+  *  - Norms are precomputed once per row (projection) so the join computes
+  *    only the dot product.
+  *  - Brute-force k-NN broadcasts the (small) query set against the
+  *    (huge) corpus — a map-side-only join; the only shuffle is the
+  *    per-query top-k, which `row_number` + filter turns into
+  *    a partial/final TakeOrdered per key under AQE.
+  *  - LSH variant buckets by random-hyperplane signs so each query probes
+  *    one bucket (corpus/2^bits of the data) instead of everything —
+  *    the standard recall/cost dial; at 100 TB add multi-probe on
+  *    neighboring buckets.
+  *  - All math is double-precision sequential folds (deterministic,
+  *    oracle-reproducible); no UDFs, stays inside WholeStageCodegen.
+  */
+object Similarity {
+
+  /** Cast to array<double> so downstream arithmetic is exact-deterministic. */
+  def asDouble(vec: Column): Column = vec.cast("array<double>")
+
+  /** Sequential-fold dot product (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine from precomputed norms. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** DuckDB fragment mirroring [[dot]] (same sequential order). */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))"
+
+  /** Sign-bit bucket from the first `bits` dimensions — axis-aligned
+    * random-hyperplane LSH (deterministic, no stored hyperplanes).
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def signBucketSql(vec: String, bits: Int): String =
+    (0 until bits)
+      .map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Adds `v` (double vector) and `nrm` columns. */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("v", asDouble(col(vecCol)))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** Brute-force cosine top-k: every query row against every corpus row.
+    * Ranking uses the ROUNDED cosine with id tie-break so results are
+    * reproducible bit-for-bit across engines.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol).as("nbr_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_sim",
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** LSH-bucketed approximate top-k: queries only probe corpus rows whose
+    * sign-bucket matches. Trades recall for a 2^bits candidate reduction.
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, bits: Int = 4, roundTo: Int = 6): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+      .withColumn("bucket", signBucket(col("v"), bits))
+      .select(col(idCol).as("nbr_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    val q = withNorm(queries, vecCol)
+      .withColumn("bucket", signBucket(col("v"), bits))
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_sim",
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs within blocks at cosine ≥ `minCos`. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        blockCols: Seq[String], minCos: Double,
+                        roundTo: Int = 6): DataFrame = {
+    val base = withNorm(df, vecCol)
+      .select((col(idCol) +: col("v") +: col("nrm") +: blockCols.map(col)): _*)
+    val a = base.alias("a")
+    val b = base.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    a.join(b, blockCond)
+      .withColumn("cos_sim",
+        round(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), roundTo))
+      .filter(col("cos_sim") >= minCos)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos_sim"))
+  }
+}

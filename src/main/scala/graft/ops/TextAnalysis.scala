@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis primitives for training-data pipelines: tokenizing,
+  * quality scoring, language-ID heuristics, token counting, and document
+  * fingerprinting (winnowing). All pure `Column` expressions — codegen'd,
+  * shuffle-free, and linear in corpus size, so they hold at 100 TB: each
+  * document is scored independently inside the scan's WholeStageCodegen span.
+  *
+  * The reference pipeline has no text ops (it is a FAERS star schema); these
+  * are the beyond-parity training-data operators the engine adds
+  * (SURVEY.md §7.5 north star).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (stable across engines even when
+    * the text has leading/double spaces).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Word n-gram shingles joined by a single space. For a token array of
+    * size s yields max(s - n + 1, 1) shingles (short docs produce one
+    * truncated shingle rather than none, so every doc gets a signature).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+
+  /** DuckDB fragments mirroring the above (1-based, inclusive list slices). */
+  def tokensSql(text: String): String =
+    s"list_filter(string_split($text, ' '), t -> t <> '')"
+  def shinglesSql(toks: String, n: Int): String =
+    s"list_transform(generate_series(1, greatest(len($toks) - ${n - 1}, 1)), " +
+      s"i -> array_to_string($toks[i:i+${n - 2 + 1}], ' '))"
+
+  /** Default stopword list (shared with the oracle SQL). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  def stopwordRatio(toks: Column, words: Seq[String] = stopwords): Column = {
+    val sw = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks)
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+
+  /** Type-token ratio (vocabulary richness). */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Fraction of non-word, non-space characters. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^\\w\\s]")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Composite quality score in [0,1]: favors mid-length docs with healthy
+    * stopword presence, low punctuation noise, and vocabulary variety.
+    * Deliberately a closed-form formula (no model) so it is oracle-checkable
+    * and runs inside codegen.
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val lenScore = least(size(toks).cast("double") / 100.0, lit(1.0))
+    val swScore  = least(stopwordRatio(toks) * 5.0, lit(1.0))
+    val ttrScore = typeTokenRatio(toks)
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    (lenScore * 0.3 + swScore * 0.2 + ttrScore * 0.3) * punctPenalty +
+      punctPenalty * 0.2
+  }
+
+  /** Per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: a broadcast-free literal array comparison.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(toks: Column, lang: String): Column = {
+    val mk = array(langMarkers(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(mk, t))).cast("double") / size(toks)
+  }
+
+  /** Argmax over language scores; ties resolve in `langs` order; all-zero
+    * scores fall back to "und" (undetermined).
+    */
+  def predictedLang(toks: Column, langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")): Column = {
+    val scores = langs.map(l => (l, langScore(toks, l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Regex-token count — a BPE-ish segmentation: letter runs, digit runs,
+    * and single punctuation marks each count as one token.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Cheap BPE token estimate (chars/4 heuristic used by tokenizer docs). */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash each k-word
+    * shingle, slide a window of `w` hashes, keep each window's minimum, and
+    * dedupe. Robust to local edits; the fingerprint set is a compact
+    * document sketch for plagiarism/near-dup detection.
+    */
+  def winnowFingerprints(toks: Column, k: Int, w: Int,
+                         hash: Column => Column = Hashing.md5Long): Column = {
+    val hashes = transform(shingles(toks, k), s => hash(s))
+    val mins = transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => array_min(slice(hashes, i, lit(w))))
+    array_distinct(mins)
+  }
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, Hashing, Similarity, TextAnalysis => TA}
+
+/** Deduplication operator queries (beyond-parity training-data ops).
+  *
+  * The driver's `documents`/`embeddings` tables contain no natural
+  * duplicates, so each query seeds deterministic copies first — exact copies
+  * for exact dedup, truncated texts / perturbed vectors for near-dup — in a
+  * way the DuckDB oracle reproduces verbatim. The dedup logic itself lives
+  * in [[graft.ops.Dedup]] / [[graft.ops.Similarity]].
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ exact copies of every doc_id % mod == 0 (id offset 100000). */
+  private def corpusExact(s: SparkSession, d: String, mod: Int): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("lang"), col("text")))
+  }
+
+  private def corpusExactSql(mod: Int): String =
+    s"""corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % $mod = 0)""".stripMargin
+
+  /** documents ∪ near-dup copies (last 5 tokens dropped) of doc_id % mod == 0. */
+  private def corpusNear(s: SparkSession, d: String, mod: Int): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val toks = TA.tokens(col("text"))
+    val trunc = array_join(slice(toks, lit(1), greatest(size(toks) - 5, lit(3))), " ")
+    docs.unionByName(
+      docs.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("lang"), trunc.as("text")))
+  }
+
+  private def corpusNearSql(mod: Int): String =
+    s"""corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang,
+      |    array_to_string(toks[1:greatest(len(toks) - 5, 3)], ' ')
+      |  FROM (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM documents)
+      |  WHERE doc_id % $mod = 0)""".stripMargin
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: hash-groupBy on content, keep min id. */
+  def dedupExact: Q = (s, d) =>
+    Dedup.exactGroups(corpusExact(s, d, 5), "doc_id", "text")
+      .orderBy(col("text_hash"))
+
+  val dedupExactSql: String =
+    s"""WITH ${corpusExactSql(5)}
+      |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM corpus GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  // -------------------------------------------------------------- minhash
+
+  private val NumPerm = 8
+  private val BandRows = 2
+
+  /** MinHash + LSH banding near-dup pairs (est. Jaccard from 8 perms). */
+  def dedupMinhash: Q = (s, d) =>
+    Dedup.minhashNearDups(corpusNear(s, d, 7), "doc_id", "text",
+        numPerm = NumPerm, shingleN = 3, bandRows = BandRows, minJaccard = 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupMinhashSql: String = {
+    val sigExprs = (0 until NumPerm).map { i =>
+      s"list_min(list_transform(shingles, s -> ${Hashing.md5LongSeededSql(i, "s")}))"
+    }.mkString("[", ", ", "]")
+    val bandIdx = (0 until NumPerm / BandRows).mkString("[", ",", "]")
+    s"""WITH ${corpusNearSql(7)},
+      |tok AS (SELECT doc_id, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |sh AS (SELECT doc_id, ${TA.shinglesSql("toks", 3)} AS shingles FROM tok),
+      |sig AS (SELECT doc_id, $sigExprs AS sigs FROM sh),
+      |band AS (SELECT doc_id, sigs, b,
+      |    CAST(sigs[2*b+1] AS VARCHAR) || ',' || CAST(sigs[2*b+2] AS VARCHAR) AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest($bandIdx) AS b)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.sigs AS sa, b.sigs AS sb
+      |  FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |est AS (SELECT id_a, id_b,
+      |    round(CAST(list_sum(list_transform(generate_series(1, $NumPerm),
+      |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumPerm, 4) AS est_jaccard
+      |  FROM pairs)
+      |SELECT id_a, id_b, est_jaccard FROM est
+      |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  private val SimBits = 32
+  private val MaxHamming = 8
+
+  /** SimHash near-dup pairs blocked by lang, Hamming ≤ 8 of 32 bits. */
+  def dedupSimhash: Q = (s, d) =>
+    Dedup.simhashNearDups(corpusNear(s, d, 7), "doc_id", "text",
+        blockCols = Seq("lang"), bits = SimBits, maxHamming = MaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupSimhashSql: String = {
+    val h = Hashing.md5LongSql("t")
+    val votes = (0 until SimBits).map { b =>
+      s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS c$b"
+    }.mkString(",\n    ")
+    val assemble = (0 until SimBits).map { b =>
+      s"(CASE WHEN c$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH ${corpusNearSql(7)},
+      |tok AS (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |hs AS (SELECT doc_id, lang, list_transform(toks, t -> $h) AS hs FROM tok),
+      |votes AS (SELECT doc_id, lang,
+      |    $votes
+      |  FROM hs),
+      |sim AS (SELECT doc_id, lang, $assemble AS simhash FROM votes)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // -------------------------------------------------- n-gram Jaccard exact
+
+  /** Exact 3-gram Jaccard pairs blocked by lang at J ≥ 0.3. */
+  def dedupNgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(corpusNear(s, d, 7), "doc_id", "text",
+        blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH ${corpusNearSql(7)},
+      |tok AS (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |shs AS (SELECT doc_id, lang,
+      |    list_distinct(${TA.shinglesSql("toks", 3)}) AS sh FROM tok),
+      |sh AS (SELECT doc_id, lang, unnest(sh) AS s FROM shs),
+      |sz AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b,
+      |    round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+      |  FROM inter
+      |  JOIN sz na ON na.doc_id = id_a
+      |  JOIN sz nb ON nb.doc_id = id_b)
+      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup pairs: embeddings ∪ perturbed copies
+    * (+0.5 on dim 1) of vec_id % 9 == 0, blocked by label, cosine ≥ 0.8.
+    */
+  def dedupEmbedding: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
+    val perturbed = base.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        concat(array(element_at(col("v"), 1) + lit(0.5)), slice(col("v"), 2, 63)).as("v"))
+    Similarity.embeddingNearDups(base.unionByName(perturbed),
+        "vec_id", "v", blockCols = Seq("label"), minCos = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbeddingSql: String = {
+    val dotAB = Similarity.dotSql("a.v", "b.v", 64)
+    val dotVV = Similarity.dotSql("v", "v", 64)
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, label, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000, label, [v[1] + 0.5] || v[2:64] FROM base WHERE vec_id % 9 = 0),
+      |n AS (SELECT vec_id, label, v, sqrt($dotVV) AS nrm FROM corpus),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round($dotAB / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q_dedup_embedding" -> dedupEmbedding,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql,
+  )
+}

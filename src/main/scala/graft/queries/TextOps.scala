@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Hashing, TextAnalysis => TA}
+
+/** Text-analysis operator queries over the `documents` table (beyond-parity
+  * training-data ops; see ops.TextAnalysis). Each is per-document and
+  * shuffle-free except for the final presentation sort.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", TA.tokens(col("text")))
+
+  private val toksSql = TA.tokensSql("text")
+
+  /** Quality scoring: length/stopword/vocabulary/punctuation signals. */
+  def textStats: Q = (s, d) => {
+    withToks(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        round(TA.avgTokenLen(col("toks")), 4).as("avg_token_len"),
+        round(TA.typeTokenRatio(col("toks")), 4).as("type_token_ratio"),
+        round(TA.stopwordRatio(col("toks")), 4).as("stopword_ratio"),
+        round(TA.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TA.qualityScore(col("text"), col("toks")), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val swList = TA.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val textStatsSql: String = {
+    val lenScore = "least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)"
+    val swScore = s"least((len(list_filter(toks, t -> list_contains($swList, t))) / CAST(len(toks) AS DOUBLE)) * 5.0, 1.0)"
+    val ttr = "len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)"
+    val punct = """len(regexp_extract_all(text, '[^\w\s]')) / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    s"""WITH tok AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+      |  round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+      |  round($ttr, 4) AS type_token_ratio,
+      |  round(len(list_filter(toks, t -> list_contains($swList, t))) / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+      |  round($punct, 4) AS punct_ratio,
+      |  round(($lenScore * 0.3 + $swScore * 0.2 + $ttr * 0.3) * greatest(1.0 - $punct * 10.0, 0.0)
+      |        + greatest(1.0 - $punct * 10.0, 0.0) * 0.2, 4) AS quality_score
+      |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID heuristic: marker-word hit-rate argmax per language,
+    * compared against the labeled `lang` column, rolled up per (lang, pred).
+    */
+  def langId: Q = (s, d) => {
+    withToks(Tables.documents(s, d))
+      .withColumn("pred_lang", TA.predictedLang(col("toks")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(TA.langScore(col("toks"), "en")), 4).as("avg_en_score"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langIdSql: String = {
+    def mk(lang: String): String = {
+      val arr = TA.langMarkers(lang).map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, t -> list_contains($arr, t))) / CAST(len(toks) AS DOUBLE)"
+    }
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      |sc AS (SELECT doc_id, lang, ${langs.map(l => s"${mk(l)} AS s_$l").mkString(", ")} FROM tok),
+      |b AS (SELECT *, $best AS best FROM sc),
+      |p AS (SELECT doc_id, lang, s_en, CASE $cases ELSE 'und' END AS pred_lang FROM b)
+      |SELECT lang, pred_lang, count(*) AS n_docs, round(avg(s_en), 4) AS avg_en_score
+      |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens, regex (BPE-ish) tokens, chars/4
+    * estimate.
+    */
+  def tokenCount: Q = (s, d) => {
+    withToks(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("ws_tokens"),
+        TA.regexTokenCount(col("text")).as("re_tokens"),
+        TA.bpeTokenEstimate(col("text")).as("bpe_est"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+      |  CAST(len($toksSql) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS re_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: winnowing (k=3-word shingles, window w=4)
+    * with the portable md5-based hash.
+    */
+  def docFingerprint: Q = (s, d) => {
+    withToks(Tables.documents(s, d))
+      .withColumn("fps", TA.winnowFingerprints(col("toks"), k = 3, w = 4))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String = {
+    val sh = TA.shinglesSql("toks", 3)
+    val h = Hashing.md5LongSql("s")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |hs AS (SELECT doc_id, list_transform($sh, s -> $h) AS hashes FROM tok),
+      |win AS (SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, greatest(len(hashes) - 3, 1)),
+      |   i -> list_min(hashes[i:i+3]))) AS fps FROM hs)
+      |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+      |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+      |FROM win ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> textStats,
+    "q_lang_id" -> langId,
+    "q_token_count" -> tokenCount,
+    "q_doc_fingerprint" -> docFingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_token_count" -> tokenCountSql,
+    "q_doc_fingerprint" -> docFingerprintSql,
+  )
+}
