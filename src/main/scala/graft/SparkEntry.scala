@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Temporal.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.DedupOps.queries ++
-      graft.queries.SimilarityOps.queries
+      graft.queries.SimilarityOps.queries ++
+      graft.queries.ScdOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Temporal.oracles ++
       graft.queries.TextOps.oracles ++
       graft.queries.DedupOps.oracles ++
-      graft.queries.SimilarityOps.oracles
+      graft.queries.SimilarityOps.oracles ++
+      graft.queries.ScdOps.oracles
 }

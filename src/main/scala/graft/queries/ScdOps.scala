@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Scd2, ScdClock, Tables}
+
+/** SCD Type 2 merge scenario, oracle-checked end to end (the reference's
+  * one genuinely non-built-in operator, SURVEY.md §2.1 S8/J8/J9).
+  *
+  * Scenario (fixed clocks so every output cell is deterministic):
+  *  - T0 = 2024-01-15: initial dimension load from `customer`
+  *    (bk = c_custkey; tracked attrs = c_name, c_mktsegment).
+  *  - T1 = 2024-06-01: a new snapshot arrives where every c_custkey % 10 == 0
+  *    moved to segment 'MIGRATED', and c_custkey % 13 == 0 spawns a brand-new
+  *    key (+1000000).
+  *  - Expected: changed keys have a closed historical row
+  *    [T0, T1) + an open current row; unchanged keys keep their T0 row;
+  *    new keys appear effective T1.
+  */
+object ScdOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val T0 = "2024-01-15"
+  private val T1 = "2024-06-01"
+  private val BK = Seq("c_custkey")
+  private val Tracked = Seq("c_name", "c_mktsegment")
+
+  private def snapshot0(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  private def snapshot1(s: SparkSession, d: String): DataFrame = {
+    val base = snapshot0(s, d)
+    base.select(
+        col("c_custkey"),
+        col("c_name"),
+        when(col("c_custkey") % 10 === 0, lit("MIGRATED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(base.filter(col("c_custkey") % 13 === 0)
+        .select(
+          (col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+          lit("NEWSEG").as("c_mktsegment")))
+  }
+
+  def scd2Merge: Q = (s, d) => {
+    val initial = Scd2.applyScdType2Merge(
+      None, snapshot0(s, d), BK, Tracked, ScdClock.fixed(T0))
+    val merged = Scd2.applyScdType2Merge(
+      Some(initial), snapshot1(s, d), BK, Tracked, ScdClock.fixed(T1))
+    merged.select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("effective_date").cast("string").as("effective_date"),
+        col("end_date").cast("string").as("end_date"),
+        col("is_current"),
+        col("row_hash"), col("surrogate_key"))
+      .orderBy(col("c_custkey"), col("effective_date"), col("is_current"))
+  }
+
+  val scd2MergeSql: String =
+    s"""WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+      |rows0 AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |    DATE '$T0' AS effective_date,
+      |    CASE WHEN c_custkey % 10 = 0 THEN DATE '$T1' ELSE NULL END AS end_date,
+      |    c_custkey % 10 <> 0 AS is_current
+      |  FROM base
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, 'MIGRATED', DATE '$T1', NULL, true
+      |  FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR), 'NEWSEG',
+      |    DATE '$T1', NULL, true
+      |  FROM base WHERE c_custkey % 13 = 0)
+      |SELECT c_custkey, c_name, c_mktsegment,
+      |  CAST(effective_date AS VARCHAR) AS effective_date,
+      |  CAST(end_date AS VARCHAR) AS end_date, is_current,
+      |  md5(coalesce(c_name, 'NULL') || '||' || coalesce(c_mktsegment, 'NULL')) AS row_hash,
+      |  md5(CAST(c_custkey AS VARCHAR) || '||' || CAST(effective_date AS VARCHAR)) AS surrogate_key
+      |FROM rows0
+      |ORDER BY c_custkey, effective_date, is_current""".stripMargin
+
+  val queries: Map[String, Q] = Map("q_scd2_merge" -> scd2Merge)
+  val oracles: Map[String, String] = Map("q_scd2_merge" -> scd2MergeSql)
+}

@@ -1,0 +1,92 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SCD2 invariants ported from the reference's unit tests
+  * (tests/unit/test_scd_type2.py) plus merge-scenario cases the reference
+  * leaves untested: change-close-insert, unchanged passthrough, new-key
+  * insert, same-day rerun re-insert, null business keys.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = ScdClock.fixed("2024-01-15")
+  private val t1 = ScdClock.fixed("2024-06-01")
+  private val bk = Seq("id")
+  private val tracked = Seq("name", "seg")
+
+  private def snap(rows: (Int, String, String)*): DataFrame =
+    rows.toDF("id", "name", "seg")
+
+  private def merge(target: Option[DataFrame], staged: DataFrame,
+                    clock: ScdClock): DataFrame =
+    Scd2.applyScdType2Merge(target, staged, bk, tracked, clock)
+
+  test("initial load: all rows current, end_date null, keys non-null") {
+    val out = merge(None, snap((1, "a", "X"), (2, "b", "Y")), t0).cache()
+    assert(out.count() == 2)
+    assert(out.filter(!col("is_current")).count() == 0)
+    assert(out.filter(col("end_date").isNotNull).count() == 0)
+    assert(out.filter(col("surrogate_key").isNull || col("row_hash").isNull).count() == 0)
+    assert(out.select(col("effective_date").cast("string")).distinct().as[String].collect()
+      .sameElements(Array("2024-01-15")))
+  }
+
+  test("changed row is closed and re-inserted; unchanged passes through") {
+    val initial = merge(None, snap((1, "a", "X"), (2, "b", "Y")), t0)
+    val out = merge(Some(initial), snap((1, "a", "CHANGED"), (2, "b", "Y")), t1).cache()
+    // key 1: closed historical + new current; key 2: untouched original
+    assert(out.count() == 3)
+    val k1 = out.filter($"id" === 1).orderBy("effective_date")
+      .select($"seg", $"is_current", $"end_date".cast("string"))
+      .as[(String, Boolean, Option[String])].collect()
+    assert(k1 === Array(("X", false, Some("2024-06-01")), ("CHANGED", true, None)))
+    val k2 = out.filter($"id" === 2)
+      .select($"seg", $"is_current", $"effective_date".cast("string"))
+      .as[(String, Boolean, String)].collect()
+    assert(k2 === Array(("Y", true, "2024-01-15")))
+  }
+
+  test("new business key inserts without touching others") {
+    val initial = merge(None, snap((1, "a", "X")), t0)
+    val out = merge(Some(initial), snap((1, "a", "X"), (3, "c", "Z")), t1).cache()
+    assert(out.count() == 2)
+    assert(out.filter($"id" === 3 && $"is_current" &&
+      $"effective_date" === "2024-06-01").count() == 1)
+  }
+
+  test("same-day rerun re-inserts versions for keys closed today (reference edge case)") {
+    val initial = merge(None, snap((1, "a", "X")), t0)
+    val run1 = merge(Some(initial), snap((1, "a", "CHANGED")), t1)
+    assert(run1.count() == 2)
+    // rerun with identical staged data the same day: MERGE #2 matches the
+    // key closed today and inserts a duplicate same-day version
+    val run2 = merge(Some(run1), snap((1, "a", "CHANGED")), t1).cache()
+    assert(run2.count() == 3)
+    assert(run2.filter($"is_current").count() == 2)
+    // ... and both same-day versions collide on the surrogate key
+    assert(run2.filter($"is_current").select("surrogate_key").distinct().count() == 1)
+  }
+
+  test("null business keys never match and always insert") {
+    val initial = merge(None,
+      Seq((Option.empty[Int], "a", "X")).toDF("id", "name", "seg"), t0)
+    val out = merge(Some(initial),
+      Seq((Option.empty[Int], "a", "X")).toDF("id", "name", "seg"), t1).cache()
+    // the null-key target row is unmatched (stays current) and the null-key
+    // staged row is unmatched (inserts) — reference's `=` join semantics
+    assert(out.count() == 2)
+    assert(out.filter($"is_current").count() == 2)
+  }
+
+  test("currentRecords / changeHistory read API") {
+    val initial = merge(None, snap((1, "a", "X"), (2, "b", "Y")), t0)
+    val merged = merge(Some(initial), snap((1, "a", "Z"), (2, "b", "Y")), t1)
+    assert(Scd2.currentRecords(merged).count() == 2)
+    val hist = Scd2.changeHistory(merged, bk, Seq(1))
+      .select("seg").as[String].collect()
+    assert(hist === Array("X", "Z"))
+  }
+}

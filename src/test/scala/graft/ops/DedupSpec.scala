@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank"), // near-dup of 1
+    (3L, "completely different content about database engines and vectorized execution plans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("keep_id").as[(String, Long, Long)].collect()
+    assert(out.length == 3)
+    val byKeep = out.map(r => r._2 -> r._3).toMap
+    assert(byKeep(1L) == 2) // ids 1 and 4
+    assert(byKeep(2L) == 1)
+    assert(byKeep(3L) == 1)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.minhashNearDups(docs.filter($"doc_id" =!= 4), "doc_id", "text",
+        numPerm = 8, shingleN = 3, bandRows = 2, minJaccard = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of near-dups has small hamming distance; unrelated larger") {
+    val sims = docs.withColumn("sh", Dedup.simhashExpr($"text"))
+      .select("doc_id", "sh").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(4L)) == 0) // identical text
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(3L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated absent") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq.empty, shingleN = 3, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(out((1L, 2L)) > 0.7)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
