@@ -23,7 +23,10 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.DedupOps.queries ++
       graft.queries.SimilarityOps.queries ++
-      graft.queries.ScdOps.queries
+      graft.queries.ScdOps.queries ++
+      graft.queries.Analytics.queries ++
+      graft.queries.FaersOps.queries ++
+      graft.queries.MultimodalOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -34,5 +37,8 @@ object SparkEntry {
       graft.queries.TextOps.oracles ++
       graft.queries.DedupOps.oracles ++
       graft.queries.SimilarityOps.oracles ++
-      graft.queries.ScdOps.oracles
+      graft.queries.ScdOps.oracles ++
+      graft.queries.Analytics.oracles ++
+      graft.queries.FaersOps.oracles ++
+      graft.queries.MultimodalOps.oracles
 }

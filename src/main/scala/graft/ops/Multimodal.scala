@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media travels as an opaque `binary` column plus typed
+  * metadata; decode/feature-extract runs batched per partition.
+  *
+  * The decode step is a clearly-marked STUB — no codec libraries exist in
+  * this environment — producing deterministic fake features from the bytes.
+  * Everything around it is the real distributed plumbing: schema, batch
+  * iteration, partition sizing, and a typed output contract, so swapping in
+  * an actual decoder (JNI/FFmpeg/ImageIO) is a one-function change.
+  *
+  * Scale notes: binary payloads make rows wide — size
+  * `spark.sql.files.maxPartitionBytes` so a partition of blobs fits executor
+  * memory, keep metadata in separate (pruned) columns so metadata-only
+  * queries never read the blob pages (Parquet column pruning), and
+  * repartition by a content-hash before decode so hot keys spread.
+  */
+object Multimodal {
+
+  /** Typed metadata contract for decoded media. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("content_md5", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Pure-column metadata over a binary payload (no decode needed):
+    * byte length, content hash, header bytes as hex.
+    */
+  def withBinaryMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(binCol)))
+      .withColumn("content_md5", md5(col(binCol)))
+      .withColumn("header_hex", hex(substring(col(binCol), 1, 8)))
+
+  /** STUB decode: deterministic pseudo-dimensions from the content hash.
+    * ??? in spirit — a real build replaces the body with an image decoder;
+    * the signature (bytes in, typed meta out) is the stable contract.
+    */
+  def decodeStub(mediaId: Long, bytes: Array[Byte]): Row = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    def b(i: Int): Int = md(i) & 0xff
+    val width = 64 + (b(0) * 256 + b(1)) % 1984 // fake 64..2047 px
+    val height = 64 + (b(2) * 256 + b(3)) % 1984
+    val features = Array.tabulate(4)(i => (b(4 + i) / 255.0f) * 2f - 1f)
+    Row(mediaId, bytes.length, md.map("%02x".format(_)).mkString,
+      width, height, features)
+  }
+
+  /** Batched decode over partitions: the real distributed shape for codec
+    * work (one partition = one sequential batch, no per-row task overhead,
+    * decoder state reusable across a partition).
+    */
+  def decodeAll(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaMetaSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r => decodeStub(r.getLong(idIdx), r.getAs[Array[Byte]](binIdx)) }
+    }(enc)
+  }
+
+  /** Deterministic fake frame-sampling positions for a "video" payload:
+    * every `stride`-th byte offset, up to `maxFrames` — the plumbing for
+    * frame extraction without a codec.
+    */
+  def framePositions(nBytes: Column, stride: Int, maxFrames: Int): Column =
+    slice(sequence(lit(1), greatest(nBytes, lit(1)), lit(stride)), 1, maxFrames)
+}

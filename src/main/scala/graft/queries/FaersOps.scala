@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.faers.Transforms
+
+/** FAERS silver-layer scalar transforms (SURVEY.md §2.8) oracle-checked on
+  * deterministic strings derived from the driver tables: dosage parsing,
+  * age bucketing, drug-name standardization. (Date repair is covered by
+  * q_date_repair in Temporal.)
+  */
+object FaersOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Dose parse from verbatim text — the reference's 3-regex extract
+    * (silver_transformations.py:134-163) over synthesized dose strings.
+    */
+  def doseParse: Q = (s, d) => {
+    val raw = Tables.part(s, d).select(
+      col("p_partkey"),
+      when(col("p_partkey") % 4 === 0,
+          concat((col("p_partkey") % 999).cast("string"), lit(" MG, TWICE DAILY")))
+        .when(col("p_partkey") % 4 === 1,
+          concat((col("p_partkey") % 999).cast("string"), lit("MG")))
+        .when(col("p_partkey") % 4 === 2,
+          concat((col("p_partkey") % 999).cast("string"), lit(".5 ml, daily")))
+        .otherwise(lit("UNKNOWN DOSE")).as("dose_vbm"))
+    Transforms.parseDosageInformation(raw)
+      .select(col("p_partkey"), col("dose_vbm"), col("dose"),
+        col("dose_unit"), col("dose_frequency"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val doseParseSql: String =
+    """WITH raw AS (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_partkey % 4 = 0 THEN CAST(p_partkey % 999 AS VARCHAR) || ' MG, TWICE DAILY'
+      |         WHEN p_partkey % 4 = 1 THEN CAST(p_partkey % 999 AS VARCHAR) || 'MG'
+      |         WHEN p_partkey % 4 = 2 THEN CAST(p_partkey % 999 AS VARCHAR) || '.5 ml, daily'
+      |         ELSE 'UNKNOWN DOSE' END AS dose_vbm
+      |  FROM part)
+      |SELECT p_partkey, dose_vbm,
+      |  CASE WHEN regexp_extract(dose_vbm, '(\d+\.?\d*)', 1) <> ''
+      |       THEN CAST(regexp_extract(dose_vbm, '(\d+\.?\d*)', 1) AS DOUBLE) ELSE NULL END AS dose,
+      |  CASE WHEN regexp_extract(dose_vbm, '\d+\.?\d*\s*(\w+)', 1) <> ''
+      |       THEN upper(trim(regexp_extract(dose_vbm, '\d+\.?\d*\s*(\w+)', 1))) ELSE '' END AS dose_unit,
+      |  CASE WHEN regexp_extract(dose_vbm, ',(.*)', 1) <> ''
+      |       THEN upper(trim(regexp_extract(dose_vbm, ',(.*)', 1))) ELSE '' END AS dose_frequency
+      |FROM raw ORDER BY p_partkey""".stripMargin
+
+  /** Age bucketing incl. null → Unknown (silver_transformations.py:93-107)
+    * over synthetic ages, rolled up to the bucket distribution.
+    */
+  def ageGroups: Q = (s, d) => {
+    val raw = Tables.customer(s, d).select(
+      col("c_custkey"),
+      when(col("c_custkey") % 13 === 0, lit(null).cast("double"))
+        .otherwise((col("c_custkey") % 107).cast("double")).as("age"))
+    Transforms.calculateAgeGroups(raw)
+      .groupBy(col("age_group"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("age")), 4).as("avg_age"))
+      .orderBy(col("age_group"))
+  }
+
+  val ageGroupsSql: String =
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 13 = 0 THEN NULL
+      |         ELSE CAST(c_custkey % 107 AS DOUBLE) END AS age
+      |  FROM customer),
+      |g AS (SELECT age,
+      |    CASE WHEN age < 18 THEN 'Pediatric (0-17)'
+      |         WHEN age >= 18 AND age < 65 THEN 'Adult (18-64)'
+      |         WHEN age >= 65 THEN 'Elderly (65+)'
+      |         ELSE 'Unknown' END AS age_group
+      |  FROM raw)
+      |SELECT age_group, count(*) AS n, round(avg(age), 4) AS avg_age
+      |FROM g GROUP BY age_group ORDER BY age_group""".stripMargin
+
+  /** Drug-name standardization (silver_transformations.py:119-131) over
+    * part names mangled with punctuation/whitespace noise.
+    */
+  def drugClean: Q = (s, d) => {
+    val raw = Tables.part(s, d).select(
+      col("p_partkey"),
+      concat(lit("  "), col("p_name"), lit("!! (x)")).as("drugname"))
+    Transforms.standardizeDrugNames(raw)
+      .select(col("p_partkey"), col("drugname"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val drugCleanSql: String =
+    """SELECT p_partkey,
+      |  upper(trim(regexp_replace('  ' || p_name || '!! (x)', '[^\w\s]', '', 'g'))) AS drugname
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_dose_parse" -> doseParse,
+    "q_age_groups" -> ageGroups,
+    "q_drug_clean" -> drugClean,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dose_parse" -> doseParseSql,
+    "q_age_groups" -> ageGroupsSql,
+    "q_drug_clean" -> drugCleanSql,
+  )
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Multimodal
+
+/** Multimodal binary-column plumbing, oracle-checked on the SQL-expressible
+  * surface (byte length, content hash, header bytes, stub-decoded
+  * dimensions, frame-sample count). The `mapPartitions` batch decoder is
+  * exercised in MultimodalSpec — DuckDB has no blob md5/substring, so the
+  * oracle mirrors the byte math through the (verified ASCII) text column.
+  */
+object MultimodalOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def multimodalMeta: Q = (s, d) => {
+    val withBlob = Tables.documents(s, d)
+      .withColumn("blob", encode(col("text"), "utf-8"))
+    Multimodal.withBinaryMeta(withBlob, "blob")
+      .withColumn("width",
+        (lit(64) + conv(substring(col("content_md5"), 1, 4), 16, 10).cast("int") % 1984).cast("int"))
+      .withColumn("height",
+        (lit(64) + conv(substring(col("content_md5"), 5, 4), 16, 10).cast("int") % 1984).cast("int"))
+      .withColumn("n_frames",
+        size(Multimodal.framePositions(col("n_bytes"), stride = 64, maxFrames = 8)))
+      .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("header_hex"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  hex(encode(substring(text, 1, 8))) AS header_hex,
+      |  CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1984 AS INTEGER) AS width,
+      |  CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1984 AS INTEGER) AS height,
+      |  CAST(least(CAST(floor((octet_length(encode(text)) - 1) / 64) AS INTEGER) + 1, 8) AS INTEGER) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("q_multimodal_meta" -> multimodalMeta)
+  val oracles: Map[String, String] = Map("q_multimodal_meta" -> multimodalMetaSql)
+}
