@@ -1,0 +1,87 @@
+package graft.faers
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Scd2, ScdClock}
+import graft.faers.gold.{DimDate, Dims, FactAdverseEvents}
+
+/** In-process medallion pipeline runner replacing the reference's external
+  * Databricks job DAG (resources/jobs/faers_pipeline.yml:24-203): bronze
+  * (7 parallel-safe ingests) → silver (7 transforms, each reading only the
+  * latest bronze partition) → dim_date → 7 SCD2 dims → fact. State passes
+  * exclusively through catalog tables, exactly like the reference's
+  * task-isolated jobs.
+  *
+  * `USE CATALOG` collapses to database create/use (no Unity Catalog);
+  * `OPTIMIZE` is Delta-only → no-op; `ANALYZE TABLE` runs as-is (S10/S11).
+  */
+object Pipeline {
+
+  val databases: Seq[String] = Seq("bronze", "silver", "gold")
+
+  def initDatabases(spark: SparkSession): Unit =
+    databases.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+
+  /** Overwrite a table that may be read inside `df`'s own lineage (the SCD2
+    * merge reads the target): stage to a side table, then swap — the
+    * DataFrame re-expression of Delta MERGE's atomic commit (SURVEY §7.3).
+    */
+  private def overwriteViaSwap(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    val staging = table + "__staging"
+    df.write.mode("overwrite").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  def runBronze(spark: SparkSession, landingDir: String, yy: Int, q: Int,
+                fixedClock: Option[java.time.Instant]): Unit =
+    Bronze.ingestQuarter(spark, landingDir, yy, q, fixedClock)
+
+  def runSilver(spark: SparkSession,
+                fixedClock: Option[java.time.Instant]): Unit =
+    Silver.all.foreach { case (table, transform) =>
+      val latest = Transforms.readLatestPartition(spark, table)
+      transform(latest, fixedClock)
+        .write.mode("overwrite").saveAsTable(s"silver.$table")
+      spark.sql(s"ANALYZE TABLE silver.$table COMPUTE STATISTICS")
+    }
+
+  def runGold(spark: SparkSession, scdClock: ScdClock,
+              today: Option[java.sql.Date] = None): Unit = {
+    DimDate.create(spark, today = today)
+      .write.mode("overwrite").saveAsTable("gold.dim_date")
+
+    Dims.specs.foreach { spec =>
+      val staged = spec.build(spark.table(s"silver.${spec.sourceTable}"))
+      val fq = s"gold.${spec.name}"
+      val target =
+        if (spark.catalog.tableExists(fq)) Some(spark.table(fq)) else None
+      val merged = Scd2.applyScdType2Merge(
+        target, staged, spec.businessKeys, spec.trackedCols, scdClock)
+      if (target.isEmpty)
+        merged.write.mode("overwrite").saveAsTable(fq)
+      else overwriteViaSwap(spark, merged, fq)
+      spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS")
+    }
+
+    val fact = FactAdverseEvents.create(
+      spark.table("silver.demographics"), spark.table("silver.drug_details"),
+      spark.table("silver.reactions"), spark.table("silver.indications"),
+      spark.table("silver.therapy_dates"), spark.table("silver.outcomes"),
+      spark.table("silver.reports"), spark.table("gold.dim_date"))
+    fact.write
+      .partitionBy("fact_created_date", "reporter_country")
+      .mode("overwrite")
+      .saveAsTable("gold.fact_adverse_events")
+    spark.sql("ANALYZE TABLE gold.fact_adverse_events COMPUTE STATISTICS")
+  }
+
+  /** Full medallion run for one landing quarter. */
+  def run(spark: SparkSession, landingDir: String, yy: Int = 25, q: Int = 1,
+          fixedClock: Option[java.time.Instant] = None,
+          scdClock: ScdClock = ScdClock.system()): Unit = {
+    initDatabases(spark)
+    runBronze(spark, landingDir, yy, q, fixedClock)
+    runSilver(spark, fixedClock)
+    runGold(spark, scdClock, Some(scdClock.today))
+  }
+}

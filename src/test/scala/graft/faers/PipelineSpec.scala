@@ -1,0 +1,177 @@
+package graft.faers
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.ScdClock
+
+/** End-to-end medallion test over synthetic FAERS landing files — the
+  * integration coverage the reference lacks entirely (SURVEY.md §5).
+  * Exercises: $-CSV ingest, latest-partition reads, every silver decode,
+  * dim builds + SCD2 merge, the J1-J7 fact assembly with grain explosion,
+  * and a second epoch that closes changed dimension versions.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = java.time.Instant.parse("2025-01-15T00:00:00Z")
+  private val clock0 = ScdClock.fixed("2025-01-15")
+  private val clock1 = ScdClock.fixed("2025-06-01")
+
+  private def writeLanding(dir: Path, name: String, header: String, rows: String*): Unit =
+    Files.writeString(dir.resolve(name), (header +: rows).mkString("\n"))
+
+  private def makeLanding(): String = {
+    val dir = Files.createTempDirectory("faers_landing")
+    // case 100: 2 drugs x 2 reactions x 2 outcomes (grain explosion);
+    // case 101: minimal, no indication/therapy/outcome/report (left-join nulls)
+    writeLanding(dir, "DEMO25Q1.txt",
+      "primaryid$caseid$caseversion$i_f_code$event_dt$mfr_dt$init_fda_dt$fda_dt$rept_cod$auth_num$mfr_num$mfr_sndr$lit_ref$age$age_cod$age_grp$sex$e_sub$wt$wt_cod$rept_dt$to_mfr$occp_cod$reporter_country$occr_country",
+      "100$100$1$I$20240310$$20240315$20240320$EXP$$$$$45$YR$$F$Y$70.5$KG$20240315$$MD$US$US",
+      "101$101$1$I$202403$$$$EXP$$$$$6$MON$$M$Y$$$2024$$$DE$DE")
+    writeLanding(dir, "DRUG25Q1.txt",
+      "primaryid$caseid$drug_seq$role_cod$drugname$prod_ai$val_vbm$route$dose_vbm$cum_dose_chr$cum_dose_unit$dechal$rechal$lot_num$exp_dt$nda_num$dose_amt$dose_unit$dose_form$dose_freq",
+      "100$100$1$PS$Aspirin!$ASPIRIN$1$ORAL$500 MG, DAILY$$$$$$20260101$12345$500$MG$TABLET$QD",
+      "100$100$2$C$Tylenol (500)$ACETAMINOPHEN$1$ORAL$$$$$$$$$$$$",
+      "101$101$1$SS$Ibuprofen$IBUPROFEN$1$IV$$$$$$$$$$$$")
+    writeLanding(dir, "REAC25Q1.txt",
+      "primaryid$caseid$pt$drug_rec_act",
+      "100$100$DEATH$1",
+      "100$100$NAUSEA$4",
+      "101$101$CARDIAC ARREST$")
+    writeLanding(dir, "OUTC25Q1.txt",
+      "primaryid$caseid$outc_cod",
+      "100$100$DE",
+      "100$100$HO")
+    writeLanding(dir, "INDI25Q1.txt",
+      "primaryid$caseid$indi_drug_seq$indi_pt",
+      "100$100$1$LUNG CANCER")
+    writeLanding(dir, "RPSR25Q1.txt",
+      "primaryid$caseid$rpsr_cod",
+      "100$100$HP")
+    writeLanding(dir, "THER25Q1.txt",
+      "primaryid$caseid$dsg_drug_seq$start_dt$end_dt$dur$dur_cod",
+      "100$100$1$20240201$20240301$29$DY")
+    dir.toString
+  }
+
+  test("medallion end-to-end: bronze -> silver -> gold star schema") {
+    Pipeline.run(spark, makeLanding(), fixedClock = Some(t0), scdClock = clock0)
+
+    // bronze: audit columns + partitioned append
+    val bronzeDemo = spark.table("bronze.demographics")
+    assert(bronzeDemo.count() == 2)
+    assert(bronzeDemo.columns.contains("_ingest_ts"))
+    assert(bronzeDemo.columns.contains("_source_file"))
+
+    // silver decodes
+    val demo = spark.table("silver.demographics")
+    val c100 = demo.filter($"primary_id" === "100")
+    assert(c100.select($"event_dt".cast("string")).as[String].head() == "2024-03-10")
+    assert(c100.select("age_group").as[String].head() == "Adult (18-64)")
+    assert(c100.select("age_category").as[String].head() == "Years")
+    assert(c100.select("weight_category").as[String].head() == "Kilograms")
+    val c101 = demo.filter($"primary_id" === "101")
+    assert(c101.select($"event_dt".cast("string")).as[String].head() == "2024-03-01")
+    assert(c101.select($"rept_dt".cast("string")).as[String].head() == "2024-01-01")
+
+    val reac = spark.table("silver.reactions")
+    val death = reac.filter($"pt" === "DEATH")
+    assert(death.select("reaction_category").as[String].head() == "Fatal")
+    assert(death.select("severity_classification").as[String].head() == "Life-threatening")
+    assert(death.select("reaction_priority_score").as[Int].head() == 10)
+    assert(death.select("drug_rec_act_description").as[String].head() == "Drug withdrawn")
+    assert(reac.filter($"pt" === "NAUSEA")
+      .select("reaction_category").as[String].head() == "Gastrointestinal")
+
+    val ther = spark.table("silver.therapy_dates")
+    assert(ther.select("therapy_duration_days").as[Int].head() == 29)
+    assert(ther.select("reported_duration_days").as[Double].head() == 29.0)
+    assert(ther.select("therapy_status").as[String].head() == "Completed")
+    assert(ther.select("duration_category").as[String].head() == "Medium-term (1-4 weeks)")
+
+    val indi = spark.table("silver.indications")
+    assert(indi.select("therapeutic_area").as[String].head() == "Oncology")
+
+    // gold dims: SCD2 initial load, all current
+    val dimPatient = spark.table("gold.dim_patient")
+    assert(dimPatient.count() == 2)
+    assert(dimPatient.filter(!$"is_current").count() == 0)
+    assert(dimPatient.filter($"patient_primary_id" === "100")
+      .select("reporter_region").as[String].head() == "North America")
+    assert(spark.table("gold.dim_drug").count() == 3)
+    assert(spark.table("gold.dim_date")
+      .filter($"date_key" === "2024-03-10").count() == 1)
+
+    // fact grain: case 100 = 2 reactions x 2 drugs x 2 outcomes = 8 rows
+    val fact = spark.table("gold.fact_adverse_events")
+    assert(fact.filter($"report_primary_id" === "100").count() == 8)
+    // case 101: 1 reaction x 1 drug, left joins null -> 1 row
+    assert(fact.filter($"report_primary_id" === "101").count() == 1)
+    val f101 = fact.filter($"report_primary_id" === "101")
+    assert(f101.select("indication_preferred_term").as[String].head() == "Unknown")
+    assert(f101.select("outcome_code").as[String].head() == "Unknown")
+    assert(!f101.select("has_outcome_data").as[Boolean].head())
+    assert(f101.select("case_complexity").as[String].head() == "Low")
+
+    // fatal path on case 100 DEATH+DE rows
+    val fatalRows = fact.filter($"report_primary_id" === "100" &&
+      $"reaction_preferred_term" === "DEATH" && $"outcome_code" === "DE")
+    assert(fatalRows.count() == 2) // x2 drugs
+    assert(fatalRows.select("is_fatal_outcome").as[Boolean].collect().forall(identity))
+    assert(fatalRows.select("is_life_threatening_reaction").as[Boolean].collect().forall(identity))
+    // date keys resolve through dim_date (implied semantics, see FactAdverseEvents)
+    assert(fatalRows.select("has_event_date").as[Boolean].head())
+    // 10*0.4 + 7*0.3 + 3*0.2 + 5*0.1 = 7.2
+    val risk = fatalRows.filter($"is_primary_suspect_drug")
+      .select($"clinical_risk_score".cast("double")).as[Double].head()
+    assert(math.abs(risk - 7.2) < 1e-9)
+
+    // analytics layer returns data
+    import graft.faers.gold.FactAnalytics
+    assert(FactAnalytics.topDrugsByEvents(fact).count() == 3)
+    assert(FactAnalytics.summaryInsights(fact).count() == 1)
+    assert(FactAnalytics.temporalTrends(fact)
+      .select("event_year").as[Int].collect().sameElements(Array(2024)))
+  }
+
+  test("second epoch: changed demographics close dim_patient versions") {
+    // epoch 2: case 100's weight changes -> SCD2 closes the old version
+    val landing2 = Files.createTempDirectory("faers_landing2")
+    writeLanding(landing2, "DEMO25Q2.txt",
+      "primaryid$caseid$caseversion$i_f_code$event_dt$mfr_dt$init_fda_dt$fda_dt$rept_cod$auth_num$mfr_num$mfr_sndr$lit_ref$age$age_cod$age_grp$sex$e_sub$wt$wt_cod$rept_dt$to_mfr$occp_cod$reporter_country$occr_country",
+      "100$100$2$F$20240310$$20240315$20240320$EXP$$$$$45$YR$$F$Y$72.0$KG$20240315$$MD$US$US",
+      "101$101$1$I$202403$$$$EXP$$$$$6$MON$$M$Y$$$2024$$$DE$DE")
+    Bronze.ingest(spark, "demographics", s"$landing2/DEMO25Q2.txt",
+      Some(java.time.Instant.parse("2025-06-01T00:00:00Z")))
+    val latest = Transforms.readLatestPartition(spark, "demographics")
+    assert(latest.count() == 2) // only the new partition
+    Silver.demographics(latest, Some(java.time.Instant.parse("2025-06-01T00:00:00Z")))
+      .write.mode("overwrite").saveAsTable("silver.demographics")
+
+    import graft.core.Scd2
+    val spec = gold.Dims.specs.find(_.name == "dim_patient").get
+    val staged = spec.build(spark.table("silver.demographics"))
+    val merged = Scd2.applyScdType2Merge(
+      Some(spark.table("gold.dim_patient")), staged,
+      spec.businessKeys, spec.trackedCols, clock1)
+    val out = merged.cache()
+
+    // case 100: closed old + new current; case 101: untouched
+    assert(out.count() == 3)
+    val v100 = out.filter($"patient_primary_id" === "100")
+      .orderBy("effective_date")
+      .select($"patient_weight", $"is_current", $"end_date".cast("string"))
+      .as[(Double, Boolean, Option[String])].collect()
+    assert(v100 === Array((70.5, false, Some("2025-06-01")), (72.0, true, None)))
+    assert(out.filter($"patient_primary_id" === "101" && $"is_current").count() == 1)
+  }
+
+  override def afterAll(): Unit = {
+    Seq("bronze", "silver", "gold").foreach { db =>
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+    super.afterAll()
+  }
+}
