@@ -43,12 +43,16 @@ object Session {
     (commonConfs ++ extra).foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 
-  /** Apply common confs to an externally-created session (driver-owned). */
+  /** Apply common confs + register graft's native Catalyst functions on an
+    * externally-created session (driver-owned).
+    */
   def tune(spark: SparkSession): SparkSession = {
     commonConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

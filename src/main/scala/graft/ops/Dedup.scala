@@ -30,16 +30,35 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature array (`sigs`): element i = min over shingles of the
-    * i-th seeded hash. Computed per-row in one projection (no shuffle).
+  /** MinHash permutation constants: odd multipliers / offsets under 2^30 so
+    * `a*h + b` stays below 2^61 (no 64-bit overflow in Spark OR the DuckDB
+    * oracle, which errors on overflow). Shared with the oracle SQL.
+    */
+  def permA(i: Int): Long = ((1103515245L * (i + 1)) & 0x3FFFFFFFL) | 1L
+  def permB(i: Int): Long = (2654435761L * (i + 1)) & 0x3FFFFFFFL
+  val PermMod: Long = 2147483647L // 2^31 - 1
+  val HashMask: Long = 0x3FFFFFFFL // keep 30 bits of the base hash
+
+  /** MinHash signature array (`sigs`): hash each shingle ONCE (the
+    * expensive md5), mask to 30 bits, then derive the i-th permutation
+    * arithmetically: `(a_i * h + b_i) mod (2^31-1)`. The hash array is
+    * materialized as its own projection column so the `numPerm` signature
+    * expressions reference it instead of re-hashing (Catalyst keeps
+    * non-cheap multi-referenced projections un-collapsed). Per-row only —
+    * no shuffle.
     */
   def withMinhashSignature(df: DataFrame, textCol: String,
                            numPerm: Int, shingleN: Int,
-                           hasher: (Int, Column) => Column = Hashing.md5LongSeeded)
+                           hasher: Column => Column = Hashing.md5Long)
   : DataFrame = {
     val sh = TA.shingles(TA.tokens(col(textCol)), shingleN)
-    val sigs = (0 until numPerm).map(i => array_min(transform(sh, s => hasher(i, s))))
-    df.withColumn("sigs", array(sigs: _*))
+    val sigs = (0 until numPerm).map { i =>
+      array_min(transform(col("_hs"),
+        h => (h * lit(permA(i)) + lit(permB(i))) % lit(PermMod)))
+    }
+    df.withColumn("_hs", transform(sh, s => hasher(s).bitwiseAND(lit(HashMask))))
+      .withColumn("sigs", array(sigs: _*))
+      .drop("_hs")
   }
 
   /** LSH banding: split each signature into `numPerm / bandRows` bands,
@@ -54,7 +73,13 @@ object Dedup {
         (0 until bandRows).map(r => element_at(col("sigs"), b * bandRows + r + 1)): _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val exploded = sigDf
+    // Materialize the (tiny) signature rows before the self-join: both join
+    // sides then read the stored partitions instead of re-running the
+    // signature pipeline, and no optimizer rule can push inferred
+    // null-checks below this point and duplicate the hash expressions.
+    // (At warehouse scale this is "write the signature table, then join".)
+    val sigsOnly = sigDf.select(col(idCol), col("sigs")).localCheckpoint()
+    val exploded = sigsOnly
       .select(col(idCol), col("sigs"), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("sigs"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val a = exploded.alias("a")
@@ -77,7 +102,7 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 8, shingleN: Int = 3, bandRows: Int = 2,
                       minJaccard: Double = 0.5,
-                      hasher: (Int, Column) => Column = Hashing.md5LongSeeded)
+                      hasher: Column => Column = Hashing.md5Long)
   : DataFrame = {
     val sigs = withMinhashSignature(df, textCol, numPerm, shingleN, hasher)
     lshCandidatePairs(sigs, idCol, numPerm, bandRows)
@@ -90,15 +115,23 @@ object Dedup {
   /** SimHash value over whitespace tokens, `bits` wide (≤ 63): bit b is set
     * iff the ±1 vote of all token-hash bits b is positive. Pure projection
     * (no shuffle); near-dup docs differ in few bits (small Hamming distance).
+    *
+    * Single-pass: ONE aggregate carries an int[bits] vote vector (each
+    * token hashes once, then votes on every bit via a power-of-two AND
+    * test), and a final indexed map assembles the bits — versus the naive
+    * bits-many aggregates that would re-hash every token per bit.
     */
   def simhashExpr(textCol: Column, bits: Int = 32,
                   hasher: Column => Column = Hashing.md5Long): Column = {
-    val hs = transform(TA.tokens(textCol), t => hasher(t))
-    (0 until bits).map { b =>
-      val vote = aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val powers = array((0 until bits).map(b => lit(1L << b)): _*)
+    val votes = aggregate(
+      transform(TA.tokens(textCol), t => hasher(t)),
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dup pairs within blocks (e.g. language) at Hamming
@@ -108,8 +141,12 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], bits: Int = 32, maxHamming: Int = 8,
                       hasher: Column => Column = Hashing.md5Long): DataFrame = {
+    // Materialized before the self-join (see lshCandidatePairs): otherwise
+    // the hamming join condition makes Catalyst infer isnotnull(simhash)
+    // and push the whole vote pipeline into a per-side Filter — 4x the work.
     val withSim = df.withColumn("simhash", simhashExpr(col(textCol), bits, hasher))
       .select((idCol +: "simhash" +: blockCols).map(col): _*)
+      .localCheckpoint()
     val a = withSim.alias("a")
     val b = withSim.alias("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -129,9 +166,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleN: Int = 3,
                         minJaccard: Double = 0.4): DataFrame = {
+    // Shingle sets materialize once; exploded join input, the size lookup,
+    // and both self-join sides all read the stored partitions.
     val base = df.select(
       (col(idCol) +: blockCols.map(col)) :+
         array_distinct(TA.shingles(TA.tokens(col(textCol)), shingleN)).as("sh"): _*)
+      .localCheckpoint()
     val exploded = base.select(
       (col(idCol) +: blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
     val sizes = base.select(col(idCol), size(col("sh")).as("n_sh"))

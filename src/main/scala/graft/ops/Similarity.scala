@@ -26,8 +26,16 @@ object Similarity {
   /** Cast to array<double> so downstream arithmetic is exact-deterministic. */
   def asDouble(vec: Column): Column = vec.cast("array<double>")
 
-  /** Sequential-fold dot product (deterministic summation order). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
+    * expression (registered by core.Session) — same sequential summation
+    * order as a fold, ~10x faster than interpreted higher-order functions.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The HOF formulation `dot` replaces — kept for sessions without the
+    * graft function registry (identical results, interpreted eval).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))

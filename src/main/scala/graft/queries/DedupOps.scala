@@ -75,13 +75,14 @@ object DedupOps {
 
   val dedupMinhashSql: String = {
     val sigExprs = (0 until NumPerm).map { i =>
-      s"list_min(list_transform(shingles, s -> ${Hashing.md5LongSeededSql(i, "s")}))"
+      s"list_min(list_transform(hs, h -> (h * ${Dedup.permA(i)} + ${Dedup.permB(i)}) % ${Dedup.PermMod}))"
     }.mkString("[", ", ", "]")
     val bandIdx = (0 until NumPerm / BandRows).mkString("[", ",", "]")
     s"""WITH ${corpusNearSql(7)},
       |tok AS (SELECT doc_id, ${TA.tokensSql("text")} AS toks FROM corpus),
       |sh AS (SELECT doc_id, ${TA.shinglesSql("toks", 3)} AS shingles FROM tok),
-      |sig AS (SELECT doc_id, $sigExprs AS sigs FROM sh),
+      |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${Hashing.md5LongSql("s")} & ${Dedup.HashMask}) AS hs FROM sh),
+      |sig AS (SELECT doc_id, $sigExprs AS sigs FROM hsh),
       |band AS (SELECT doc_id, sigs, b,
       |    CAST(sigs[2*b+1] AS VARCHAR) || ',' || CAST(sigs[2*b+2] AS VARCHAR) AS bkey
       |  FROM sig CROSS JOIN (SELECT unnest($bandIdx) AS b)),

@@ -105,8 +105,8 @@ object TextOps {
     * with the portable md5-based hash.
     */
   def docFingerprint: Q = (s, d) => {
-    withToks(Tables.documents(s, d))
-      .withColumn("fps", TA.winnowFingerprints(col("toks"), k = 3, w = 4))
+    TA.withWinnowFingerprints(withToks(Tables.documents(s, d)),
+        "toks", k = 3, w = 4, out = "fps")
       .select(
         col("doc_id"),
         size(col("fps")).as("n_fp"),
