@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.ScdOps.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.FaersOps.queries ++
-      graft.queries.MultimodalOps.queries
+      graft.queries.MultimodalOps.queries ++
+      graft.queries.EventOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.ScdOps.oracles ++
       graft.queries.Analytics.oracles ++
       graft.queries.FaersOps.oracles ++
-      graft.queries.MultimodalOps.oracles
+      graft.queries.MultimodalOps.oracles ++
+      graft.queries.EventOps.oracles
 }

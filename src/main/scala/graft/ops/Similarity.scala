@@ -108,6 +108,47 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cos_sim"))
   }
 
+  /** IVF-flat ANN with nprobe=1: assign every corpus vector to its
+    * max-cosine centroid (the inverted-file partition), then each query
+    * probes ONLY its own centroid's list — corpus/|centroids| of the data,
+    * the coarse-quantizer structure of FAISS-style IVF indexes. Centroids
+    * are caller-supplied (deterministic subset here; k-means in a real
+    * deployment — the query shape is identical). Assignment is a broadcast
+    * nested-loop over |centroids| rows with codegen'd dot products; at
+    * 100 TB the assignment output is what you'd persist as the index.
+    * Ranking uses rounded cosine + id tie-breaks (reproducible).
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             idCol: String, vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val cents = withNorm(centroids, vecCol)
+      .select(col(idCol).as("cent_id"), col("v").as("centv"), col("nrm").as("centn"))
+    def assign(df: DataFrame, role: String): DataFrame = {
+      val base = withNorm(df, vecCol)
+        .select(col(idCol).as(s"${role}_id"), col("v").as(s"${role}v"),
+          col("nrm").as(s"${role}n"))
+      val w = Window.partitionBy(col(s"${role}_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      base.join(broadcast(cents), lit(true))
+        .withColumn("cent_cos",
+          round(cosine(col(s"${role}v"), col("centv"), col(s"${role}n"), col("centn")), roundTo))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col(s"${role}_id"), col(s"${role}v"), col(s"${role}n"),
+          col("cent_id").as("cluster_id"))
+    }
+    val corpusAssigned = assign(corpus, "nbr").localCheckpoint()
+    val queriesAssigned = assign(queries, "query")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    corpusAssigned.join(broadcast(queriesAssigned), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_sim",
+        round(cosine(col("queryv"), col("nbrv"), col("queryn"), col("nbrn")), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos_sim"))
+  }
+
   /** Embedding near-duplicate pairs within blocks at cosine ≥ `minCos`. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCols: Seq[String], minCos: Double,

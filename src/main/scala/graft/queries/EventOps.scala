@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-time analytics over the `events` table: tumbling-window rollups,
+  * gap-based sessionization, and the SQL/temp-view surface (SURVEY §2.1 S9
+  * — the reference exposes DataFrames to `spark.sql` via
+  * `createOrReplaceTempView`, scd_type2.py:155-156).
+  *
+  * These are the batch twins of graft.streaming (same window semantics);
+  * value sums are scaled to integer micros so they are order-independent
+  * and hash-stable (see Num).
+  */
+object EventOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def microSum(c: org.apache.spark.sql.Column) =
+    (sum(round(c * 1000000).cast("long")).cast("double") / 1000000.0)
+
+  private val microSumSql =
+    (e: String) => s"CAST(sum(CAST(round(($e) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0"
+
+  /** Tumbling 1-hour windows per event type (batch `window()` — identical
+    * semantics to the streaming groupBy(window(...)) path).
+    */
+  def tumblingWindow: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        microSum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val tumblingWindowSql: String =
+    s"""SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start,
+      |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  ${microSumSql("value")} AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity): lag → new-session
+    * flag → running sum as session index — the batch formulation of
+    * streaming session windows.
+    */
+  def sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        // explicit micros format: plain casts print differing sub-second
+        // precision across engines (Spark micros vs DuckDB nanos)
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val sessionizeSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+      |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+      |FROM sessions GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** S9: temp-view registration + the `spark.sql` query surface. */
+  def sqlTempView: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("events_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM lineitem_v
+        |WHERE l_quantity BETWEEN 10 AND 40
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val sqlTempViewSql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      |FROM lineitem WHERE l_quantity BETWEEN 10 AND 40
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_tumbling_window" -> tumblingWindow,
+    "q_sessionize" -> sessionize,
+    "q_sql_tempview" -> sqlTempView,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tumbling_window" -> tumblingWindowSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_sql_tempview" -> sqlTempViewSql,
+  )
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.streaming.Streaming.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long, String, Double)*): Seq[Event] =
+    rows.map { case (id, t, u, ty, v) => Event(id, ts(t), u, ty, v) }
+
+  test("windowed counts emit closed windows after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append).start()
+    input.addData(events(
+      (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:45:00", 2, "click", 2.0),
+      (3, "2024-01-01 10:50:00", 1, "view", 3.0)): _*)
+    q.processAllAvailable()
+    // watermark still at epoch -> nothing finalized yet in Append mode
+    // advance event time past 12:00 so the 10:00 window closes
+    input.addData(events((4, "2024-01-01 13:00:00", 3, "click", 4.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wc")
+      .select($"window_start".cast("string"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(out.contains(("2024-01-01 10:00:00", "click", 2L)))
+    assert(out.contains(("2024-01-01 10:00:00", "view", 1L)))
+  }
+
+  test("session windows close on 30-minute gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("sw").outputMode(OutputMode.Append).start()
+    // user 1: two events 10 min apart (one session), then a 2h gap (new one)
+    input.addData(events(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:10:00", 1, "click", 1.0),
+      (3, "2024-01-01 12:30:00", 1, "click", 1.0)): _*)
+    q.processAllAvailable()
+    input.addData(events((4, "2024-01-01 18:00:00", 2, "click", 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sw")
+      .select($"session_start".cast("string"), $"user_id", $"n_events")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out.contains(("2024-01-01 10:00:00", 1L, 2L)))
+    assert(out.contains(("2024-01-01 12:30:00", 1L, 1L)))
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("us").outputMode(OutputMode.Update).start()
+    input.addData(events((1, "2024-01-01 10:00:00", 1, "click", 2.5)): _*)
+    q.processAllAvailable()
+    input.addData(events(
+      (2, "2024-01-01 11:00:00", 1, "view", 1.5),
+      (3, "2024-01-01 11:30:00", 2, "click", 7.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Update mode: latest row per user wins
+    val out = spark.table("us")
+      .orderBy($"last_ts".desc)
+      .as[Streaming.UserStats].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.head }
+    assert(out(1L).n_events == 2 && math.abs(out(1L).total_value - 4.0) < 1e-9)
+    assert(out(2L).n_events == 1 && out(2L).total_value == 7.0)
+  }
+
+  test("file-source streaming reads the real events table incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(500).write.mode("overwrite").parquet(dir)
+    val counts = Streaming.windowedCounts(Streaming.readEventStream(spark, dir))
+    val q = counts.writeStream.format("memory").queryName("fs")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("fs").count() > 0)
+  }
+}
