@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.FaersOps.queries ++
       graft.queries.MultimodalOps.queries ++
-      graft.queries.EventOps.queries
+      graft.queries.EventOps.queries ++
+      graft.queries.ScaleOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Analytics.oracles ++
       graft.queries.FaersOps.oracles ++
       graft.queries.MultimodalOps.oracles ++
-      graft.queries.EventOps.oracles
+      graft.queries.EventOps.oracles ++
+      graft.queries.ScaleOps.oracles
 }
