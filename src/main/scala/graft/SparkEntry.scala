@@ -28,7 +28,10 @@ object SparkEntry {
       graft.queries.FaersOps.queries ++
       graft.queries.MultimodalOps.queries ++
       graft.queries.EventOps.queries ++
-      graft.queries.ScaleOps.queries
+      graft.queries.ScaleOps.queries ++
+      graft.queries.SetGroupOps.queries ++
+      graft.queries.JoinOps.queries ++
+      graft.queries.WindowArrayOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -44,5 +47,8 @@ object SparkEntry {
       graft.queries.FaersOps.oracles ++
       graft.queries.MultimodalOps.oracles ++
       graft.queries.EventOps.oracles ++
-      graft.queries.ScaleOps.oracles
+      graft.queries.ScaleOps.oracles ++
+      graft.queries.SetGroupOps.oracles ++
+      graft.queries.JoinOps.oracles ++
+      graft.queries.WindowArrayOps.oracles
 }

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Join variants beyond the reference's plain equi-joins (SURVEY §2.3): semi,
+  * anti, as-of, and range joins — each expressed in the form that survives a
+  * 100 TB scale-up.
+  *
+  * - semi/anti: `left_semi`/`left_anti` join types — Catalyst plans one
+  *   shuffled (or broadcast) hash join probing for existence; never
+  *   materializes the match fan-out the way `JOIN + DISTINCT` would.
+  * - as-of: NOT the naive point-in-time cross join (quadratic per key).
+  *   Union both streams, one shuffle on the key, and carry the latest quote
+  *   forward with `last(ignoreNulls)` over an ordered window — cost is one
+  *   shuffle + one per-key sort regardless of how skewed the time series is.
+  * - range: interval join re-expressed as bucket equi-join + residual
+  *   predicate. A raw `ts BETWEEN start AND end` join gives Catalyst nothing
+  *   to hash on (falls back to broadcast-nested-loop); bucketing the
+  *   intervals to days makes it a plain equi-join that AQE can size.
+  */
+object JoinOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Left-semi: orders with at least one deep-discount line. The plan probes
+    * lineitem's build side for existence — no fan-out, no dedup pass.
+    */
+  def semiJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val deep = Tables.lineitem(s, d).filter(col("l_discount") >= 0.09)
+    o.join(deep, o("o_orderkey") === deep("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val semiJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders,
+      |  ${Num.moneySumSql("o_totalprice")} AS sum_price
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti: customers who never ordered. */
+  def antiJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_custkey"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** As-of join: each click event picks up the user's most recent
+    * purchase value at or before the click (ties on ts broken by highest
+    * event_id, purchases visible to same-instant clicks).
+    *
+    * Scale shape: union(purchases, clicks) → single hash shuffle on user_id
+    * → per-key sort → `last(ignoreNulls)` carry-forward. Linear in events,
+    * robust to per-user skew; contrast with the quadratic
+    * join-then-rank-then-filter formulation.
+    */
+  def asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+        lit(null).cast("double").as("purchase_value"))
+    // tag orders purchases before clicks at equal ts (>= as-of semantics);
+    // event_id tie-breaks simultaneous purchases deterministically.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_purchase_value",
+        last(col("purchase_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        round(coalesce(col("last_purchase_value"), lit(-1.0)), 6).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT c.event_id, c.user_id,
+      |  strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  round(coalesce((
+      |    SELECT p.value FROM events p
+      |    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts <= c.ts
+      |    ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), -1.0), 6) AS last_purchase_value
+      |FROM events c WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Range join: events × 12 promo windows (36 h long, every 60 h). The
+    * window spec is exploded to the calendar days it covers, equi-joined on
+    * the event's day, then the exact `[start, end)` predicate filters the
+    * residue — turning an un-hashable interval join into a shuffle-hash join
+    * whose fan-out is bounded by days-per-interval.
+    */
+  def rangeJoin: Q = (s, d) => {
+    val windows = s.range(12)
+      .select(col("id").cast("int").as("w_id"))
+      .withColumn("w_start",
+        to_timestamp(lit("2024-01-01 00:00:00")) + expr("make_interval(0,0,0,0,60,0,0) * w_id"))
+      .withColumn("w_end", col("w_start") + expr("interval 36 hours"))
+      .withColumn("day",
+        explode(sequence(to_date(col("w_start")), to_date(col("w_end")))))
+    val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+    ev.join(broadcast(windows), Seq("day"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("w_id"), col("w_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w_id"), col("w_start").cast("string").as("w_start"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("w_id"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH windows AS (
+      |  SELECT CAST(k AS INTEGER) AS w_id,
+      |    TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 60 HOUR AS w_start,
+      |    TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 60 HOUR + INTERVAL 36 HOUR AS w_end
+      |  FROM (SELECT unnest(generate_series(0, 11)) AS k))
+      |SELECT w_id, CAST(w_start AS VARCHAR) AS w_start,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM events JOIN windows ON ts >= w_start AND ts < w_end
+      |GROUP BY w_id, w_start ORDER BY w_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_semi_join" -> semiJoin,
+    "q_anti_join" -> antiJoin,
+    "q_asof_join" -> asofJoin,
+    "q_range_join" -> rangeJoin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_semi_join" -> semiJoinSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_asof_join" -> asofJoinSql,
+    "q_range_join" -> rangeJoinSql,
+  )
+}

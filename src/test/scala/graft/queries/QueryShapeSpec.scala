@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Shape + semantics checks for the round-2 operator modules, on sf0.001.
+  * (Value-level correctness is the driver's DuckDB gate; these assert the
+  * invariants the oracle can't see: plan shape, join-type behavior, window
+  * frame semantics.)
+  */
+class QueryShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("semi/anti joins partition the orders/customers universe") {
+    val semi = JoinOps.semiJoin(spark, sf)
+    assert(semi.columns.toSeq == Seq("o_orderpriority", "n_orders", "sum_price"))
+    // anti + inner-side customers == all customers
+    // at sf0.001 every customer may have ordered -> empty anti side
+    val antiN = JoinOps.antiJoin(spark, sf)
+      .agg(coalesce(sum("n_customers"), lit(0L))).first.getLong(0)
+    val c = graft.core.Tables.customer(spark, sf)
+    val o = graft.core.Tables.orders(spark, sf)
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(antiN + withOrders == c.count())
+  }
+
+  test("as-of join carries the latest prior purchase, never a future one") {
+    val out = JoinOps.asofJoin(spark, sf).cache()
+    val ev = graft.core.Tables.events(spark, sf)
+    assert(out.count() == ev.filter(col("event_type") === "click").count())
+    // users with zero purchases must surface the -1 sentinel on every click
+    val noPurchaseUsers = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("np"))
+      .filter(col("np") === 0).select("user_id")
+    val bad = out.join(noPurchaseUsers, "user_id")
+      .filter(col("last_purchase_value") =!= -1.0)
+    assert(bad.isEmpty)
+    out.unpersist()
+  }
+
+  test("range join only admits events inside their window") {
+    val windows = JoinOps.rangeJoin(spark, sf).collect()
+    assert(windows.nonEmpty && windows.forall(_.getLong(2) > 0))
+    // total matched events <= all events (windows are disjoint: 36h < 60h stride)
+    val total = windows.map(_.getLong(2)).sum
+    assert(total <= graft.core.Tables.events(spark, sf).count())
+  }
+
+  test("rollup emits detail + subtotal + grand total in one pass") {
+    // one Expand, one scan — rollup must not scan the table per grouping set
+    // (plan inspected before any caching so the string is the raw plan)
+    val plan = SetGroupOps.rollupAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(plan.sliding(8).count(_ == "FileScan") == 1)
+    val r = SetGroupOps.rollupAgg(spark, sf).cache()
+    val grand = r.filter(col("returnflag") === "(all)")
+    assert(grand.count() == 1)
+    val nLines = graft.core.Tables.lineitem(spark, sf).count()
+    assert(grand.first.getLong(2) == nLines)
+    r.unpersist()
+  }
+
+  test("set ops use distinct semantics (intersect/except)") {
+    val i = SetGroupOps.intersectKeys(spark, sf)
+    assert(i.count() == i.distinct().count())
+    val e = SetGroupOps.exceptKeys(spark, sf)
+    assert(e.count() == e.distinct().count())
+  }
+
+  test("ranking family shares one Window physical node") {
+    val plan = WindowArrayOps.windowRank(spark, sf)
+      .queryExecution.executedPlan.toString
+    // rank + ntile + cume_dist over the same spec -> a single Window operator
+    assert(plan.split("\\bWindow\\b").length - 1 <= 2) // Window node (+frame text)
+    val top = WindowArrayOps.windowRank(spark, sf)
+      .groupBy("c_nationkey").agg(min("rnk").as("m"))
+    assert(top.filter(col("m") =!= 1).isEmpty)
+  }
+
+  test("moving average frame covers at most 7 rows") {
+    val ma = WindowArrayOps.windowMovingAvg(spark, sf)
+    val row = ma.orderBy(col("day").asc).first
+    // first row's MA == its own day revenue
+    assert(math.abs(row.getDouble(1) - row.getDouble(2)) < 0.01)
+  }
+
+  test("array HOFs match a manual recompute on one row") {
+    val r = WindowArrayOps.arrayHof(spark, sf).first
+    val v = graft.core.Tables.embeddings(spark, sf)
+      .orderBy("vec_id").first.getSeq[Float](1).map(_.toDouble)
+    assert(math.abs(r.getDouble(1) - math.sqrt(v.map(x => x * x).sum)) < 0.001)
+    assert(r.getInt(2) == v.count(_ > 0))
+  }
+}
