@@ -17,14 +17,21 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every row (count() would let Catalyst prune
-      // the whole projection and under-measure scan+compute cost).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Two timed passes, min per query: a single pass attributes whatever GC /
+    // catalog-cache churn the previous query left behind to the next one
+    // (observed 3x inflation on the first alphabetical query).
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every row (count() would let Catalyst prune
+        // the whole projection and under-measure scan+compute cost).
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

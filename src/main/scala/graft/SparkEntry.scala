@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.ScaleOps.queries ++
       graft.queries.SetGroupOps.queries ++
       graft.queries.JoinOps.queries ++
-      graft.queries.WindowArrayOps.queries
+      graft.queries.WindowArrayOps.queries ++
+      graft.queries.TrainPrepOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.ScaleOps.oracles ++
       graft.queries.SetGroupOps.oracles ++
       graft.queries.JoinOps.oracles ++
-      graft.queries.WindowArrayOps.oracles
+      graft.queries.WindowArrayOps.oracles ++
+      graft.queries.TrainPrepOps.oracles
 }

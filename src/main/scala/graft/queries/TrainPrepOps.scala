@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{TextAnalysis => TA}
+
+/** Training-corpus preparation operators: deterministic splits, quality
+  * filtering with per-reason accounting, and sequence packing.
+  *
+  * All three are the shapes a 100 TB pre-training pipeline actually runs:
+  * - splits MUST be content/key-hashed, never `rand()`: a hash split is
+  *   reproducible across reruns and cluster sizes and stays stable when the
+  *   corpus is re-partitioned (md5 of the key -> bucket 0-99).
+  * - quality filtering is per-document and codegen'd — it rides the scan
+  *   (no shuffle), so the filter rate is the only thing that matters at
+  *   scale. First-failing-reason accounting gives the drop-rate dashboard.
+  * - packing concatenates documents into fixed token-budget chunks. The
+  *   scalable formulation is a per-shard running token total with
+  *   `floor(prefix/budget)` chunk ids: one window shuffle per shard key,
+  *   no sequential driver loop.
+  */
+object TrainPrepOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** md5-keyed bucket in [0, 100): first 15 hex chars -> 60-bit int. */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 100
+
+  private def hashBucketSql(key: String) =
+    s"CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+  /** Deterministic 90/5/5 train/val/test split on md5(doc_id). */
+  def hashSplit: Q = (s, d) => {
+    val b = hashBucket(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val hashSplitSql: String = {
+    val b = hashBucketSql("doc_id")
+    s"""SELECT CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END AS split,
+      |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
+  /** Quality gate with first-failing-reason accounting. Entirely scan-side:
+    * one pass, no shuffle before the final rollup.
+    */
+  def qualityFilter: Q = (s, d) => {
+    val toks = TA.tokens(col("text"))
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("sw_ratio", TA.stopwordRatio(toks))
+      .withColumn("punct", TA.punctRatio(col("text")))
+      .withColumn("verdict",
+        when(col("n_tokens") < 20, "drop:too_short")
+          .when(col("n_tokens") > 2000, "drop:too_long")
+          .when(col("punct") > 0.10, "drop:punct_heavy")
+          .when(col("sw_ratio") < 0.01, "drop:no_stopwords")
+          .otherwise("keep"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy(col("lang"), col("verdict"))
+  }
+
+  val qualityFilterSql: String = {
+    val toks = TA.tokensSql("text")
+    val swList = TA.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH scored AS (
+      |  SELECT lang, len(toks) AS n_tokens,
+      |    len(list_filter(toks, t -> list_contains($swList, t))) / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+      |    len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
+      |  FROM (SELECT lang, text, $toks AS toks FROM documents)),
+      |verdicts AS (
+      |  SELECT lang, n_tokens,
+      |    CASE WHEN n_tokens < 20 THEN 'drop:too_short'
+      |         WHEN n_tokens > 2000 THEN 'drop:too_long'
+      |         WHEN punct > 0.10 THEN 'drop:punct_heavy'
+      |         WHEN sw_ratio < 0.01 THEN 'drop:no_stopwords'
+      |         ELSE 'keep' END AS verdict
+      |  FROM scored)
+      |SELECT lang, verdict, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
+  }
+
+  /** Sequence packing: concatenate documents per lang shard in doc_id order,
+    * chunk at a 4096-token budget; a doc lands in the chunk where it starts.
+    * One window shuffle on the shard key — no driver-side sequential pass.
+    */
+  def tokenPacking: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(TA.tokens(col("text"))).cast("long"))
+      .withColumn("prefix_tokens", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_id", floor(col("prefix_tokens") / 4096).cast("long"))
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("chunk_id"))
+  }
+
+  val tokenPackingSql: String = {
+    val toks = TA.tokensSql("text")
+    s"""WITH sized AS (
+      |  SELECT lang, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |pref AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix_tokens
+      |  FROM sized)
+      |SELECT lang, CAST(floor(prefix_tokens / 4096) AS BIGINT) AS chunk_id,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM pref GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_hash_split" -> hashSplit,
+    "q_quality_filter" -> qualityFilter,
+    "q_token_packing" -> tokenPacking,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_hash_split" -> hashSplitSql,
+    "q_quality_filter" -> qualityFilterSql,
+    "q_token_packing" -> tokenPackingSql,
+  )
+}
