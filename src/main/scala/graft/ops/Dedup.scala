@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{TextAnalysis => TA}
 
@@ -185,6 +186,62 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard with PREFIX FILTERING — same results as
+    * [[ngramJaccardPairs]] (asserted in DedupSpec), different asymptotics.
+    *
+    * Set-similarity-join prefix principle (SSJoin/PPJoin): order every
+    * shingle set by a global total order (ascending corpus frequency, ties
+    * by value); two sets with Jaccard ≥ t MUST share a shingle within their
+    * first `|s| - ceil(t*|s|) + 1` elements. So the candidate self-join runs
+    * on the short, rare-shingle prefixes instead of every shingle — the
+    * high-frequency shingles that cause the quadratic pair blowup never
+    * enter the join. Candidates are then verified exactly with one
+    * `array_intersect` per pair (sets travel to the pair once, instead of
+    * one joined row per shared shingle).
+    *
+    * Shuffles: frequency agg + per-doc rank window + candidate join +
+    * two set lookups — all hash-partitioned and linear in data; the
+    * quadratic term is confined to genuinely-similar prefix collisions.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              blockCols: Seq[String], shingleN: Int = 3,
+                              minJaccard: Double = 0.4): DataFrame = {
+    val base = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        array_distinct(TA.shingles(TA.tokens(col(textCol)), shingleN)).as("sh"): _*)
+      .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint()
+    val exploded = base.select(
+      (col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+ explode(col("sh")).as("s"): _*)
+    // rarity within the block = rarity among possible partners
+    val freq = exploded.groupBy((blockCols :+ "s").map(col): _*)
+      .agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("freq").asc, col("s").asc)
+    val prefixes = exploded.join(freq, blockCols :+ "s")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(minJaccard)) + 1)
+      .select((col(idCol) +: blockCols.map(col)) :+ col("s"): _*)
+    val a = prefixes.alias("a")
+    val b = prefixes.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    val cands = a.join(b, blockCond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 4))

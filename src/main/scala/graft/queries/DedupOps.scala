@@ -133,7 +133,16 @@ object DedupOps {
 
   // -------------------------------------------------- n-gram Jaccard exact
 
-  /** Exact 3-gram Jaccard pairs blocked by lang at J ≥ 0.3. */
+  /** Exact 3-gram Jaccard pairs blocked by lang at J ≥ 0.3.
+    *
+    * Uses the direct shingle join: at this corpus size (5k docs, ~100
+    * shingles/doc) it beats the prefix-filtered formulation
+    * ([[Dedup.ngramJaccardPairsPrefix]], 2x slower here — its 3 extra
+    * shuffle stages cost more than the pruning saves). The crossover
+    * flips at large corpora where frequent shingles make the direct
+    * join quadratic; DedupSpec proves the two return identical pairs,
+    * so swapping is a pure planner decision.
+    */
   def dedupNgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardPairs(corpusNear(s, d, 7), "doc_id", "text",
         blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)

@@ -48,4 +48,19 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) > 0.7)
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("prefix-filtered jaccard join returns exactly the naive join's pairs") {
+    // real corpus slice so prefix pruning actually has frequency skew to use
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"lang", $"text")
+    val naive = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.2)
+    val prefix = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.2)
+    assert(prefix.exceptAll(naive).isEmpty && naive.exceptAll(prefix).isEmpty)
+    // and on the synthetic planted set too
+    val n2 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq.empty, 3, 0.3)
+    val p2 = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", Seq.empty, 3, 0.3)
+    assert(p2.exceptAll(n2).isEmpty && n2.exceptAll(p2).isEmpty)
+  }
 }
