@@ -88,6 +88,26 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup on event_id with WATERMARK-BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps only ids seen inside the
+    * watermark horizon, so state is O(events/hour), not O(all history) —
+    * the difference between a dedup that runs forever on a 100 TB/day
+    * stream and one that OOMs the state store. (Plain `dropDuplicates`
+    * on a stream never expires its keys.)
+    */
+  def dedupStream(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static dimension side is re-read
+    * per micro-batch and broadcast (no stream-side shuffle, no state).
+    * The standard shape for decorating an event stream with slowly-changing
+    * reference data.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available input is processed (test/dev harness).
     */

@@ -79,6 +79,43 @@ class StreamingSpec extends SparkSpec {
     assert(out(2L).n_events == 1 && out(2L).total_value == 7.0)
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    input.addData(events(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0)): _*)
+    q.processAllAvailable()
+    // same id arriving again in a later micro-batch, still inside horizon
+    input.addData(events(
+      (1, "2024-01-01 10:10:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:20:00", 1, "view", 2.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dd").select($"event_id").as[Long].collect().toSeq
+    assert(out.sorted == Seq(1L, 2L))
+  }
+
+  test("stream-static join enriches events from a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[Event]
+    val q = Streaming.enrichStream(input.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName("en").outputMode(OutputMode.Append).start()
+    input.addData(events(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:01:00", 2, "purchase", 5.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("en").select($"event_id", $"category")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("engagement"))
+    assert(out(2L).isEmpty) // left join keeps unmatched stream rows
+  }
+
   test("file-source streaming reads the real events table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     graft.core.Tables.events(spark, "/root/testdata/sf0.001")
