@@ -40,6 +40,43 @@ object MultimodalOps {
       |  CAST(least(CAST(floor((octet_length(encode(text)) - 1) / 64) AS INTEGER) + 1, 8) AS INTEGER) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("q_multimodal_meta" -> multimodalMeta)
-  val oracles: Map[String, String] = Map("q_multimodal_meta" -> multimodalMetaSql)
+  /** Frame sampling: posexplode the deterministic frame positions of each
+    * "video" payload (every 64th byte, ≤8 frames) and extract a per-frame
+    * feature (the byte at the position — stub for a real frame decode).
+    * The generator runs scan-side; fan-out is bounded by maxFrames.
+    */
+  def frameSample: Q = (s, d) => {
+    val withBlob = Tables.documents(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .withColumn("blob", encode(col("text"), "utf-8"))
+      .withColumn("n_bytes", length(col("blob")))
+    withBlob
+      .select(col("doc_id"), col("text"),
+        posexplode(Multimodal.framePositions(col("n_bytes"), stride = 64, maxFrames = 8))
+          .as(Seq("frame_idx", "byte_pos")))
+      .withColumn("frame_byte", expr("ascii(substring(text, byte_pos, 1))"))
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("byte_pos").cast("int").as("byte_pos"), col("frame_byte").cast("int").as("frame_byte"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val frameSampleSql: String =
+    """SELECT doc_id,
+      |  CAST((byte_pos - 1) // 64 AS INTEGER) AS frame_idx,
+      |  CAST(byte_pos AS INTEGER) AS byte_pos,
+      |  CAST(ascii(substring(text, byte_pos, 1)) AS INTEGER) AS frame_byte
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, greatest(octet_length(encode(text)), 1), 64)[1:8]) AS byte_pos
+      |  FROM documents WHERE doc_id % 25 = 0)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_meta" -> multimodalMeta,
+    "q_frame_sample" -> frameSample,
+  )
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" -> multimodalMetaSql,
+    "q_frame_sample" -> frameSampleSql,
+  )
 }
