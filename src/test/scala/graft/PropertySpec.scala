@@ -1,0 +1,97 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.faers.Transforms
+import graft.ops.{Dedup, ScaleJoins, TextAnalysis => TA}
+
+/** Property-based invariants for the transform/dedup/join kernels.
+  * ScalaCheck generators drive randomized inputs through the REAL Spark
+  * expressions, batched into one local job per property (not per case).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genDate: Gen[LocalDate] = for {
+    y <- Gen.choose(1960, 2030)
+    m <- Gen.choose(1, 12)
+    dMax = LocalDate.of(y, m, 1).lengthOfMonth()
+    d <- Gen.choose(1, dMax)
+  } yield LocalDate.of(y, m, d)
+
+  test("date repair: 8-digit roundtrips; 6/4-digit pin day/month to 01") {
+    val dates = Gen.listOfN(80, genDate).sample.get
+    val rows = dates.zipWithIndex.flatMap { case (d, i) =>
+      val ymd = f"${d.getYear}%04d${d.getMonthValue}%02d${d.getDayOfMonth}%02d"
+      Seq((i * 4L, ymd, d.toString),
+        (i * 4L + 1, ymd.take(6), d.withDayOfMonth(1).toString),
+        (i * 4L + 2, ymd.take(4), d.withDayOfYear(1).toString),
+        (i * 4L + 3, "garbage" + i, null))
+    }
+    val df = rows.toDF("id", "raw", "expected")
+    val out = Transforms.repairFaersDate(df, "raw", "got")
+      .filter(coalesce($"got".cast("string"), lit("NULL")) =!=
+        coalesce($"expected", lit("NULL")))
+    assert(out.isEmpty, s"mismatches: ${out.collect().mkString(",")}")
+  }
+
+  test("numeric coercion accepts exactly ^[0-9]+\\.?[0-9]*$ and nothing else") {
+    val good = Gen.listOfN(40, for {
+      i <- Gen.choose(0L, 999999L)
+      frac <- Gen.option(Gen.choose(0, 9999))
+    } yield frac.map(f => s"$i.$f").getOrElse(i.toString)).sample.get
+    val bad = Seq("-1", "1e5", "1.2.3", "NaN", "", " 1", "1 ", "+2", ".5", "abc")
+    val df = (good.map((_, true)) ++ bad.map((_, false))).toDF("x", "ok")
+    val out = Transforms.standardizeNumericFields(df, Seq("x"))
+    assert(out.filter($"ok" && $"x".isNull).isEmpty)      // every good parses
+    assert(out.filter(!$"ok" && $"x".isNotNull).isEmpty)  // every bad nulls
+  }
+
+  test("estimated jaccard is within [0,1] and exact-dup pairs estimate 1.0") {
+    val texts = Gen.listOfN(30, Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+      .map(_.mkString(" "))).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.unionByName(df.select(($"id" + 1000).as("id"), $"text"))
+    val sigs = Dedup.withMinhashSignature(both, "text", numPerm = 8, shingleN = 2)
+    val pairs = Dedup.lshCandidatePairs(sigs, "id", numPerm = 8, bandRows = 2)
+      .withColumn("est", Dedup.estimatedJaccard($"sigs_a", $"sigs_b", 8))
+    assert(pairs.filter($"est" < 0 || $"est" > 1).isEmpty)
+    // planted exact copies (id, id+1000) must be found by LSH with est = 1.0
+    val planted = pairs.filter($"id_b" === $"id_a" + 1000)
+    assert(planted.count() >= texts.size) // dups within texts may add more
+    assert(planted.filter($"est" =!= 1.0).isEmpty)
+  }
+
+  test("salted join equals plain join for arbitrary key skew") {
+    val keyGen = Gen.frequency((8, Gen.const(1L)), (2, Gen.choose(1L, 20L)))
+    val keys = Gen.listOfN(300, keyGen).sample.get
+    val big = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = (1L to 10L).map(k => (k, s"name$k")).toDF("k", "name")
+    val salted = ScaleJoins.saltedJoin(big, small, Seq("k"), factor = 5)
+      .select("k", "payload", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("simhash is permutation-sensitive only through token multiset") {
+    // same tokens, different order -> identical simhash (bag-of-words op)
+    val df = Seq(
+      (1L, "one two three four five"),
+      (2L, "five four three two one")).toDF("id", "text")
+    val out = df.withColumn("sh", Dedup.simhashExpr($"text"))
+      .select("sh").as[Long].collect()
+    assert(out(0) == out(1))
+  }
+
+  test("tokens never contain empty strings for arbitrary spacing") {
+    val gapped = Gen.listOfN(25, Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc"))
+      .map(_.mkString("  "))).sample.get
+    val df = gapped.map(s => Tuple1(s"  $s ")).toDF("text")
+    val bad = df.select(explode(TA.tokens($"text")).as("t")).filter($"t" === "")
+    assert(bad.isEmpty)
+  }
+}
