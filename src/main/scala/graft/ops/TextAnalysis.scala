@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Text-corpus analysis primitives for training-data pipelines: tokenizing,
   * quality scoring, language-ID heuristics, token counting, and document
-  * fingerprinting (winnowing). All pure `Column` expressions — codegen'd,
+  * fingerprinting (winnowing). All pure `Column` expressions — scan-side,
   * shuffle-free, and linear in corpus size, so they hold at 100 TB: each
-  * document is scored independently inside the scan's WholeStageCodegen span.
+  * document is scored independently in the scan's projection. (The
+  * higher-order lambdas evaluate interpreted, not codegen'd — the cost is
+  * per-token closure calls, not extra stages; PlanSpec pins the
+  * single-Exchange plan shape.)
   *
   * The reference pipeline has no text ops (it is a FAERS star schema); these
   * are the beyond-parity training-data operators the engine adds

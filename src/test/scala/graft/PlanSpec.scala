@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that decide 100 TB viability —
+  * filters reaching the parquet scan, column pruning, broadcast selection,
+  * partial aggregation, top-k never globally sorting — checked as tests so
+  * a regression in plan shape fails CI, not a cluster bill.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter predicates push down to the parquet scan") {
+    val plan = executed(
+      graft.core.Tables.lineitem(spark, sf)
+        .filter(col("l_quantity") < 10 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_quantity")))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("LessThan(l_quantity,10.0)"), plan.linesIterator.find(_.contains("PushedFilters")).getOrElse(""))
+    assert(plan.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val plan = executed(
+      graft.core.Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q")))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("small dimension joins broadcast; no shuffle exchange on the join key") {
+    val plan = executed(graft.queries.Relational.joinRevenueByNation(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("group-by aggregates partially aggregate before the exchange") {
+    val plan = executed(graft.queries.Relational.aggLineitem(spark, sf))
+    val partialIdx = plan.indexOf("partial_sum")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > 0 && exchangeIdx > 0)
+    // plan prints top-down: the final agg/exchange appear BEFORE (above) the
+    // partial agg, i.e. partial runs upstream (map-side) of the shuffle
+    assert(exchangeIdx < partialIdx)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executed(graft.queries.Relational.topkParts(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("text scoring is scan-side: no shuffle before the presentation sort") {
+    // (HOF lambdas evaluate interpreted — not codegen'd — but the whole
+    // scoring pipeline is still a single Project over the scan: the only
+    // Exchange in the plan is the final ORDER BY's range partitioning.)
+    val plan = executed(graft.queries.TextOps.textStats(spark, sf))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"), exchanges)
+    assert(!plan.contains("hashpartitioning"))
+  }
+
+  test("partitioned read prunes to the selected partition only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.core.Tables.events(spark, sf)
+      .withColumn("_p", when(col("event_id") % 2 === 0, "a").otherwise("b"))
+      .write.mode("overwrite").partitionBy("_p").parquet(tmp)
+    val plan = executed(spark.read.parquet(tmp).filter(col("_p") === "a"))
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("_p"), partLine)
+    // data filters empty: the partition column never becomes a row filter
+    assert(!plan.contains("Filter (_p"))
+  }
+
+  test("approx sketches track exact answers within tolerance (the 100TB path)") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_orderkey"))).first.getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.02)).first.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+    val exactMedian = li.select(expr("percentile(l_extendedprice, 0.5)")).first.getDouble(0)
+    val approxMedian = li.select(expr("percentile_approx(l_extendedprice, 0.5, 1000)"))
+      .first.getDouble(0)
+    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
+  }
+}
