@@ -81,6 +81,42 @@ class Scd2Spec extends SparkSpec {
     assert(out.filter($"is_current").count() == 2)
   }
 
+  test("bucketed merge: equals full merge, rewrites only affected buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd_bkt").toString
+    val nb = 8
+    // initial: enough keys that every bucket is populated
+    val initial = snap((1 to 200).map(i => (i, s"n$i", "X")): _*)
+    Scd2.mergeBucketed(spark, dir, initial, bk, tracked, t0, nBuckets = nb)
+    assert(spark.read.parquet(dir).count() == 200)
+    // snapshot file mtimes per bucket dir
+    def fileStamps(): Map[String, Long] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("_bucket=")).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    val before = fileStamps()
+    // delta touches 3 keys -> at most 3 buckets
+    val delta = snap((1, "n1", "CHANGED"), (2, "n2", "CHANGED"), (201, "new", "Z"))
+    val affected = delta.select(Scd2.keyBucket(bk, nb).as("b"))
+      .distinct().as[Int].collect().toSet
+    Scd2.mergeBucketed(spark, dir, delta, bk, tracked, t1, nBuckets = nb)
+    val after = fileStamps()
+    // untouched buckets keep their exact files
+    val untouched = before.keySet.filter(k =>
+      !affected.contains(k.split("/")(0).stripPrefix("_bucket=").toInt))
+    assert(untouched.nonEmpty)
+    untouched.foreach { k => assert(after.get(k).contains(before(k)), s"$k rewritten") }
+    // result equals the plain full-table merge (delta only stages 3 keys,
+    // so unchanged keys 3..200 pass through via the untouched partitions)
+    val fullMerge = merge(Some(merge(None, initial, t0)), delta, t1)
+    val bucketed = spark.read.parquet(dir).drop("_bucket")
+      .select(fullMerge.columns.map(col).toIndexedSeq: _*)
+    assert(bucketed.exceptAll(fullMerge).isEmpty &&
+      fullMerge.exceptAll(bucketed).isEmpty)
+  }
+
   test("currentRecords / changeHistory read API") {
     val initial = merge(None, snap((1, "a", "X"), (2, "b", "Y")), t0)
     val merged = merge(Some(initial), snap((1, "a", "Z"), (2, "b", "Y")), t1)
