@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.SetGroupOps.queries ++
       graft.queries.JoinOps.queries ++
       graft.queries.WindowArrayOps.queries ++
-      graft.queries.TrainPrepOps.queries
+      graft.queries.TrainPrepOps.queries ++
+      graft.queries.SqlSurfaceOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.SetGroupOps.oracles ++
       graft.queries.JoinOps.oracles ++
       graft.queries.WindowArrayOps.oracles ++
-      graft.queries.TrainPrepOps.oracles
+      graft.queries.TrainPrepOps.oracles ++
+      graft.queries.SqlSurfaceOps.oracles
 }

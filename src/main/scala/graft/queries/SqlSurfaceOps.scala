@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+
+/** SQL-surface operators exercised through `spark.sql` over temp views:
+  * correlated scalar subqueries, LATERAL top-n, null-safe equality joins,
+  * and blocked fuzzy matching. These prove the engine's SQL front door —
+  * Catalyst decorrelates the subqueries into the same join shapes the
+  * DataFrame API would produce (no per-row re-execution: a correlated
+  * scalar subquery becomes one aggregate + one left join).
+  */
+object SqlSurfaceOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def views(s: SparkSession, d: String): Unit = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.part(s, d).createOrReplaceTempView("part_v")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+  }
+
+  /** Correlated scalar subquery — decorrelated by Catalyst into
+    * aggregate-then-left-join (one shuffle, not one query per row).
+    */
+  def scalarSubquery: Q = (s, d) => {
+    views(s, d)
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  coalesce((SELECT max(o_totalprice) FROM orders_v
+        |            WHERE o_custkey = c_custkey), 0.0) AS max_order
+        |FROM customer_v ORDER BY c_custkey""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  coalesce((SELECT max(o_totalprice) FROM orders
+      |            WHERE o_custkey = c_custkey), 0.0) AS max_order
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT: top-2 orders per
+    * customer. Catalyst decorrelates to a partitioned window filter —
+    * the per-key top-n never runs row-at-a-time.
+    */
+  def lateralTopn: Q = (s, d) => {
+    views(s, d)
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer_v,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v
+        |           WHERE o_custkey = c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  val lateralTopnSql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_custkey = c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): null keys
+    * match each other, unlike the reference's `=` join semantics (which
+    * Scd2 preserves — this query covers the OTHER choice).
+    */
+  def nullSafeJoin: Q = (s, d) => {
+    views(s, d)
+    s.sql(
+      """WITH c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |                       ELSE c_nationkey END AS nk FROM customer_v),
+        |     s AS (SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
+        |                       ELSE s_nationkey END AS nk FROM supplier_v)
+        |SELECT c.nk AS nationkey, count(*) AS n_pairs
+        |FROM c JOIN s ON c.nk <=> s.nk
+        |GROUP BY c.nk ORDER BY nationkey NULLS FIRST""".stripMargin)
+  }
+
+  val nullSafeJoinSql: String =
+    """WITH c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |                       ELSE c_nationkey END AS nk FROM customer),
+      |     s AS (SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
+      |                       ELSE s_nationkey END AS nk FROM supplier)
+      |SELECT c.nk AS nationkey, count(*) AS n_pairs
+      |FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+      |GROUP BY c.nk ORDER BY nationkey NULLS FIRST""".stripMargin
+
+  /** Blocked fuzzy match: near-identical part names within a brand at edit
+    * distance ≤ 2. The cheap `abs(len diff) ≤ 2` guard prunes pairs before
+    * the expensive levenshtein (edit distance ≥ length difference), and the
+    * brand block bounds the quadratic term — the same
+    * block + cheap-filter + exact-verify shape as the dedup family.
+    */
+  def fuzzyMatch: Q = (s, d) => {
+    views(s, d)
+    s.sql(
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part_v a JOIN part_v b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  val fuzzyMatchSql: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_scalar_subquery" -> scalarSubquery,
+    "q_lateral_topn" -> lateralTopn,
+    "q_null_safe_join" -> nullSafeJoin,
+    "q_fuzzy_match" -> fuzzyMatch,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scalar_subquery" -> scalarSubquerySql,
+    "q_lateral_topn" -> lateralTopnSql,
+    "q_null_safe_join" -> nullSafeJoinSql,
+    "q_fuzzy_match" -> fuzzyMatchSql,
+  )
+}
