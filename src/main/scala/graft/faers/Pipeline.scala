@@ -12,7 +12,9 @@ import graft.faers.gold.{DimDate, Dims, FactAdverseEvents}
   * task-isolated jobs.
   *
   * `USE CATALOG` collapses to database create/use (no Unity Catalog);
-  * `OPTIMIZE` is Delta-only → no-op; `ANALYZE TABLE` runs as-is (S10/S11).
+  * `OPTIMIZE t` maps to [[graft.core.Maintenance.compact]] on the table's
+  * location (real small-file compaction, not a no-op); `ANALYZE TABLE`
+  * runs as-is (S10/S11).
   */
 object Pipeline {
 
@@ -20,6 +22,18 @@ object Pipeline {
 
   def initDatabases(spark: SparkSession): Unit =
     databases.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+
+  /** The reference's post-write `OPTIMIZE <table>`: compact the managed
+    * (non-partitioned) table's directory to ~target-size files.
+    */
+  def optimizeTable(spark: SparkSession, table: String,
+                    targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val location = spark.sql(s"DESCRIBE EXTENDED $table")
+      .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+      .select("data_type").collect().headOption.map(_.getString(0))
+    location.foreach(loc =>
+      graft.core.Maintenance.compact(spark, loc, targetBytes))
+  }
 
   /** Overwrite a table that may be read inside `df`'s own lineage (the SCD2
     * merge reads the target): stage to a side table, then swap — the
@@ -42,6 +56,7 @@ object Pipeline {
       val latest = Transforms.readLatestPartition(spark, table)
       transform(latest, fixedClock)
         .write.mode("overwrite").saveAsTable(s"silver.$table")
+      optimizeTable(spark, s"silver.$table")
       spark.sql(s"ANALYZE TABLE silver.$table COMPUTE STATISTICS")
     }
 

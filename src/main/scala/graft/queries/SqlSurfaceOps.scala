@@ -95,11 +95,15 @@ object SqlSurfaceOps {
     */
   def fuzzyMatch: Q = (s, d) => {
     views(s, d)
+    // the %4 subset bounds the quadratic term (short names defeat length
+    // pruning here); production fuzzy-dedup would first prefix-filter on
+    // rare character q-grams exactly like Dedup.ngramJaccardPairsPrefix
     s.sql(
-      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      """WITH p AS (SELECT * FROM part_v WHERE p_partkey % 4 = 0)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM part_v a JOIN part_v b
+        |FROM p a JOIN p b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2
@@ -107,10 +111,11 @@ object SqlSurfaceOps {
   }
 
   val fuzzyMatchSql: String =
-    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+    """WITH p AS (SELECT * FROM part WHERE p_partkey % 4 = 0)
+      |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
       |  a.p_name AS name_a, b.p_name AS name_b,
       |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-      |FROM part a JOIN part b
+      |FROM p a JOIN p b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
       |  AND levenshtein(a.p_name, b.p_name) <= 2
