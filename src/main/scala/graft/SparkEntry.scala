@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.JoinOps.queries ++
       graft.queries.WindowArrayOps.queries ++
       graft.queries.TrainPrepOps.queries ++
-      graft.queries.SqlSurfaceOps.queries
+      graft.queries.SqlSurfaceOps.queries ++
+      graft.queries.SourceOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.JoinOps.oracles ++
       graft.queries.WindowArrayOps.oracles ++
       graft.queries.TrainPrepOps.oracles ++
-      graft.queries.SqlSurfaceOps.oracles
+      graft.queries.SqlSurfaceOps.oracles ++
+      graft.queries.SourceOps.oracles
 }
