@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IncrementalRollupSpec extends SparkSpec {
+
+  test("three incremental batches equal one full recompute, any arrival order") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+    val batches = Seq(
+      orders.filter(col("yr") <= 1996),
+      orders.filter(col("yr").between(1997, 1998)),
+      orders.filter(col("yr") >= 1999))
+    // sanity: batches partition the table
+    assert(batches.map(_.count()).sum == orders.count())
+
+    def run(order: Seq[Int]): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_roll").toString
+      order.foreach(i => IncrementalRollup.update(
+        spark, dir, batches(i), Seq("o_orderpriority"), "o_totalprice"))
+      IncrementalRollup.result(spark, dir)
+        .select("o_orderpriority", "cnt", "sum_value", "avg_value", "min_value", "max_value")
+    }
+    val fwd = run(Seq(0, 1, 2))
+    val rev = run(Seq(2, 0, 1))
+
+    val full = orders.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"),
+        round((sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+          count(lit(1))) / 100.0, 6).as("avg_value"),
+        (min(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("min_value"),
+        (max(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("max_value"))
+      .select("o_orderpriority", "cnt", "sum_value", "avg_value", "min_value", "max_value")
+
+    assert(fwd.exceptAll(full).isEmpty && full.exceptAll(fwd).isEmpty)
+    assert(rev.exceptAll(full).isEmpty && full.exceptAll(rev).isEmpty)
+  }
+
+  test("updating with an empty batch is a no-op") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables.orders(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_roll2").toString
+    IncrementalRollup.update(spark, dir, orders, Seq("o_orderstatus"), "o_totalprice")
+    val before = IncrementalRollup.result(spark, dir).collect().toSet
+    IncrementalRollup.update(spark, dir, orders.limit(0), Seq("o_orderstatus"), "o_totalprice")
+    val after = IncrementalRollup.result(spark, dir).collect().toSet
+    assert(before == after)
+  }
+}
