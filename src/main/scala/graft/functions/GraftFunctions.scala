@@ -18,7 +18,10 @@ object GraftFunctions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => TopKAgg(children.head, children(1), children(2))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>

@@ -164,13 +164,18 @@ object SetGroupOps {
     * single global percentile at 100 TB prefer `percentile_approx`.
     */
   def percentiles: Q = (s, d) => {
+    // array-form percentile: ONE sort of l_quantity serves all three
+    // quartiles (three scalar calls would sort the group three times)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
-        round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"),
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"),
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 4).as("q25"),
+        round(element_at(col("qs"), 2), 4).as("q50"),
+        round(element_at(col("qs"), 3), 4).as("q75"),
+        col("median_price"))
       .orderBy(col("l_returnflag"))
   }
 

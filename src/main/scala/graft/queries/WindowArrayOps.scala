@@ -176,7 +176,37 @@ object WindowArrayOps {
       |GROUP BY token HAVING count(*) >= 100
       |ORDER BY n DESC, token ASC""".stripMargin
 
+  /** Per-group top-k via the custom heap aggregate `graft_topk`
+    * (functions.TopKAgg) — contrast with [[windowRank]]: the window form
+    * shuffles and sorts every row; the aggregate ships at most k pairs per
+    * group per mapper (map-side partial heaps). Same result, verified by
+    * the same row_number oracle.
+    */
+  def topkPerGroup: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(call_function("graft_topk",
+        col("o_totalprice"), col("o_orderkey"), lit(3)).as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("o_orderpriority"),
+        (col("rnk0") + 1).cast("int").as("rnk"),
+        col("t.payload").as("o_orderkey"),
+        col("t.value").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_topk_per_group" -> topkPerGroup,
     "q_window_running" -> windowRunning,
     "q_window_moving_avg" -> windowMovingAvg,
     "q_window_rank" -> windowRank,
@@ -186,6 +216,7 @@ object WindowArrayOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topk_per_group" -> topkPerGroupSql,
     "q_window_running" -> windowRunningSql,
     "q_window_moving_avg" -> windowMovingAvgSql,
     "q_window_rank" -> windowRankSql,

@@ -39,6 +39,14 @@ class QueryShapeSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("as-of join plans exactly one hash shuffle (the user_id window)") {
+    val plan = JoinOps.asofJoin(spark, sf).queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1, hashExchanges)
+    assert(!plan.contains("Join"), "as-of must not plan a join operator")
+  }
+
   test("range join only admits events inside their window") {
     val windows = JoinOps.rangeJoin(spark, sf).collect()
     assert(windows.nonEmpty && windows.forall(_.getLong(2) > 0))
