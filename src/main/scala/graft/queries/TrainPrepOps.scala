@@ -128,13 +128,41 @@ object TrainPrepOps {
       |FROM pref GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
   }
 
+  /** Training-data mixture: per-source sampling rates applied with the
+    * same md5 bucket as [[hashSplit]] — en 100%, de 50%, everything else
+    * 10%. Hash-gated sampling (never `rand()`) keeps the mixture exactly
+    * reproducible across reruns, retries, and cluster sizes, and each
+    * document's fate is independent of partitioning.
+    */
+  def dataMixture: Q = (s, d) => {
+    val b = hashBucket(col("doc_id"))
+    val rate = when(col("lang") === "en", 100)
+      .when(col("lang") === "de", 50)
+      .otherwise(10)
+    Tables.documents(s, d)
+      .filter(b < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val dataMixtureSql: String = {
+    val b = hashBucketSql("doc_id")
+    s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE $b < CASE WHEN lang = 'en' THEN 100 WHEN lang = 'de' THEN 50 ELSE 10 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_data_mixture" -> dataMixture,
     "q_hash_split" -> hashSplit,
     "q_quality_filter" -> qualityFilter,
     "q_token_packing" -> tokenPacking,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_data_mixture" -> dataMixtureSql,
     "q_hash_split" -> hashSplitSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_token_packing" -> tokenPackingSql,
