@@ -66,6 +66,18 @@ object Similarity {
     df.withColumn("v", asDouble(col(vecCol)))
       .withColumn("nrm", l2Norm(col("v")))
 
+  /** Per-query top-k of scored candidates via the bounded-heap aggregate
+    * [[graft.functions.TopKAgg]] — ships ≤ k candidates per query per
+    * mapper instead of window-sorting every scored pair. Tie order
+    * (cos_sim desc, nbr_id asc) matches the row_number formulation.
+    */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("cos_sim"), col("nbr_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("query_id"), col("t.payload").as("nbr_id"),
+        (col("rnk0") + 1).cast("int").as("rank"), col("t.value").as("cos_sim"))
+
   /** Brute-force cosine top-k: every query row against every corpus row.
     * Ranking uses the ROUNDED cosine with id tie-break so results are
     * reproducible bit-for-bit across engines.
@@ -79,11 +91,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cos_sim",
         round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), roundTo))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos_sim"))
+    topkPerQuery(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: queries only probe corpus rows whose
@@ -101,11 +109,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos_sim",
         round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), roundTo))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos_sim"))
+    topkPerQuery(scored, k)
   }
 
   /** IVF-flat ANN with nprobe=1: assign every corpus vector to its
@@ -138,15 +142,11 @@ object Similarity {
     }
     val corpusAssigned = assign(corpus, "nbr").localCheckpoint()
     val queriesAssigned = assign(queries, "query")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    corpusAssigned.join(broadcast(queriesAssigned), Seq("cluster_id"))
+    val scored = corpusAssigned.join(broadcast(queriesAssigned), Seq("cluster_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos_sim",
         round(cosine(col("queryv"), col("nbrv"), col("queryn"), col("nbrn")), roundTo))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos_sim"))
+    topkPerQuery(scored, k)
   }
 
   /** Embedding near-duplicate pairs within blocks at cosine ≥ `minCos`. */
