@@ -97,15 +97,65 @@ object FaersOps {
       |  upper(trim(regexp_replace('  ' || p_name || '!! (x)', '[^\w\s]', '', 'g'))) AS drugname
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** The gold calendar dimension for one year, fixed clock 2024-06-15 —
+    * calendar / fiscal / seasonal / relative attribute decoration
+    * (reference: src/gold/dims/dim_date.py:20-161).
+    */
+  def dimDateAttrs: Q = (s, _) => {
+    graft.faers.gold.DimDate.create(s, "2024-01-01", "2024-12-31",
+        Some(java.sql.Date.valueOf("2024-06-15")))
+      .select(
+        col("date_string"), col("year"), col("month"), col("day"),
+        col("quarter"), col("week_of_year"), col("day_of_week"),
+        col("day_name"), col("month_name"), col("year_quarter"),
+        col("year_month"), col("is_weekend"), col("is_last_day_of_month"),
+        col("season"), col("fiscal_year"), col("fiscal_quarter"),
+        col("days_from_today"), col("is_past"), col("reporting_period"))
+      .orderBy(col("date_string"))
+  }
+
+  val dimDateAttrsSql: String =
+    """WITH spine AS (
+      |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+      |    INTERVAL 1 DAY)) AS DATE) AS d)
+      |SELECT strftime(d, '%Y-%m-%d') AS date_string,
+      |  CAST(year(d) AS INTEGER) AS year,
+      |  CAST(month(d) AS INTEGER) AS month,
+      |  CAST(dayofmonth(d) AS INTEGER) AS day,
+      |  CAST(quarter(d) AS INTEGER) AS quarter,
+      |  CAST(weekofyear(d) AS INTEGER) AS week_of_year,
+      |  CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
+      |  strftime(d, '%A') AS day_name,
+      |  strftime(d, '%B') AS month_name,
+      |  CAST(year(d) AS VARCHAR) || '-Q' || CAST(quarter(d) AS VARCHAR) AS year_quarter,
+      |  CAST(year(d) AS VARCHAR) || '-' || lpad(CAST(month(d) AS VARCHAR), 2, '0') AS year_month,
+      |  dayofweek(d) IN (0, 6) AS is_weekend,
+      |  d = last_day(d) AS is_last_day_of_month,
+      |  CASE WHEN month(d) IN (12, 1, 2) THEN 'Winter'
+      |       WHEN month(d) IN (3, 4, 5) THEN 'Spring'
+      |       WHEN month(d) IN (6, 7, 8) THEN 'Summer'
+      |       ELSE 'Fall' END AS season,
+      |  CAST(CASE WHEN month(d) >= 7 THEN year(d) + 1 ELSE year(d) END AS INTEGER) AS fiscal_year,
+      |  CAST(CASE WHEN month(d) BETWEEN 7 AND 9 THEN 1
+      |       WHEN month(d) BETWEEN 10 AND 12 THEN 2
+      |       WHEN month(d) BETWEEN 1 AND 3 THEN 3
+      |       ELSE 4 END AS INTEGER) AS fiscal_quarter,
+      |  CAST(date_diff('day', DATE '2024-06-15', d) AS INTEGER) AS days_from_today,
+      |  d < DATE '2024-06-15' AS is_past,
+      |  '2021+' AS reporting_period
+      |FROM spine ORDER BY date_string""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dose_parse" -> doseParse,
     "q_age_groups" -> ageGroups,
     "q_drug_clean" -> drugClean,
+    "q_dim_date" -> dimDateAttrs,
   )
 
   val oracles: Map[String, String] = Map(
     "q_dose_parse" -> doseParseSql,
     "q_age_groups" -> ageGroupsSql,
     "q_drug_clean" -> drugCleanSql,
+    "q_dim_date" -> dimDateAttrsSql,
   )
 }
