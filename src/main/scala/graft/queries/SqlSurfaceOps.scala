@@ -121,7 +121,71 @@ object SqlSurfaceOps {
       |  AND levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Semi-structured extraction: events.props carries a JSON payload;
+    * `from_json` with an explicit schema parses it ONCE into a struct
+    * (schema'd parse — `get_json_object` re-parses per path at scale).
+    */
+  def jsonProps: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("p.k")).cast("long").as("sum_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"),
+        countDistinct(col("p.k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+      |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_distinct_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): generate weekly anchors by
+    * recursion, then count events per week — the linear-recursion shape
+    * (hierarchies, BOM explosions, chain-walks) the reference never needed
+    * but a complete SQL engine must run.
+    */
+  def recursiveCte: Q = (s, d) => {
+    views(s, d)
+    Tables.events(s, d).createOrReplaceTempView("events_sql_v")
+    s.sql(
+      """WITH RECURSIVE weeks(week_start) AS (
+        |  SELECT DATE '2024-01-01'
+        |  UNION ALL
+        |  SELECT CAST(week_start + INTERVAL 7 DAY AS DATE) FROM weeks
+        |  WHERE week_start < DATE '2024-01-22')
+        |SELECT CAST(week_start AS STRING) AS week_start,
+        |  count(event_id) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM weeks LEFT JOIN events_sql_v
+        |  ON ts >= week_start AND ts < week_start + INTERVAL 7 DAY
+        |GROUP BY week_start ORDER BY week_start""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE weeks(week_start) AS (
+      |  SELECT DATE '2024-01-01'
+      |  UNION ALL
+      |  SELECT CAST(week_start + INTERVAL 7 DAY AS DATE) FROM weeks
+      |  WHERE week_start < DATE '2024-01-22')
+      |SELECT strftime(week_start, '%Y-%m-%d') AS week_start,
+      |  count(event_id) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM weeks LEFT JOIN events
+      |  ON ts >= week_start AND ts < week_start + INTERVAL 7 DAY
+      |GROUP BY week_start ORDER BY week_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_json_props" -> jsonProps,
+    "q_recursive_cte" -> recursiveCte,
     "q_scalar_subquery" -> scalarSubquery,
     "q_lateral_topn" -> lateralTopn,
     "q_null_safe_join" -> nullSafeJoin,
@@ -129,6 +193,8 @@ object SqlSurfaceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json_props" -> jsonPropsSql,
+    "q_recursive_cte" -> recursiveCteSql,
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_lateral_topn" -> lateralTopnSql,
     "q_null_safe_join" -> nullSafeJoinSql,
