@@ -96,19 +96,34 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: queries only probe corpus rows whose
     * sign-bucket matches. Trades recall for a 2^bits candidate reduction.
+    * `probeHamming = 1` adds multi-probe over the one-sign-flip neighbor
+    * buckets (recall measured in SimilaritySpec).
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, bits: Int = 4, roundTo: Int = 6): DataFrame = {
+             vecCol: String, k: Int, bits: Int = 4, roundTo: Int = 6,
+             probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming must be 0 or 1")
     val c = withNorm(corpus, vecCol)
       .withColumn("bucket", signBucket(col("v"), bits))
       .select(col(idCol).as("nbr_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
-    val q = withNorm(queries, vecCol)
-      .withColumn("bucket", signBucket(col("v"), bits))
-      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val qBase = withNorm(queries, vecCol)
+      .withColumn("bucket0", signBucket(col("v"), bits))
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket0"))
+    // multi-probe (probeHamming=1): also probe the `bits` buckets one
+    // sign-flip away — recall lift for bits+1 x candidate cost, no extra
+    // hash tables
+    val q =
+      if (probeHamming == 0) qBase.withColumn("bucket", col("bucket0"))
+      else qBase.withColumn("bucket",
+        explode(array(col("bucket0") +:
+          (0 until bits).map(b => col("bucket0").bitwiseXOR(lit(1 << b))): _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos_sim",
         round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), roundTo))
+    // no pair duplicates possible: a corpus row has ONE bucket and the
+    // probe set {bucket0, bucket0^2^b} contains distinct values
     topkPerQuery(scored, k)
   }
 

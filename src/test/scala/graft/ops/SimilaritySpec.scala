@@ -39,4 +39,39 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 1L)))
   }
+
+  test("approximate ANN recall vs brute-force ground truth on real embeddings") {
+    // deterministic data (seed 42) -> recall is a fixed, regression-checkable
+    // number, not a flaky statistic
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" % 37 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 5))
+    assert(truth.nonEmpty)
+
+    val lshRecallAt = (2 to 4).map { bits =>
+      val lsh = pairs(Similarity.lshKnn(emb, queries, "vec_id", "embedding", k = 5, bits = bits))
+      bits -> (truth & lsh).size.toDouble / truth.size
+    }.toMap
+    val lshRecall = lshRecallAt(2)
+
+    val centroids = emb.filter($"vec_id" % 53 === 0) // deterministic coarse centers
+    val ivf = pairs(Similarity.ivfKnn(emb, queries, centroids, "vec_id", "embedding", k = 5))
+    val ivfRecall = (truth & ivf).size.toDouble / truth.size
+
+    // both prune hard (1/2^4 buckets; 1/|centroids| cells) yet must keep a
+    // usable share of the true neighbors on clustered data
+    assert(lshRecall >= 0.2, s"LSH recall $lshRecall")
+    assert(ivfRecall >= 0.2, s"IVF recall $ivfRecall")
+    // recall must degrade monotonically-ish as buckets shrink — the dial works
+    assert(lshRecallAt(2) >= lshRecallAt(4), s"recall curve $lshRecallAt")
+    // multi-probe (Hamming-1 neighbor buckets) must strictly lift recall
+    val mp = pairs(Similarity.lshKnn(emb, queries, "vec_id", "embedding",
+      k = 5, bits = 4, probeHamming = 1))
+    val mpRecall = (truth & mp).size.toDouble / truth.size
+    assert(mpRecall > lshRecallAt(4), s"multi-probe $mpRecall vs single ${lshRecallAt(4)}")
+    info(f"LSH recall by bits: $lshRecallAt, multi-probe@4: $mpRecall%.3f, " +
+      f"IVF recall: $ivfRecall%.3f over ${truth.size} pairs")
+  }
 }
