@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output passes through unprefixed — the driver parses the one
 // JSON line graft.Bench prints, and sbt's default logger would prepend
 // "[info] " to it.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

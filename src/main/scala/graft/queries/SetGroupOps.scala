@@ -187,7 +187,37 @@ object SetGroupOps {
       |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Unpivot (melt): wide per-flag lineitem metrics to long (metric, value)
+    * rows — the inverse of [[pivotStatus]]; at scale this is a zero-shuffle
+    * Expand (rows × #metrics) feeding the usual partial aggregation.
+    */
+  def unpivotMetrics: Q = (s, d) => {
+    val wide = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Num.moneySum(col("l_extendedprice")).as("gross"),
+        Num.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"),
+        Num.moneySum(col("l_extendedprice") * col("l_tax")).as("tax"))
+    wide.unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("gross"), col("net"), col("tax")),
+        variableColumnName = "metric", valueColumnName = "amount")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val unpivotMetricsSql: String =
+    s"""WITH wide AS (
+      |  SELECT l_returnflag,
+      |    ${Num.moneySumSql("l_extendedprice")} AS gross,
+      |    ${Num.moneySumSql("l_extendedprice * (1 - l_discount)")} AS net,
+      |    ${Num.moneySumSql("l_extendedprice * l_tax")} AS tax
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, amount
+      |FROM wide UNPIVOT (amount FOR metric IN (gross, net, tax))
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_unpivot" -> unpivotMetrics,
     "q_union_all" -> unionAll,
     "q_intersect" -> intersectKeys,
     "q_except" -> exceptKeys,
@@ -199,6 +229,7 @@ object SetGroupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" -> unpivotMetricsSql,
     "q_union_all" -> unionAllSql,
     "q_intersect" -> intersectKeysSql,
     "q_except" -> exceptKeysSql,

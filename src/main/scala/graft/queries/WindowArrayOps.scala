@@ -205,7 +205,35 @@ object WindowArrayOps {
       |  FROM orders)
       |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
 
+  /** first_value / last_value / nth_value over an explicit full-partition
+    * frame: each customer's order rows annotated with their first, latest,
+    * and second order keys. (Default frames stop at CURRENT ROW —
+    * last_value needs UNBOUNDED FOLLOWING spelled out, a classic trap.)
+    */
+  def windowFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowFirstLastSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS last_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_window_firstlast" -> windowFirstLast,
     "q_topk_per_group" -> topkPerGroup,
     "q_window_running" -> windowRunning,
     "q_window_moving_avg" -> windowMovingAvg,
@@ -216,6 +244,7 @@ object WindowArrayOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_firstlast" -> windowFirstLastSql,
     "q_topk_per_group" -> topkPerGroupSql,
     "q_window_running" -> windowRunningSql,
     "q_window_moving_avg" -> windowMovingAvgSql,
