@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.WindowArrayOps.queries ++
       graft.queries.TrainPrepOps.queries ++
       graft.queries.SqlSurfaceOps.queries ++
-      graft.queries.SourceOps.queries
+      graft.queries.SourceOps.queries ++
+      graft.queries.SnapshotOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.queries.WindowArrayOps.oracles ++
       graft.queries.TrainPrepOps.oracles ++
       graft.queries.SqlSurfaceOps.oracles ++
-      graft.queries.SourceOps.oracles
+      graft.queries.SourceOps.oracles ++
+      graft.queries.SnapshotOps.oracles
 }
