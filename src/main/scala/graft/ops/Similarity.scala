@@ -138,10 +138,14 @@ object Similarity {
     * Ranking uses rounded cosine + id tie-breaks (reproducible).
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-             idCol: String, vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+             idCol: String, vecCol: String, k: Int, roundTo: Int = 6,
+             nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
     val cents = withNorm(centroids, vecCol)
       .select(col(idCol).as("cent_id"), col("v").as("centv"), col("nrm").as("centn"))
-    def assign(df: DataFrame, role: String): DataFrame = {
+    // corpus rows live in exactly ONE cell; queries probe their top-nProbe
+    // cells (recall dial — measured in SimilaritySpec)
+    def assign(df: DataFrame, role: String, cells: Int): DataFrame = {
       val base = withNorm(df, vecCol)
         .select(col(idCol).as(s"${role}_id"), col("v").as(s"${role}v"),
           col("nrm").as(s"${role}n"))
@@ -151,12 +155,12 @@ object Similarity {
         .withColumn("cent_cos",
           round(cosine(col(s"${role}v"), col("centv"), col(s"${role}n"), col("centn")), roundTo))
         .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
+        .filter(col("crank") <= cells)
         .select(col(s"${role}_id"), col(s"${role}v"), col(s"${role}n"),
           col("cent_id").as("cluster_id"))
     }
-    val corpusAssigned = assign(corpus, "nbr").localCheckpoint()
-    val queriesAssigned = assign(queries, "query")
+    val corpusAssigned = assign(corpus, "nbr", 1).localCheckpoint()
+    val queriesAssigned = assign(queries, "query", nProbe)
     val scored = corpusAssigned.join(broadcast(queriesAssigned), Seq("cluster_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos_sim",

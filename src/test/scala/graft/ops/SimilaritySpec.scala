@@ -59,6 +59,10 @@ class SimilaritySpec extends SparkSpec {
     val centroids = emb.filter($"vec_id" % 53 === 0) // deterministic coarse centers
     val ivf = pairs(Similarity.ivfKnn(emb, queries, centroids, "vec_id", "embedding", k = 5))
     val ivfRecall = (truth & ivf).size.toDouble / truth.size
+    val ivf2 = pairs(Similarity.ivfKnn(emb, queries, centroids, "vec_id", "embedding",
+      k = 5, nProbe = 2))
+    val ivf2Recall = (truth & ivf2).size.toDouble / truth.size
+    assert(ivf2Recall >= ivfRecall, s"nProbe=2 $ivf2Recall vs nProbe=1 $ivfRecall")
 
     // both prune hard (1/2^4 buckets; 1/|centroids| cells) yet must keep a
     // usable share of the true neighbors on clustered data
@@ -72,6 +76,7 @@ class SimilaritySpec extends SparkSpec {
     val mpRecall = (truth & mp).size.toDouble / truth.size
     assert(mpRecall > lshRecallAt(4), s"multi-probe $mpRecall vs single ${lshRecallAt(4)}")
     info(f"LSH recall by bits: $lshRecallAt, multi-probe@4: $mpRecall%.3f, " +
-      f"IVF recall: $ivfRecall%.3f over ${truth.size} pairs")
+      f"IVF recall nProbe=1: $ivfRecall%.3f, nProbe=2: $ivf2Recall%.3f " +
+      f"over ${truth.size} pairs")
   }
 }
