@@ -193,6 +193,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C} even
+    * when A~C alone misses the threshold), so each cluster keeps one
+    * canonical survivor.
+    *
+    * Min-label propagation: every node starts labeled with its own id; each
+    * round takes the min of its own and its neighbors' labels; converges to
+    * min(component) within graph-diameter rounds. Each round is one
+    * edge⋈label join + groupBy — all hash shuffles on node id, and
+    * `localCheckpoint` truncates the growing lineage (the thing that kills
+    * naive iterative Spark jobs). Near-dup graphs are forests of small
+    * cliques/chains, so diameter — and the round count — stays tiny even at
+    * corpus scale.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // every node in `labels` has >= 1 edge by construction -> inner joins
+      val next = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+        .join(labels, "node")
+        .select(col("node"), least(col("label"), col("nbr_min")).as("new_label"),
+          col("label"))
+        .localCheckpoint()
+      converged = next.filter(col("new_label") =!= col("label")).isEmpty
+      labels = next.select(col("node"), col("new_label").as("label")).localCheckpoint()
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Exact n-gram Jaccard with PREFIX FILTERING — same results as
     * [[ngramJaccardPairs]] (asserted in DedupSpec), different asymptotics.
     *

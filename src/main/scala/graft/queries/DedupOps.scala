@@ -198,7 +198,81 @@ object DedupOps {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------- clusters (transitive dedup)
+
+  /** documents ∪ half-truncated copies (id+100000) ∪ quarter-truncated
+    * copies (id+200000) of doc_id % 7 == 0: orig~half and half~quarter
+    * clear J ≥ 0.3, orig~quarter (J ≈ 0.25) does NOT — so clusters require
+    * transitivity, which is exactly what connectedComponents adds.
+    */
+  private def corpusChain(s: SparkSession, d: String, mod: Int): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val toks = TA.tokens(col("text"))
+    def cut(div: Int) =
+      array_join(slice(toks, lit(1), greatest((size(toks) / div).cast("int"), lit(3))), " ")
+    docs
+      .unionByName(docs.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("lang"), cut(2).as("text")))
+      .unionByName(docs.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("lang"), cut(4).as("text")))
+  }
+
+  private def corpusChainSql(mod: Int): String = {
+    def cutSql(div: Int) =
+      s"""array_to_string(toks[1:greatest(CAST(len(toks) // $div AS INTEGER), 3)], ' ')"""
+    s"""corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, ${cutSql(2)}
+      |  FROM (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM documents)
+      |  WHERE doc_id % $mod = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, lang, ${cutSql(4)}
+      |  FROM (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM documents)
+      |  WHERE doc_id % $mod = 0)""".stripMargin
+  }
+
+  /** Near-dup pairs → connected components → duplicate clusters: size and
+    * canonical member per cluster. (Component id = min doc_id reachable.)
+    */
+  def dupClusters: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccardPairs(corpusChain(s, d, 7), "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .orderBy(col("component"))
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE ${corpusChainSql(7)},
+      |tok AS (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |shs AS (SELECT doc_id, lang,
+      |    list_distinct(${TA.shinglesSql("toks", 3)}) AS sh FROM tok),
+      |sh AS (SELECT doc_id, lang, unnest(sh) AS s FROM shs),
+      |sz AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b
+      |  FROM (SELECT id_a, id_b,
+      |      round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+      |    FROM inter
+      |    JOIN sz na ON na.doc_id = id_a
+      |    JOIN sz nb ON nb.doc_id = id_b)
+      |  WHERE jaccard >= 0.3),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+      |SELECT component, count(*) AS n_members, max(node) AS max_member
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dup_clusters" -> dupClusters,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -207,6 +281,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dup_clusters" -> dupClustersSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

@@ -49,6 +49,18 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components merge chains the pair list never states directly") {
+    // 1-2, 2-3, 3-4 (chain), 10-11 (island pair), 20-21/21-22/20-22 (clique)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L)) // chain needs 3 hops
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
   test("prefix-filtered jaccard join returns exactly the naive join's pairs") {
     // real corpus slice so prefix pruning actually has frequency skew to use
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
