@@ -168,6 +168,73 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** Lloyd's k-means over the embedding column — trains the IVF coarse
+    * quantizer ([[ivfKnn]] centroids) instead of sampling one.
+    *
+    * Deterministic init: the k rows with the smallest xxhash64(id) (a
+    * seeded pseudo-random sample that never changes across reruns).
+    * Each iteration: assign every vector to its nearest (max-cosine)
+    * centroid — broadcast nested-loop over k rows, codegen'd dot products —
+    * then recompute centroids as per-dimension means via posexplode +
+    * (cluster, dim) aggregation. Two shuffles per iteration, both keyed
+    * small; `localCheckpoint` truncates the iterative lineage.
+    *
+    * Float caveat: mean aggregation is double summation — results are
+    * deterministic per session but not bit-portable across engines, so
+    * k-means is spec-tested (inertia must not increase), not oracle-gated;
+    * the IVF QUERY path stays oracle-gated with fixed centroids.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 3): DataFrame = {
+    val base = withNorm(df, vecCol)
+      .select(col(idCol).as("row_id"), col("v"), col("nrm"))
+      .localCheckpoint()
+    var cents = base
+      .withColumn("h", xxhash64(col("row_id")))
+      .orderBy(col("h").asc, col("row_id").asc).limit(k)
+      .select(monotonically_increasing_id().as("cent_id"),
+        col("v").as("centv"), col("nrm").as("centn"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("row_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      val assigned = base.join(broadcast(cents), lit(true))
+        .withColumn("cent_cos",
+          cosine(col("v"), col("centv"), col("nrm"), col("centn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("cent_id"), col("v"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centv"))
+        .withColumn("centn", sqrt(dot(col("centv"), col("centv"))))
+        .localCheckpoint()
+    }
+    cents.select(col("cent_id"), col("centv").as("centroid"))
+  }
+
+  /** Sum of (1 - cosine) to each vector's nearest centroid — the quantity
+    * Lloyd's iterations must not increase.
+    */
+  def inertia(df: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame): Double = {
+    val base = withNorm(df, vecCol).select(col(idCol).as("row_id"), col("v"), col("nrm"))
+    val cents = withNorm(centroids.withColumnRenamed("centroid", "c"), "c")
+      .select(col("cent_id"), col("v").as("centv"), col("nrm").as("centn"))
+    val w = Window.partitionBy(col("row_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    base.join(broadcast(cents), lit(true))
+      .withColumn("cent_cos", cosine(col("v"), col("centv"), col("nrm"), col("centn")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .agg(sum(lit(1.0) - col("cent_cos")))
+      .first.getDouble(0)
+  }
+
   /** Embedding near-duplicate pairs within blocks at cosine ≥ `minCos`. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCols: Seq[String], minCos: Double,

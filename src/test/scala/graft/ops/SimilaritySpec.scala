@@ -40,6 +40,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("k-means training reduces inertia and feeds IVF") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val c3 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val i1 = Similarity.inertia(emb, "vec_id", "embedding", c1)
+    val i3 = Similarity.inertia(emb, "vec_id", "embedding", c3)
+    // Lloyd's never increases inertia (epsilon for fp merge noise)
+    assert(i3 <= i1 + 1e-6, s"inertia went up: $i1 -> $i3")
+    // trained centroids slot straight into the IVF query path
+    val queries = emb.filter($"vec_id" % 37 === 0)
+    val out = Similarity.ivfKnn(emb, queries,
+      c3.select($"cent_id".as("vec_id"), $"centroid".as("embedding")),
+      "vec_id", "embedding", k = 5)
+    assert(out.count() > 0)
+  }
+
   test("approximate ANN recall vs brute-force ground truth on real embeddings") {
     // deterministic data (seed 42) -> recall is a fixed, regression-checkable
     // number, not a flaky statistic
