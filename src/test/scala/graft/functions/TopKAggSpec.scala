@@ -41,6 +41,20 @@ class TopKAggSpec extends SparkSpec {
     assert(out("g2") == "[{3.0, 1}]") // group smaller than k
   }
 
+  test("graft_topk partially aggregates before the shuffle") {
+    val plan = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy($"o_orderpriority")
+      .agg(call_function("graft_topk", $"o_totalprice", $"o_orderkey", lit(3)).as("top"))
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // (map-side heap) must appear below the exchange
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_graft_topk")
+    assert(exchangeIdx > 0 && partialIdx > exchangeIdx, // top-down print order
+      s"exchange@$exchangeIdx partial@$partialIdx")
+  }
+
   test("graft_topk is usable from SQL") {
     graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
       .createOrReplaceTempView("topk_orders_v")
