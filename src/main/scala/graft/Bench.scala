@@ -11,15 +11,10 @@ object Bench {
       .getOrCreate()
     graft.core.Session.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: JIT + codegen + parquet footer caches, so the measured pass
-    // reflects steady-state throughput rather than JVM startup.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    // Two timed passes, min per query: a single pass attributes whatever GC /
-    // catalog-cache churn the previous query left behind to the next one
-    // (observed 3x inflation on the first alphabetical query).
+    // Two timed passes, min per query: pass 1 doubles as the warm-up (JIT,
+    // codegen cache, parquet footers), and the min also discards whatever
+    // GC / catalog-cache churn a previous query leaves behind (observed 3x
+    // inflation on the first alphabetical query in single-pass timing).
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -216,7 +216,33 @@ object SetGroupOps {
       |FROM wide UNPIVOT (amount FOR metric IN (gross, net, tax))
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** Equi-width histogram of order totals: fixed range [0, 600k), 20
+    * buckets, overflow clamped to the top bucket. Fixed bounds keep it ONE
+    * pass — a data-driven min/max needs a prior scan; at 100 TB you take
+    * bounds from table stats (ANALYZE) instead.
+    */
+  def histogram: Q = (s, d) => {
+    val width = 600000.0 / 20
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / width), lit(19)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("sum_price"))
+      .withColumn("bucket_lo", (col("bucket") * width).cast("double"))
+      .select(col("bucket"), col("bucket_lo"), col("n_orders"), col("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val histogramSql: String =
+    s"""SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS INTEGER) AS bucket,
+      |  CAST(least(floor(o_totalprice / 30000.0), 19) * 30000.0 AS DOUBLE) AS bucket_lo,
+      |  count(*) AS n_orders,
+      |  ${Num.moneySumSql("o_totalprice")} AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_histogram" -> histogram,
     "q_unpivot" -> unpivotMetrics,
     "q_union_all" -> unionAll,
     "q_intersect" -> intersectKeys,
@@ -229,6 +255,7 @@ object SetGroupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" -> histogramSql,
     "q_unpivot" -> unpivotMetricsSql,
     "q_union_all" -> unionAllSql,
     "q_intersect" -> intersectKeysSql,
