@@ -68,6 +68,9 @@ object Dedup {
     */
   def lshCandidatePairs(sigDf: DataFrame, idCol: String,
                         numPerm: Int, bandRows: Int): DataFrame = {
+    require(bandRows >= 1 && bandRows <= numPerm && numPerm % bandRows == 0,
+      s"bandRows must divide numPerm (got numPerm=$numPerm, bandRows=$bandRows)" +
+        " — a remainder would silently drop signature slots from banding")
     val nBands = numPerm / bandRows
     val bandStructs = (0 until nBands).map { b =>
       val key = concat_ws(",",

@@ -24,6 +24,12 @@ object ScaleJoins {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    // right/full outer would surface the small side's factor-1 unmatched
+    // salted copies as spurious null-extended rows — only joins where
+    // unmatched SMALL rows never appear in the output are salt-safe
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int"))
     val explodedSmall = small.withColumn("_salt",

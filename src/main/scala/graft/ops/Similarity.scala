@@ -204,7 +204,7 @@ object Similarity {
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") === 1)
         .select(col("cent_id"), col("v"))
-      cents = assigned
+      val recomputed = assigned
         .select(col("cent_id"), posexplode(col("v")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -212,7 +212,10 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centv"))
         .withColumn("centn", sqrt(dot(col("centv"), col("centv"))))
-        .localCheckpoint()
+      // empty clusters (no assigned vectors this round) keep their previous
+      // centroid instead of silently vanishing — callers get exactly k back
+      val kept = cents.join(recomputed.select("cent_id"), Seq("cent_id"), "left_anti")
+      cents = recomputed.unionByName(kept).localCheckpoint()
     }
     cents.select(col("cent_id"), col("centv").as("centroid"))
   }

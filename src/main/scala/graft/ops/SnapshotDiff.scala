@@ -35,16 +35,22 @@ object SnapshotDiff {
     val payload =
       if (tracked.nonEmpty) tracked
       else newSnap.columns.filterNot(keys.contains).toSeq
+    // null-safe (<=>) key equality: a null-keyed row present unchanged in
+    // both snapshots must NOT surface as a phantom insert+delete pair
+    // (plain `=` drops null matches; contrast Scd2, which preserves the
+    // reference's null-drop semantics deliberately)
     val o = oldSnap.select(
-      keys.map(col) :+ payloadHash(payload).as("_old_hash"): _*)
+      keys.map(c => col(c).as(s"_o_$c")) :+ payloadHash(payload).as("_old_hash"): _*)
     val n = newSnap.select(
-      keys.map(col) :+ payloadHash(payload).as("_new_hash"): _*)
-    o.join(n, keys, "full_outer")
+      keys.map(c => col(c).as(s"_n_$c")) :+ payloadHash(payload).as("_new_hash"): _*)
+    val cond = keys.map(c => col(s"_o_$c") <=> col(s"_n_$c")).reduce(_ && _)
+    o.join(n, cond, "full_outer")
       .withColumn("change_type",
         when(col("_old_hash").isNull, "insert")
           .when(col("_new_hash").isNull, "delete")
           .when(col("_old_hash") =!= col("_new_hash"), "update"))
       .filter(col("change_type").isNotNull)
-      .select(keys.map(col) :+ col("change_type"): _*)
+      .select(keys.map(c =>
+        coalesce(col(s"_o_$c"), col(s"_n_$c")).as(c)) :+ col("change_type"): _*)
   }
 }

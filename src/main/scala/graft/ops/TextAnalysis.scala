@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens with empties dropped (stable across engines even when
-    * the text has leading/double spaces).
+    * the text has leading/double spaces). Splits on the `\s+` CLASS — a
+    * literal-space split would glue newline/tab-separated words into
+    * mega-tokens and silently skew every downstream quality/dedup signal on
+    * real (newline-heavy) corpora.
     */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles joined by a single space. For a token array of
     * size s yields max(s - n + 1, 1) shingles (short docs produce one
@@ -35,7 +38,7 @@ object TextAnalysis {
 
   /** DuckDB fragments mirroring the above (1-based, inclusive list slices). */
   def tokensSql(text: String): String =
-    s"list_filter(string_split($text, ' '), t -> t <> '')"
+    s"""list_filter(string_split_regex($text, '\\s+'), t -> t <> '')"""
   def shinglesSql(toks: String, n: Int): String =
     s"list_transform(generate_series(1, greatest(len($toks) - ${n - 1}, 1)), " +
       s"i -> array_to_string($toks[i:i+${n - 2 + 1}], ' '))"
@@ -46,16 +49,20 @@ object TextAnalysis {
 
   def stopwordRatio(toks: Column, words: Seq[String] = stopwords): Column = {
     val sw = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1))
   }
 
   /** Mean token length in characters. */
   def avgTokenLen(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1))
 
   /** Type-token ratio (vocabulary richness). */
+  // zero-token guards: an empty doc must score 0, not null — a null
+  // quality score passes every `< threshold` junk filter unnoticed
   def typeTokenRatio(toks: Column): Column =
-    size(array_distinct(toks)).cast("double") / size(toks)
+    size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1))
 
   /** Fraction of non-word, non-space characters. */
   def punctRatio(text: Column): Column =
@@ -88,7 +95,8 @@ object TextAnalysis {
 
   def langScore(toks: Column, lang: String): Column = {
     val mk = array(langMarkers(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(mk, t))).cast("double") / size(toks)
+    size(filter(toks, t => array_contains(mk, t))).cast("double") /
+      greatest(size(toks), lit(1))
   }
 
   /** Argmax over language scores; ties resolve in `langs` order; all-zero

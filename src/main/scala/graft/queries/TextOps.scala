@@ -36,17 +36,17 @@ object TextOps {
   private val swList = TA.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   val textStatsSql: String = {
-    val lenScore = "least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)"
-    val swScore = s"least((len(list_filter(toks, t -> list_contains($swList, t))) / CAST(len(toks) AS DOUBLE)) * 5.0, 1.0)"
-    val ttr = "len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)"
+    val lenScore = "least(CAST(greatest(len(toks), 1) AS DOUBLE) / 100.0, 1.0)"
+    val swScore = s"least((len(list_filter(toks, t -> list_contains($swList, t))) / CAST(greatest(len(toks), 1) AS DOUBLE)) * 5.0, 1.0)"
+    val ttr = "len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE)"
     val punct = """len(regexp_extract_all(text, '[^\w\s]')) / CAST(greatest(length(text), 1) AS DOUBLE)"""
     s"""WITH tok AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
       |SELECT doc_id,
       |  CAST(len(toks) AS INTEGER) AS n_tokens,
       |  CAST(length(text) AS INTEGER) AS n_chars_calc,
-      |  round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+      |  round(list_sum(list_transform(toks, t -> length(t))) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS avg_token_len,
       |  round($ttr, 4) AS type_token_ratio,
-      |  round(len(list_filter(toks, t -> list_contains($swList, t))) / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+      |  round(len(list_filter(toks, t -> list_contains($swList, t))) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS stopword_ratio,
       |  round($punct, 4) AS punct_ratio,
       |  round(($lenScore * 0.3 + $swScore * 0.2 + $ttr * 0.3) * greatest(1.0 - $punct * 10.0, 0.0)
       |        + greatest(1.0 - $punct * 10.0, 0.0) * 0.2, 4) AS quality_score
@@ -68,7 +68,7 @@ object TextOps {
   val langIdSql: String = {
     def mk(lang: String): String = {
       val arr = TA.langMarkers(lang).map(w => s"'$w'").mkString("[", ",", "]")
-      s"len(list_filter(toks, t -> list_contains($arr, t))) / CAST(len(toks) AS DOUBLE)"
+      s"len(list_filter(toks, t -> list_contains($arr, t))) / CAST(greatest(len(toks), 1) AS DOUBLE)"
     }
     val langs = Seq("en", "es", "de", "fr", "zh")
     val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"

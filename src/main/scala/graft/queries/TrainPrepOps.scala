@@ -77,7 +77,7 @@ object TrainPrepOps {
     val swList = TA.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH scored AS (
       |  SELECT lang, len(toks) AS n_tokens,
-      |    len(list_filter(toks, t -> list_contains($swList, t))) / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+      |    len(list_filter(toks, t -> list_contains($swList, t))) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw_ratio,
       |    len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
       |  FROM (SELECT lang, text, $toks AS toks FROM documents)),
       |verdicts AS (

@@ -87,6 +87,23 @@ class PropertySpec extends SparkSpec {
     assert(out(0) == out(1))
   }
 
+  test("quality scores are non-null for empty and whitespace-only docs") {
+    val df = Seq("", "   ", "\t\n", "one real doc here").toDF("text")
+    val scored = df.select(
+      TA.qualityScore($"text", TA.tokens($"text")).as("q"),
+      TA.stopwordRatio(TA.tokens($"text")).as("sw"))
+    assert(scored.filter($"q".isNull || $"sw".isNull).isEmpty)
+    // junk filter semantics: empty docs must be DROPPABLE by a threshold
+    assert(scored.filter($"q" < 0.3).count() == 3)
+  }
+
+  test("tokenizer splits on all whitespace, not just literal spaces") {
+    val df = Seq("the cat\nthe dog\tthe end").toDF("text")
+    val toks = df.select(explode(TA.tokens($"text")).as("t"))
+      .as[String].collect().toSeq
+    assert(toks == Seq("the", "cat", "the", "dog", "the", "end"))
+  }
+
   test("tokens never contain empty strings for arbitrary spacing") {
     val gapped = Gen.listOfN(25, Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc"))
       .map(_.mkString("  "))).sample.get

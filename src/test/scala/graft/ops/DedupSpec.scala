@@ -49,6 +49,16 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("LSH banding rejects non-divisible band widths instead of dropping slots") {
+    val sigs = Dedup.withMinhashSignature(docs, "text", numPerm = 8, shingleN = 3)
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(sigs, "doc_id", numPerm = 8, bandRows = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(sigs, "doc_id", numPerm = 8, bandRows = 16)
+    }
+  }
+
   test("connected components merge chains the pair list never states directly") {
     // 1-2, 2-3, 3-4 (chain), 10-11 (island pair), 20-21/21-22/20-22 (clique)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),

@@ -23,6 +23,23 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(saltSpread > 1)
   }
 
+  test("salted join rejects join types where unmatched small rows leak") {
+    val big = Seq((1L, "x")).toDF("k", "payload")
+    val small = Seq((1L, "one")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      ScaleJoins.saltedJoin(big, small, Seq("k"), factor = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleJoins.saltedJoin(big, small, Seq("k"), factor = 4, joinType = "full_outer")
+    }
+    // left outer IS salt-safe: unmatched BIG rows carry one salt each
+    val left = ScaleJoins.saltedJoin(
+      big.unionByName(Seq((9L, "none")).toDF("k", "payload")),
+      small, Seq("k"), factor = 4, joinType = "left")
+    assert(left.count() == 2)
+    assert(left.filter($"k" === 9 && $"name".isNull).count() == 1)
+  }
+
   private def dropManaged(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val p = new org.apache.hadoop.fs.Path(

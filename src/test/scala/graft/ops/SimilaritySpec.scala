@@ -40,6 +40,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("k-means keeps empty clusters' centroids — always returns exactly k") {
+    // 3 distinct vectors but k=5: at least 2 clusters get no assignments
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 1.0f)), (5L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(tiny, "vec_id", "embedding", k = 5, iters = 3)
+    assert(cents.count() == 5)
+  }
+
   test("k-means training reduces inertia and feeds IVF") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
