@@ -38,31 +38,55 @@ object IncrementalRollup {
         min(round(col(valueCol) * 100).cast("long")).as("min_cents"),
         max(round(col(valueCol) * 100).cast("long")).as("max_cents"))
 
+  /** State lives in versioned subdirectories `v=N`; a version COUNTS only
+    * once its `_SUCCESS` marker exists (written last by the parquet
+    * committer). Readers pick the highest complete version, updates write
+    * version N+1 and only then garbage-collect older ones — so a crash at
+    * any point leaves the previous complete version authoritative, instead
+    * of the delete-then-rewrite-in-place scheme whose mid-write crash
+    * silently reset the state to just the newest batch.
+    */
+  private def versions(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[(Long, Path)] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(s => (s.getPath.getName.stripPrefix("v=").toLong, s.getPath))
+      .filter { case (_, vp) => fs.exists(new Path(vp, "_SUCCESS")) }
+      .sortBy(_._1)
+
+  private def latestVersion(spark: SparkSession, statePath: String): Option[Path] = {
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions(fs, p).lastOption.map(_._2)
+  }
+
   /** Merge a new batch into the persisted state at `statePath`. */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
              keys: Seq[String], valueCol: String): Unit = {
     val p = new Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = partial(batch, keys, valueCol)
-    // a bare pre-created directory is "no state yet"
-    val hasState = fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-    if (!hasState) {
-      fresh.write.mode("overwrite").parquet(statePath)
-    } else {
-      val merged = spark.read.parquet(statePath)
-        .unionByName(fresh)
-        .groupBy(keys.map(col): _*)
-        .agg(stateAggs.head, stateAggs.tail: _*)
-        // state must be fully materialized before its own overwrite
-        .localCheckpoint()
-      merged.write.mode("overwrite").parquet(statePath)
+    val existing = versions(fs, p)
+    val next = new Path(p, f"v=${existing.lastOption.map(_._1).getOrElse(0L) + 1}%08d")
+    val merged = existing.lastOption match {
+      case None => fresh
+      case Some((_, cur)) =>
+        spark.read.parquet(cur.toString)
+          .unionByName(fresh)
+          .groupBy(keys.map(col): _*)
+          .agg(stateAggs.head, stateAggs.tail: _*)
     }
+    // overwrite handles a partial `next` left by a crashed previous attempt
+    merged.write.mode("overwrite").parquet(next.toString)
+    // only after the new version is complete: drop superseded versions
+    existing.foreach { case (_, vp) => fs.delete(vp, true) }
   }
 
   /** Read-time view: derived statistics from the mergeable state. */
   def result(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(statePath)
+    spark.read.parquet(latestVersion(spark, statePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no complete rollup state under $statePath")).toString)
       .withColumn("sum_value", col("sum_cents").cast("double") / 100.0)
       .withColumn("avg_value",
         round((col("sum_cents").cast("double") / col("cnt")) / 100.0, 6))

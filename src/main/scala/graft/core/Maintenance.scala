@@ -14,21 +14,75 @@ import org.apache.spark.sql.functions._
   * (the poor man's Z-order: one clustering dimension — pick the dominant
   * filter column).
   *
-  * The rewrite stages into `<dir>/.compact_tmp` and then swaps, so a crashed
-  * compaction never corrupts the live table (readers see old files until the
-  * atomic-ish rename pass completes).
+  * Crash safety — a write-ahead commit marker makes the swap recoverable at
+  * any interruption point (no transaction log on plain parquet, so this is
+  * the strongest guarantee available; readers racing a mid-swap compaction
+  * can still see partial state — schedule compactions in a maintenance
+  * window or move to a table format with a log for serializable swaps):
+  *  1. stage compacted files into `.compact_tmp` (complete when the parquet
+  *     committer writes `_SUCCESS`);
+  *  2. write `.compact_commit` containing this run's id — the point of no
+  *     return;
+  *  3. delete old data files (anything not prefixed `compact-<runId>-`);
+  *  4. move staged files in as `compact-<runId>-<name>`;
+  *  5. remove marker + tmp.
+  * [[recover]] runs at every `compact` entry: marker absent → stale tmp is
+  * discarded (old data authoritative); marker present → steps 3-5 are
+  * re-applied (staged files are complete, so the swap finishes exactly).
   */
 object Maintenance {
 
-  /** Total bytes of data files directly under `dir`. */
+  private val TmpName = ".compact_tmp"
+  private val MarkerName = ".compact_commit"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data files directly under `dir` (ignores dot/underscore entries). */
   private def dataFiles(spark: SparkSession, dir: String): Seq[(Path, Long)] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath, s.getLen))
+  }
+
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"rename failed: $from -> $to")
+
+  /** Finish (marker present) or roll back (marker absent) an interrupted
+    * compaction. Idempotent; called on every [[compact]] entry.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, TmpName)
+    val marker = new Path(dir, MarkerName)
+    if (fs.exists(marker)) {
+      // committed: staged files are complete — re-apply steps 3-5
+      val runId = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      }
+      val keepPrefix = s"compact-$runId-"
+      dataFiles(spark, dir)
+        .filterNot(_._1.getName.startsWith(keepPrefix))
+        .foreach { case (f, _) => fs.delete(f, false) }
+      if (fs.exists(tmp))
+        fs.listStatus(tmp).filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach { s =>
+            renameOrThrow(fs, s.getPath, new Path(dir, keepPrefix + s.getPath.getName))
+          }
+      fs.delete(tmp, true)
+      fs.delete(marker, false)
+    } else if (fs.exists(tmp)) {
+      // died before commit: old data is authoritative, staging is garbage
+      fs.delete(tmp, true)
+    }
   }
 
   /** Compact `dir` (a non-partitioned parquet directory) into
@@ -38,6 +92,7 @@ object Maintenance {
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Seq.empty): (Int, Int) = {
+    recover(spark, dir)
     val before = dataFiles(spark, dir)
     if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(_._2).sum
@@ -51,17 +106,23 @@ object Maintenance {
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.repartition(nFiles)
 
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, ".compact_tmp")
-    fs.delete(tmp, true)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, TmpName)
+    val marker = new Path(dir, MarkerName)
     arranged.write.mode("overwrite").parquet(tmp.toString)
-    // swap: remove old data files, move compacted ones up, drop tmp
+
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val out = fs.create(marker, true)
+    try out.write(runId.getBytes("UTF-8")) finally out.close()
+
     before.foreach { case (f, _) => fs.delete(f, false) }
     fs.listStatus(tmp).filter(_.isFile)
-      .filter(s => !s.getPath.getName.startsWith("_"))
-      .foreach(s => fs.rename(s.getPath, new Path(dir, s.getPath.getName)))
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        renameOrThrow(fs, s.getPath, new Path(dir, s"compact-$runId-" + s.getPath.getName))
+      }
     fs.delete(tmp, true)
+    fs.delete(marker, false)
     (before.size, dataFiles(spark, dir).size)
   }
 }

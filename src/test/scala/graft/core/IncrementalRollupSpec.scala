@@ -43,6 +43,30 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(rev.exceptAll(full).isEmpty && full.exceptAll(rev).isEmpty)
   }
 
+  test("crash-torn partial version is ignored; next update heals it") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables.orders(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_roll3").toString
+    IncrementalRollup.update(spark, dir, orders.filter(col("o_orderkey") % 2 === 0),
+      Seq("o_orderstatus"), "o_totalprice")
+    val afterV1 = IncrementalRollup.result(spark, dir).collect().toSet
+    // simulate a crash mid-write of v=2: directory with data but NO _SUCCESS
+    val torn = new java.io.File(dir, "v=00000002")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      torn.toPath.resolve("part-junk.parquet"), "not a parquet file")
+    // reader still serves v=1
+    assert(IncrementalRollup.result(spark, dir).collect().toSet == afterV1)
+    // next update overwrites the torn v=2 and completes
+    IncrementalRollup.update(spark, dir, orders.filter(col("o_orderkey") % 2 === 1),
+      Seq("o_orderstatus"), "o_totalprice")
+    val fullDirect = IncrementalRollup.partial(orders, Seq("o_orderstatus"), "o_totalprice")
+      .collect().length
+    assert(IncrementalRollup.result(spark, dir).collect().length == fullDirect)
+    // superseded v=1 got garbage-collected
+    assert(!new java.io.File(dir, "v=00000001").exists())
+  }
+
   test("updating with an empty batch is a no-op") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.core.Tables.orders(spark, sf)

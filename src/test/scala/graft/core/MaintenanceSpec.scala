@@ -21,6 +21,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(afterData.sameElements(beforeData))
   }
 
+  test("recovery: pre-commit crash keeps old data; post-commit crash completes swap") {
+    // --- pre-commit: stale tmp, no marker -> tmp discarded, data untouched
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_rec1").toString
+    spark.range(0, 100).select($"id").coalesce(1)
+      .write.mode("append").parquet(dir1)
+    val before = spark.read.parquet(dir1).orderBy("id").collect()
+    spark.range(500, 510).select($"id") // staged-but-uncommitted garbage
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir1/.compact_tmp")
+    Maintenance.recover(spark, dir1)
+    assert(!new java.io.File(dir1, ".compact_tmp").exists())
+    assert(spark.read.parquet(dir1).orderBy("id").collect().sameElements(before))
+
+    // --- post-commit: marker written, old files partially deleted,
+    //     staged files not yet moved -> recovery must finish the swap
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_rec2").toString
+    spark.range(0, 50).select($"id").coalesce(1).write.mode("append").parquet(dir2)
+    spark.range(50, 100).select($"id").coalesce(1).write.mode("append").parquet(dir2)
+    // stage the compacted replacement (same rows, one file)
+    spark.read.parquet(dir2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir2/.compact_tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir2, ".compact_commit"), "testrun1")
+    // simulate the crash: one old file already deleted, one still present
+    val oldFiles = new java.io.File(dir2).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    oldFiles.head.delete()
+    Maintenance.recover(spark, dir2)
+    val files = new java.io.File(dir2).listFiles().filter(_.isFile).map(_.getName)
+    assert(files.count(_.endsWith(".parquet")) == 1)
+    assert(files.filter(_.endsWith(".parquet")).forall(_.startsWith("compact-testrun1-")))
+    assert(!new java.io.File(dir2, ".compact_commit").exists())
+    assert(spark.read.parquet(dir2).count() == 100)
+  }
+
   test("cluster-by compaction produces disjoint per-file key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString
     // keys deliberately interleaved across input files
