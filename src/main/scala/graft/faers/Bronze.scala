@@ -43,6 +43,7 @@ object Bronze {
                     fixedClock: Option[java.time.Instant] = None,
                     database: String = "bronze"): Unit =
     Schemas.tables.foreach { case (table, (prefix, _)) =>
-      ingest(spark, table, s"$landingDir/$prefix$yy" + s"Q$q.txt", fixedClock, database)
+      // zero-pad: the FAERS layout is <PREFIX>YYQN.txt (DEMO05Q1, not DEMO5Q1)
+      ingest(spark, table, f"$landingDir/$prefix$yy%02dQ$q.txt", fixedClock, database)
     }
 }

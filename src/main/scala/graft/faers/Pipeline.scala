@@ -36,14 +36,36 @@ object Pipeline {
   }
 
   /** Overwrite a table that may be read inside `df`'s own lineage (the SCD2
-    * merge reads the target): stage to a side table, then swap — the
-    * DataFrame re-expression of Delta MERGE's atomic commit (SURVEY §7.3).
+    * merge reads the target): stage to a side table, retire the live table
+    * to `__prev`, promote staging, drop the retired copy. There is no
+    * multi-statement transaction on a v1 catalog, so a crash can land
+    * between any two steps — but at every point either the live name or
+    * `__prev` holds the full pre-swap data, and [[resolveTable]] checks
+    * both, so SCD2 history is never silently reset (a bare DROP+RENAME
+    * swap would rebuild the dimension as a fresh initial load after a
+    * mid-swap crash).
     */
   private def overwriteViaSwap(spark: SparkSession, df: DataFrame, table: String): Unit = {
     val staging = table + "__staging"
+    val prev = table + "__prev"
     df.write.mode("overwrite").saveAsTable(staging)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $prev")
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE $table RENAME TO $prev")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS $prev")
+  }
+
+  /** The readable copy of a swapped table: the live name, or the retired
+    * `__prev` left by a crash between swap steps (recovered + re-promoted).
+    */
+  private[faers] def resolveTable(spark: SparkSession, table: String): Option[DataFrame] = {
+    val prev = table + "__prev"
+    if (spark.catalog.tableExists(table)) Some(spark.table(table))
+    else if (spark.catalog.tableExists(prev)) {
+      spark.sql(s"ALTER TABLE $prev RENAME TO $table")
+      Some(spark.table(table))
+    } else None
   }
 
   def runBronze(spark: SparkSession, landingDir: String, yy: Int, q: Int,
@@ -68,8 +90,7 @@ object Pipeline {
     Dims.specs.foreach { spec =>
       val staged = spec.build(spark.table(s"silver.${spec.sourceTable}"))
       val fq = s"gold.${spec.name}"
-      val target =
-        if (spark.catalog.tableExists(fq)) Some(spark.table(fq)) else None
+      val target = resolveTable(spark, fq)
       val merged = Scd2.applyScdType2Merge(
         target, staged, spec.businessKeys, spec.trackedCols, scdClock)
       if (target.isEmpty)

@@ -120,6 +120,13 @@ object FactAdverseEvents {
         col("age").cast(IntegerType).as("patient_age"),
         col("wt").cast(DecimalType(8, 2)).as("patient_weight"),
         col("dose_amt").cast(DecimalType(15, 4)).as("drug_dose_amount"),
+        // Preserved reference quirk (fact_adverse_events.py:216-222): the
+        // fact tests dur_cod == "DAY" although the FAERS code — used by the
+        // reference's own silver layer — is "DY". "DY" rows therefore fall
+        // through `.otherwise(dur)` (accidentally right) and "HR"/"MIN"
+        // rows surface raw counts as days. Replicated, not fixed — the
+        // CORRECT conversion exists upstream as silver
+        // therapy_dates.reported_duration_days (silver_therapy_dates.py:67-90).
         when(col("dur_cod") === "DAY", col("dur"))
           .when(col("dur_cod") === "WK", col("dur") * 7)
           .when(col("dur_cod") === "MON", col("dur") * 30)

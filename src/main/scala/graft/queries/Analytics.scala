@@ -123,7 +123,7 @@ object Analytics {
     * any reader/writer asymmetry breaks the hash.
     */
   def csvRoundtrip: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = Scratch.dir("graft_csv")
     Tables.nation(s, d)
       .select(col("n_nationkey").cast("string"), col("n_name"),
         col("n_regionkey").cast("string"))
@@ -153,7 +153,7 @@ object Analytics {
     * partition column (metadata-only prune), aggregate the survivors.
     */
   def latestPartition: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = Scratch.dir("graft_part")
     Tables.events(s, d)
       .withColumn("_ingest_dt",
         when(col("event_id") % 3 === 0, lit("2024-01-02")).otherwise(lit("2024-01-01")))

@@ -89,7 +89,6 @@ object EventOps {
 
   /** S9: temp-view registration + the `spark.sql` query surface. */
   def sqlTempView: Q = (s, d) => {
-    Tables.events(s, d).createOrReplaceTempView("events_v")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
     s.sql(
       """SELECT l_returnflag,

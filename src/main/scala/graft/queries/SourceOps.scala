@@ -24,7 +24,7 @@ object SourceOps {
     * broadcast-join nation → per-nation rollup.
     */
   def jsonRoundtrip: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val tmp = Scratch.dir("graft_json")
     Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
       .coalesce(1).write.mode("overwrite").json(tmp)
@@ -51,7 +51,7 @@ object SourceOps {
     * point.
     */
   def orcRoundtrip: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = Scratch.dir("graft_orc")
     Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .write.mode("overwrite").orc(tmp)

@@ -168,6 +168,20 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter($"patient_primary_id" === "101" && $"is_current").count() == 1)
   }
 
+  test("crash between swap steps: resolveTable recovers SCD2 history from __prev") {
+    // simulate dying after `live -> __prev` but before staging promotion
+    val rows = spark.table("gold.dim_patient").count()
+    spark.sql("ALTER TABLE gold.dim_patient RENAME TO gold.dim_patient__prev")
+    assert(!spark.catalog.tableExists("gold.dim_patient"))
+    val recovered = Pipeline.resolveTable(spark, "gold.dim_patient")
+    // history is intact, table re-promoted under the live name
+    assert(recovered.isDefined && recovered.get.count() == rows)
+    assert(spark.catalog.tableExists("gold.dim_patient"))
+    assert(!spark.catalog.tableExists("gold.dim_patient__prev"))
+    // a truly-absent table still resolves to None (initial-load path)
+    assert(Pipeline.resolveTable(spark, "gold.never_existed").isEmpty)
+  }
+
   override def afterAll(): Unit = {
     Seq("bronze", "silver", "gold").foreach { db =>
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
