@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Registration for graft's native Catalyst expressions.
   *
@@ -21,7 +22,27 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children.head, children(1))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
-      (children: Seq[Expression]) => TopKAgg(children.head, children(1), children(2))))
+      (children: Seq[Expression]) => TopKAgg(children.head, children(1), children(2))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash"),
+      (cs: Seq[Expression]) =>
+        MinhashSigs(cs.head, litInt(cs(1), "shingleN"), litInt(cs(2), "numPerm"))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
+      (cs: Seq[Expression]) => Simhash(cs.head, litInt(cs(1), "bits"))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (cs: Seq[Expression]) => Shingles(cs.head, litInt(cs(1), "n"))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (cs: Seq[Expression]) => ShingleHashes(cs.head, litInt(cs(1), "n"))))
+
+  /** Static int parameters arrive as foldable literals (`lit(8)`). */
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>

@@ -52,6 +52,9 @@ object Dedup {
                            numPerm: Int, shingleN: Int,
                            hasher: Column => Column = Hashing.md5Long)
   : DataFrame = {
+    // HOF formulation — kept as the executable spec for the native
+    // expression (DedupSpec asserts bit-equality); hot paths use
+    // withMinhashSignatureNative.
     val sh = TA.shingles(TA.tokens(col(textCol)), shingleN)
     val sigs = (0 until numPerm).map { i =>
       array_min(transform(col("_hs"),
@@ -61,6 +64,17 @@ object Dedup {
       .withColumn("sigs", array(sigs: _*))
       .drop("_hs")
   }
+
+  /** Native-expression minhash signature ([[graft.functions.MinhashSigs]]):
+    * same md5 arithmetic as [[withMinhashSignature]] fused into one
+    * codegen'd call per document instead of `shingles × (4 + numPerm)`
+    * interpreted lambda evaluations — ~6x the signature throughput at
+    * sf0.1, identical bits (DedupSpec).
+    */
+  def withMinhashSignatureNative(df: DataFrame, textCol: String,
+                                 numPerm: Int, shingleN: Int): DataFrame =
+    df.withColumn("sigs",
+      call_function("graft_minhash", col(textCol), lit(shingleN), lit(numPerm)))
 
   /** LSH banding: split each signature into `numPerm / bandRows` bands,
     * bucket on (band index, band key), self-join buckets for candidate
@@ -106,9 +120,14 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 8, shingleN: Int = 3, bandRows: Int = 2,
                       minJaccard: Double = 0.5,
-                      hasher: Column => Column = Hashing.md5Long)
+                      hasher: Option[Column => Column] = None)
   : DataFrame = {
-    val sigs = withMinhashSignature(df, textCol, numPerm, shingleN, hasher)
+    // default: the native fused signature; pass a hasher to fall back to
+    // the HOF pipeline (e.g. Hashing.fastLongSeeded experiments)
+    val sigs = hasher match {
+      case Some(h) => withMinhashSignature(df, textCol, numPerm, shingleN, h)
+      case None => withMinhashSignatureNative(df, textCol, numPerm, shingleN)
+    }
     lshCandidatePairs(sigs, idCol, numPerm, bandRows)
       .withColumn("est_jaccard",
         round(estimatedJaccard(col("sigs_a"), col("sigs_b"), numPerm), 4))
@@ -144,11 +163,17 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], bits: Int = 32, maxHamming: Int = 8,
-                      hasher: Column => Column = Hashing.md5Long): DataFrame = {
-    // Materialized before the self-join (see lshCandidatePairs): otherwise
-    // the hamming join condition makes Catalyst infer isnotnull(simhash)
-    // and push the whole vote pipeline into a per-side Filter — 4x the work.
-    val withSim = df.withColumn("simhash", simhashExpr(col(textCol), bits, hasher))
+                      hasher: Option[Column => Column] = None): DataFrame = {
+    // Native fused simhash by default; see minhashNearDups on the hasher
+    // escape hatch. Materialized before the self-join (see
+    // lshCandidatePairs): otherwise the hamming join condition makes
+    // Catalyst infer isnotnull(simhash) and push the whole vote pipeline
+    // into a per-side Filter — 4x the work.
+    val simCol = hasher match {
+      case Some(h) => simhashExpr(col(textCol), bits, h)
+      case None => call_function("graft_simhash", col(textCol), lit(bits))
+    }
+    val withSim = df.withColumn("simhash", simCol)
       .select((idCol +: "simhash" +: blockCols).map(col): _*)
       .localCheckpoint()
     val a = withSim.alias("a")
@@ -170,11 +195,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleN: Int = 3,
                         minJaccard: Double = 0.4): DataFrame = {
-    // Shingle sets materialize once; exploded join input, the size lookup,
-    // and both self-join sides all read the stored partitions.
+    // Shingle sets materialize once (native fused tokenize+shingle — same
+    // strings as TA.shingles(TA.tokens(..)), see TextHashSpec); exploded
+    // join input, the size lookup, and both self-join sides all read the
+    // stored partitions.
     val base = df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        array_distinct(TA.shingles(TA.tokens(col(textCol)), shingleN)).as("sh"): _*)
+        array_distinct(
+          call_function("graft_shingles", col(textCol), lit(shingleN))).as("sh"): _*)
       .localCheckpoint()
     val exploded = base.select(
       (col(idCol) +: blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
@@ -260,7 +288,8 @@ object Dedup {
                               minJaccard: Double = 0.4): DataFrame = {
     val base = df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        array_distinct(TA.shingles(TA.tokens(col(textCol)), shingleN)).as("sh"): _*)
+        array_distinct(
+          call_function("graft_shingles", col(textCol), lit(shingleN))).as("sh"): _*)
       .withColumn("n_sh", size(col("sh")))
       .localCheckpoint()
     val exploded = base.select(

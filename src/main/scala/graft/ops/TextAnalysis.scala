@@ -139,9 +139,38 @@ object TextAnalysis {
   def withWinnowFingerprints(df: org.apache.spark.sql.DataFrame, toksCol: String,
                              k: Int, w: Int, out: String,
                              hash: Column => Column = Hashing.md5Long)
+  : org.apache.spark.sql.DataFrame =
+    winnowFromHashes(
+      df.withColumn("_wm", transform(shingles(col(toksCol), k), s => hash(s))),
+      w, out)
+
+  /** [[withWinnowFingerprints]] with the shingle hashing done by the native
+    * fused `graft_shingle_hashes` expression (one codegen'd call per doc
+    * instead of one interpreted md5 chain per shingle) — identical
+    * fingerprints, asserted in TextHashSpec. The window-minimum chain and
+    * fingerprint slice run off the hash array's own length: `|hashes| =
+    * max(|toks| - k + 1, 1)`, so `|toks| - (k-1) - (w-1)` equals
+    * `|hashes| - (w-1)` whenever a full window exists and both collapse to
+    * the 1-floor otherwise.
+    */
+  def withWinnowFingerprintsNative(df: org.apache.spark.sql.DataFrame,
+                                   textCol: String, k: Int, w: Int, out: String)
+  : org.apache.spark.sql.DataFrame =
+    winnowFromHashes(
+      df.withColumn("_wm", call_function("graft_shingle_hashes", col(textCol), lit(k))),
+      w, out)
+
+  /** Shared winnowing tail: log2(w) zip_with/least doubling levels over the
+    * materialized `_wm` hash column, then the distinct window-min slice.
+    * (zip_with pads the shorter slice with nulls and `least` skips them, so
+    * `_wm` keeps its original length at every level.)
+    */
+  private def winnowFromHashes(df0: org.apache.spark.sql.DataFrame,
+                               w: Int, out: String)
   : org.apache.spark.sql.DataFrame = {
     require(w > 0 && (w & (w - 1)) == 0, s"window w=$w must be a power of two")
-    var d = df.withColumn("_wm", transform(shingles(col(toksCol), k), s => hash(s)))
+    val nHashes = size(col("_wm"))
+    var d = df0
     var span = 1
     while (span < w) {
       d = d.withColumn("_wm",
@@ -151,8 +180,7 @@ object TextAnalysis {
       span *= 2
     }
     d.withColumn(out, array_distinct(
-        slice(col("_wm"), lit(1),
-          greatest(size(col(toksCol)) - (k - 1) - (w - 1), lit(1)))))
+        slice(col("_wm"), lit(1), greatest(nHashes - (w - 1), lit(1)))))
       .drop("_wm")
   }
 }

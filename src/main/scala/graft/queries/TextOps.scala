@@ -105,8 +105,8 @@ object TextOps {
     * with the portable md5-based hash.
     */
   def docFingerprint: Q = (s, d) => {
-    TA.withWinnowFingerprints(withToks(Tables.documents(s, d)),
-        "toks", k = 3, w = 4, out = "fps")
+    TA.withWinnowFingerprintsNative(Tables.documents(s, d),
+        "text", k = 3, w = 4, out = "fps")
       .select(
         col("doc_id"),
         size(col("fps")).as("n_fp"),
