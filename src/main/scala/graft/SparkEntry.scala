@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.TrainPrepOps.queries ++
       graft.queries.SqlSurfaceOps.queries ++
       graft.queries.SourceOps.queries ++
-      graft.queries.SnapshotOps.queries
+      graft.queries.SnapshotOps.queries ++
+      graft.queries.SketchOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.TrainPrepOps.oracles ++
       graft.queries.SqlSurfaceOps.oracles ++
       graft.queries.SourceOps.oracles ++
-      graft.queries.SnapshotOps.oracles
+      graft.queries.SnapshotOps.oracles ++
+      graft.queries.SketchOps.oracles
 }

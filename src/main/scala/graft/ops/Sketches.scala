@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level companions to the [[graft.functions.KmvAgg]] sketch: the
+  * estimate derivation and the state-merge used by incremental rollups.
+  * Both are plain (codegen'd) array expressions over k-element arrays, and
+  * both have exact DuckDB equivalents so sketch outputs stay hash-gateable.
+  */
+object Sketches {
+
+  /** 2^60 — the value space of [[Hashing.md5Long]]; exactly representable
+    * as a double (mantissa 1, exponent 60), so `(k-1) * KmvSpace` is an
+    * exact double product in Spark and DuckDB alike.
+    */
+  val KmvSpace: Double = 1.152921504606846976e18
+
+  /** The KMV aggregate as a Column (requires graft function registration). */
+  def kmv(hash: Column, k: Int): Column = call_function("graft_kmv", hash, lit(k))
+
+  /** Distinct-count estimate from a k-min set: exact when the set never
+    * filled (|set| IS the distinct count), else the classic KMV estimator
+    * `(k-1) * space / kthSmallest`, floored for engine-portable rounding.
+    */
+  def kmvEstimate(set: Column, k: Int): Column =
+    when(size(set) < k, size(set).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(KmvSpace) /
+        element_at(set, k).cast("double")).cast("long"))
+
+  /** Merge partial k-min sets ACROSS ROWS of a group (rollup state merge):
+    * distinct-union of all sets, sorted, truncated to k. collect_list order
+    * is nondeterministic but distinct+sort makes the merge order-free —
+    * the monoid property incremental state needs.
+    */
+  def kmvMergeAgg(set: Column, k: Int): Column =
+    slice(array_sort(array_distinct(flatten(collect_list(set)))), 1, k)
+
+  /** DuckDB fragment for [[kmvEstimate]] given the per-group distinct
+    * count `ndExpr` and k-th smallest hash `hkExpr` (NULL when unfilled).
+    */
+  def kmvEstimateSql(ndExpr: String, hkExpr: String, k: Int): String =
+    s"CAST(CASE WHEN $ndExpr < $k THEN $ndExpr ELSE " +
+      s"CAST(floor(${(k - 1).toDouble} * 1152921504606846976.0 / " +
+      s"CAST($hkExpr AS DOUBLE)) AS BIGINT) END AS BIGINT)"
+}

@@ -67,6 +67,41 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(!new java.io.File(dir, "v=00000001").exists())
   }
 
+  test("KMV sketch state: batch-merged approx_distinct equals one-shot sketch") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables.orders(spark, sf)
+    def run(order: Seq[Int]): Map[String, Long] = {
+      val batches = Seq(
+        orders.filter(col("o_orderkey") % 3 === 0),
+        orders.filter(col("o_orderkey") % 3 === 1),
+        orders.filter(col("o_orderkey") % 3 === 2))
+      val dir = java.nio.file.Files.createTempDirectory("graft_rollk").toString
+      order.foreach(i => IncrementalRollup.update(spark, dir, batches(i),
+        Seq("o_orderpriority"), "o_totalprice", distinctCol = Some("o_custkey")))
+      IncrementalRollup.result(spark, dir)
+        .select("o_orderpriority", "approx_distinct")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val fwd = run(Seq(0, 1, 2))
+    val rev = run(Seq(2, 1, 0))
+    // one-shot sketch over the full table = the merged state's answer
+    val oneShot = IncrementalRollup.partial(orders, Seq("o_orderpriority"),
+        "o_totalprice", Some("o_custkey"))
+      .select(col("o_orderpriority"),
+        graft.ops.Sketches.kmvEstimate(col("kmv"), IncrementalRollup.KmvK).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fwd == oneShot && rev == oneShot)
+    // and the estimate tracks the exact distinct count
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val est = fwd(k)
+      assert(math.abs(est - ex) <= math.max(3.0, 0.15 * ex),
+        s"group $k: estimate $est vs exact $ex")
+    }
+  }
+
   test("updating with an empty batch is a no-op") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.core.Tables.orders(spark, sf)
