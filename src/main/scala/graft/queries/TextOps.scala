@@ -128,11 +128,82 @@ object TextOps {
       |FROM win ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- BM25 relevance
+
+  private val BmTerms = Seq("hash", "join", "vector")
+
+  /** BM25 relevance (k1=1.2, b=0.75) of every document for a fixed query,
+    * plus the matched-term count — corpus-relevance scoring for retrieval
+    * filtering / quality mixing in a training pipeline.
+    *
+    * Shape at scale: corpus stats (N, avgdl) are two driver scalars (the
+    * reference's own percentage-of-total pattern); candidate docs are
+    * pruned SCAN-SIDE with `arrays_overlap` before the explode so only
+    * docs containing a query term shuffle; per-term document frequencies
+    * are a tiny broadcast. Per-doc scores sum the per-term weights in
+    * FIXED term order (conditional max per term, not sum over rows) so the
+    * double result is independent of row arrival order — same discipline
+    * as Num's integer-cents sums.
+    */
+  def bm25: Q = (s, d) => {
+    val toksDf = Tables.documents(s, d)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val st = toksDf.agg(
+      sum(col("dl")).cast("double").as("s"),
+      count(lit(1)).cast("double").as("n")).first()
+    val nDocs = st.getDouble(1)
+    val avgdl = st.getDouble(0) / nDocs
+    val tf = toksDf
+      .filter(arrays_overlap(col("toks"), array(BmTerms.map(lit): _*)))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(BmTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val w = tf.join(broadcast(dfTab), "term")
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+    w.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        round(BmTerms.map(t =>
+            coalesce(max(when(col("term") === t, col("w"))), lit(0.0)))
+          .reduce(_ + _), 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bm25Sql: String = {
+    val terms = BmTerms.map(t => s"'$t'").mkString(", ")
+    val perTerm = BmTerms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN w END), 0.0)").mkString(" + ")
+    s"""WITH dl AS (SELECT doc_id, len(toks) AS dl, toks
+      |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, dl, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dl)
+      |  WHERE t IN ($terms) GROUP BY 1, 2, 3),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |w AS (SELECT doc_id, term,
+      |    ln((s.n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+      |      (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl)) AS w
+      |  FROM tf JOIN df USING (term) CROSS JOIN stats s)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |  round($perTerm, 4) AS bm25
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
     "q_doc_fingerprint" -> docFingerprint,
+    "q_bm25" -> bm25,
   )
 
   val oracles: Map[String, String] = Map(
@@ -140,5 +211,6 @@ object TextOps {
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
     "q_doc_fingerprint" -> docFingerprintSql,
+    "q_bm25" -> bm25Sql,
   )
 }
