@@ -86,25 +86,48 @@ object Maintenance {
   }
 
   /** Compact `dir` (a non-partitioned parquet directory) into
-    * ceil(totalBytes / targetBytes) files, sorted by `clusterBy` when given.
-    * Returns (filesBefore, filesAfter).
+    * ceil(totalBytes / targetBytes) files, sorted by `clusterBy` when
+    * given, or Z-order-clustered on a column PAIR via `zorderBy` (filters
+    * on either column then skip most files — a single-column sort only
+    * serves its own column). Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              clusterBy: Seq[String] = Seq.empty): (Int, Int) = {
+              clusterBy: Seq[String] = Seq.empty,
+              zorderBy: Option[(String, String)] = None): (Int, Int) = {
     recover(spark, dir)
     val before = dataFiles(spark, dir)
     if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(_._2).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
-    val arranged: DataFrame =
-      if (clusterBy.nonEmpty)
+    val arranged: DataFrame = zorderBy match {
+      case Some((xc, yc)) =>
+        // min/max-normalize both columns into the 31-bit Morton domain
+        // (driver scalars — a layout-time cost, like file listing), key by
+        // graft_zorder, range-partition + sort on the key, then drop it:
+        // each file owns a z-curve segment = a region tight in BOTH dims
+        val r = df.agg(
+          min(col(xc)).cast("double"), max(col(xc)).cast("double"),
+          min(col(yc)).cast("double"), max(col(yc)).cast("double")).first()
+        def norm(c: String, lo: Double, hi: Double) = {
+          val span = if (hi > lo) hi - lo else 1.0
+          (((col(c).cast("double") - lit(lo)) / lit(span)) *
+            lit(((1L << 31) - 1).toDouble)).cast("long")
+        }
+        df.withColumn("_zkey", call_function("graft_zorder",
+            norm(xc, r.getDouble(0), r.getDouble(1)),
+            norm(yc, r.getDouble(2), r.getDouble(3))))
+          .repartitionByRange(nFiles, col("_zkey"))
+          .sortWithinPartitions(col("_zkey"))
+          .drop("_zkey")
+      case None if clusterBy.nonEmpty =>
         // range-partition on the cluster key then sort within: each output
         // file owns a disjoint key range -> tight min/max stats for skipping
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
-      else df.repartition(nFiles)
+      case None => df.repartition(nFiles)
+    }
 
     val fs = fsOf(spark, dir)
     val tmp = new Path(dir, TmpName)

@@ -23,6 +23,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (children: Seq[Expression]) => TopKAgg(children.head, children(1), children(2))),
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      (children: Seq[Expression]) => ZOrderKey(children.head, children(1))),
     (FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvAgg(children.head, children(1))),

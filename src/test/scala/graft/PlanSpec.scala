@@ -76,6 +76,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Filter (_p"))
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // The 100 TB shuffle-join reducer: a selective filter on one join side
+    // makes Catalyst build a bloom filter over its join keys and push a
+    // bloom_filter_might_contain probe into the OTHER side's scan, so
+    // non-matching fact rows die before the exchange instead of shuffling.
+    // Thresholds are sized for clusters; lower them to show the rewrite on
+    // test data, and force a shuffle join (broadcast joins don't need it).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.core.Tables.lineitem(spark, sf)
+      val ord = graft.core.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // and the rewrite preserves results vs the plain join
+      val expect = li.join(ord.hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      assert(joined.collect().toSeq == expect.collect().toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx sketches track exact answers within tolerance (the 100TB path)") {
     val li = graft.core.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_orderkey"))).first.getLong(0)

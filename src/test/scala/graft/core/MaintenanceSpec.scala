@@ -78,4 +78,40 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(spark.read.parquet(dir).count() == 10000)
   }
+
+  test("zorder compaction keeps BOTH dimensions tight per file; x-sort does not") {
+    // 256x256 grid, both dims uniform and independent — the adversarial
+    // case for single-column clustering
+    def freshGrid(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+      spark.range(0, 65536)
+        .select(($"id" % 256).as("x"), expr("id div 256").as("y"))
+        .repartition(8).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def avgSpan(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .collect().map(_.getDouble(1))
+      spans.sum / spans.length
+    }
+    val zDir = freshGrid()
+    // small targetBytes -> 16 output files
+    val (_, nz) = Maintenance.compact(spark, zDir,
+      targetBytes = 20L * 1024, zorderBy = Some(("x", "y")))
+    assert(nz >= 8, s"expected a multi-file z-layout, got $nz")
+    val xDir = freshGrid()
+    Maintenance.compact(spark, xDir, targetBytes = 20L * 1024,
+      clusterBy = Seq("x"))
+    // z-order: every file is a curve segment, tight in both dims;
+    // x-sort: x tight but y spans ~the whole domain in every file
+    assert(avgSpan(zDir, "x") < 0.6 * 255, s"z x-span ${avgSpan(zDir, "x")}")
+    assert(avgSpan(zDir, "y") < 0.6 * 255, s"z y-span ${avgSpan(zDir, "y")}")
+    assert(avgSpan(xDir, "y") > 0.9 * 255, s"xsort y-span ${avgSpan(xDir, "y")}")
+    assert(avgSpan(zDir, "y") < 0.7 * avgSpan(xDir, "y"))
+    // layout changes nothing about the data
+    assert(spark.read.parquet(zDir).agg(sum($"x" + $"y" * 256)).first.getLong(0) ==
+      (0L until 65536L).sum)
+  }
 }
