@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.SqlSurfaceOps.queries ++
       graft.queries.SourceOps.queries ++
       graft.queries.SnapshotOps.queries ++
-      graft.queries.SketchOps.queries
+      graft.queries.SketchOps.queries ++
+      graft.queries.RollupOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.SqlSurfaceOps.oracles ++
       graft.queries.SourceOps.oracles ++
       graft.queries.SnapshotOps.oracles ++
-      graft.queries.SketchOps.oracles
+      graft.queries.SketchOps.oracles ++
+      graft.queries.RollupOps.oracles
 }
