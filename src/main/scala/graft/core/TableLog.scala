@@ -1,0 +1,192 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal manifest-log table format over plain parquet — the engine's
+  * stand-in for the Delta transaction log the reference leans on
+  * (`bronze.write.format("delta")`, MERGE, OPTIMIZE; no Delta/Iceberg jars
+  * exist in this environment, SURVEY §7.1).
+  *
+  * Layout: data files live flat in the table directory; `_graft_log/`
+  * holds one manifest per version (`<v>.manifest`, zero-padded), each
+  * listing the COMPLETE set of data files that make up that snapshot.
+  * Full-snapshot manifests (vs Delta's delta-actions) trade O(files) bytes
+  * per commit for replay-free reads — the right trade until file counts
+  * reach the millions, at which point compaction (below) is already
+  * bounding them.
+  *
+  * Guarantees, and how:
+  *  - **Atomic commit**: data files are fully written (staged under a
+  *    dot-prefixed dir, then moved in with a unique commit prefix) BEFORE
+  *    the manifest exists; the manifest is created with an atomic
+  *    create-no-overwrite, so a version either exists completely or not at
+  *    all. A crash mid-write leaves orphan data files that no manifest
+  *    references — invisible to readers, reclaimed by [[vacuum]].
+  *  - **Optimistic concurrency**: two writers racing to version N+1 — one
+  *    wins the create-no-overwrite, the loser re-reads the new tip and
+  *    retries (classic lakehouse-log protocol).
+  *  - **Snapshot isolation**: a reader resolves its manifest once; later
+  *    commits add files under NEW names (commit-prefixed), and compaction
+  *    never deletes data files — only [[vacuum]] does, and only for
+  *    versions older than the retention floor.
+  *  - **Time travel**: `read(version = Some(v))` pins any retained
+  *    manifest ([[graft.ops.SnapshotDiff]] turns two versions into a CDC
+  *    change feed).
+  *  - **OPTIMIZE**: [[compact]] rewrites the current snapshot into
+  *    target-size files and commits a new manifest; old versions still
+  *    reference the old files, so layout changes are themselves
+  *    time-travelable.
+  */
+object TableLog {
+
+  private val LogDir = "_graft_log"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, v: Long) =
+    new Path(new Path(dir, LogDir), f"$v%020d.manifest")
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val log = new Path(dir, LogDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong)
+      .sorted
+  }
+
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val in = fs.open(manifestPath(dir, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Write `df`'s rows as data files carrying `commitId` in their names;
+    * returns the new file names. Staged fully before any manifest points
+    * at them.
+    */
+  private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame,
+                             commitId: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val stage = new Path(dir, s".stage-$commitId")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val files = fs.listStatus(stage).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map { s =>
+        val name = s"$commitId-${s.getPath.getName}"
+        if (!fs.rename(s.getPath, new Path(dir, name)))
+          throw new java.io.IOException(s"stage move failed for $name")
+        name
+      }
+    fs.delete(stage, true)
+    files
+  }
+
+  /** Create-no-overwrite commit as the next version; `mkFiles` maps the
+    * CURRENT tip's file list to the new manifest and is re-evaluated on
+    * every attempt, so a committer that loses the race to version N
+    * re-bases on N's manifest before trying N+1 — without this, a losing
+    * APPEND would silently drop the winner's files (lost update).
+    * Returns the committed version.
+    */
+  private def commit(spark: SparkSession, dir: String,
+                     mkFiles: Seq[String] => Seq[String]): Long = {
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new Path(dir, LogDir))
+    var committed = -1L
+    while (committed < 0) {
+      val tip = versions(spark, dir).lastOption
+      val base = tip.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
+      val v = tip.getOrElse(0L) + 1
+      val files = mkFiles(base)
+      try {
+        // overwrite=false -> atomic create; loser of a race gets an exception
+        val out = fs.create(manifestPath(dir, v), false)
+        try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        committed = v
+      } catch {
+        case _: java.io.IOException if fs.exists(manifestPath(dir, v)) => // retry
+      }
+    }
+    committed
+  }
+
+  /** Append `df` to the table; returns the new version. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val fresh = writeDataFiles(spark, dir, df, commitId)
+    commit(spark, dir, base => base ++ fresh)
+  }
+
+  /** Replace the table's contents with `df`; returns the new version. */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val fresh = writeDataFiles(spark, dir, df, commitId)
+    commit(spark, dir, _ => fresh)
+  }
+
+  /** Snapshot read: the latest version, or a pinned one (time travel).
+    * An empty manifest (overwrite with zero rows) yields an empty frame
+    * only when the caller's schema is recoverable — callers keep at least
+    * one file per snapshot in practice (parquet writers always emit one).
+    */
+  def read(spark: SparkSession, dir: String,
+           version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")} (vacuumed?)")
+    val files = readManifest(spark, dir, v).map(f => s"$dir/$f")
+    spark.read.parquet(files: _*)
+  }
+
+  /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and
+    * commit the new layout as a new version. Old data files stay for time
+    * travel until vacuumed. Returns (filesBefore, filesAfter, newVersion).
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+    val fs = fsOf(spark, dir)
+    val tip = versions(spark, dir).last
+    val current = readManifest(spark, dir, tip)
+    val totalBytes = current.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val fresh = writeDataFiles(spark, dir,
+      read(spark, dir, Some(tip)).repartition(nFiles), commitId)
+    // carry over files appended by racing writers since the snapshot read:
+    // the new manifest = rewritten snapshot + anything not in that snapshot
+    val compactedSet = current.toSet
+    val v = commit(spark, dir, base => fresh ++ base.filterNot(compactedSet))
+    (current.size, fresh.size, v)
+  }
+
+  /** Drop manifests older than the newest `keepVersions` and delete data
+    * files no retained manifest references (orphans from crashed commits
+    * included). The retention floor is the time-travel horizon.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Unit = {
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - math.max(1, keepVersions)))
+    val referenced = keep.flatMap(readManifest(spark, dir, _)).toSet
+    drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .filterNot(s => referenced.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, false))
+    // stale staging dirs from crashed writers
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+}

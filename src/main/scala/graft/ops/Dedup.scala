@@ -250,7 +250,10 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // every node in `labels` has >= 1 edge by construction -> inner joins
+      // every node in `labels` has >= 1 edge by construction -> inner joins.
+      // ONE materialization per round: the convergence probe and the next
+      // round's label read both run off this checkpoint (a second
+      // checkpoint of the trivial select would just re-write the rows).
       val next = edges
         .join(labels.select(col("node").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src").as("node"))
@@ -260,7 +263,7 @@ object Dedup {
           col("label"))
         .localCheckpoint()
       converged = next.filter(col("new_label") =!= col("label")).isEmpty
-      labels = next.select(col("node"), col("new_label").as("label")).localCheckpoint()
+      labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
     labels.withColumnRenamed("label", "component")

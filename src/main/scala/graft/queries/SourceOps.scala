@@ -67,13 +67,51 @@ object SourceOps {
       |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** The manifest-log table format end-to-end: lineitem appended as three
+    * committed versions, then aggregated from BOTH the version-2 snapshot
+    * (time travel: first two slices only) and the tip (all rows). The
+    * oracle recomputes each from the raw table with the matching slice
+    * filters — hash equality proves commits are complete snapshots and
+    * time travel reads exactly the pinned one.
+    */
+  def tableLog: Q = (s, d) => {
+    val dir = Scratch.dir("tlog_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    (0 to 2).foreach(i =>
+      graft.core.TableLog.append(s, dir, li.filter(col("l_orderkey") % 3 === i)))
+    val atV2 = graft.core.TableLog.read(s, dir, version = Some(2L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_v2"), sum(col("l_quantity")).as("qty_v2"))
+    val atTip = graft.core.TableLog.read(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_tip"), sum(col("l_quantity")).as("qty_tip"))
+    atV2.join(atTip, "l_returnflag").orderBy(col("l_returnflag"))
+  }
+
+  val tableLogSql: String =
+    """WITH v2 AS (SELECT l_returnflag, count(*) AS n_v2,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty_v2
+      |  FROM lineitem WHERE l_orderkey % 3 IN (0, 1) GROUP BY l_returnflag),
+      |tip AS (SELECT l_returnflag, count(*) AS n_tip,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_v2, qty_v2, n_tip, qty_tip
+      |FROM v2 JOIN tip USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
+    "q_table_log" -> tableLog,
   )
 
   val oracles: Map[String, String] = Map(
     "q_json_roundtrip" -> jsonRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_table_log" -> tableLogSql,
   )
 }

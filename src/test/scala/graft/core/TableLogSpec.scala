@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TableLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_tlog").toString
+
+  test("append/overwrite commit atomically; reads see full snapshots") {
+    val dir = freshDir()
+    val v1 = TableLog.append(spark, dir, spark.range(0, 100).select($"id"))
+    val v2 = TableLog.append(spark, dir, spark.range(100, 250).select($"id"))
+    assert(v1 == 1 && v2 == 2)
+    assert(TableLog.read(spark, dir).count() == 250)
+    val v3 = TableLog.overwrite(spark, dir, spark.range(0, 10).select($"id"))
+    assert(v3 == 3 && TableLog.read(spark, dir).count() == 10)
+  }
+
+  test("time travel pins any retained version; snapshot diff derives the change") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 100).select($"id"))
+    TableLog.append(spark, dir, spark.range(100, 150).select($"id"))
+    TableLog.overwrite(spark, dir, spark.range(50, 120).select($"id"))
+    assert(TableLog.read(spark, dir, Some(1)).count() == 100)
+    assert(TableLog.read(spark, dir, Some(2)).count() == 150)
+    assert(TableLog.read(spark, dir, Some(3)).count() == 70)
+    // versions 2 -> 3 as a change feed
+    val old = TableLog.read(spark, dir, Some(2))
+    val neu = TableLog.read(spark, dir, Some(3))
+    assert(old.join(neu, Seq("id"), "left_anti").count() == 80) // deletes
+    assert(neu.join(old, Seq("id"), "left_anti").count() == 0)
+  }
+
+  test("uncommitted data files are invisible; vacuum reclaims them and old versions") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 100).select($"id"))
+    // a crashed writer: data files moved in, manifest never written
+    spark.range(900, 1000).select($"id")
+      .write.mode("overwrite").parquet(s"$dir/.stage-deadbeef")
+    val before = TableLog.read(spark, dir).count()
+    assert(before == 100) // orphan staging invisible
+    TableLog.append(spark, dir, spark.range(100, 130).select($"id"))
+    TableLog.vacuum(spark, dir, keepVersions = 1)
+    // old version gone, tip intact, stage dir reclaimed
+    assert(TableLog.versions(spark, dir) == Seq(2L))
+    assert(TableLog.read(spark, dir).count() == 130)
+    assert(!new java.io.File(dir, ".stage-deadbeef").exists())
+    intercept[IllegalArgumentException] {
+      TableLog.read(spark, dir, Some(1))
+    }
+  }
+
+  test("compact rewrites layout as a new version; old layout still readable") {
+    val dir = freshDir()
+    (1 to 6).foreach(i => TableLog.append(spark, dir,
+      spark.range((i - 1) * 50, i.toLong * 50).select($"id")))
+    val tipBefore = TableLog.versions(spark, dir).last
+    val (nBefore, nAfter, v) = TableLog.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore >= 6 && nAfter == 1 && v == tipBefore + 1)
+    assert(TableLog.read(spark, dir).count() == 300)
+    // the pre-compaction snapshot is byte-identical data
+    assert(TableLog.read(spark, dir, Some(tipBefore)).orderBy("id").collect()
+      .sameElements(TableLog.read(spark, dir).orderBy("id").collect()))
+    // sum preserved
+    assert(TableLog.read(spark, dir).agg(sum($"id")).first.getLong(0)
+      == (0L until 300L).sum)
+  }
+
+  test("manifests are authoritative; commits are create-no-overwrite atomic") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 10).select($"id"))
+    // an interloper commits v2 referencing only a subset file list (here:
+    // empty) — the next append must re-base on v2, not on v1
+    val log = java.nio.file.Path.of(dir, "_graft_log")
+    java.nio.file.Files.writeString(log.resolve(f"${2L}%020d.manifest"), "\n")
+    val v = TableLog.append(spark, dir, spark.range(10, 20).select($"id"))
+    assert(v == 3)
+    assert(TableLog.read(spark, dir, Some(3)).count() == 10) // v2 base was empty
+    // the commit primitive refuses to overwrite an existing version
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[java.io.IOException] {
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/_graft_log/${f"${3L}%020d"}.manifest"), false).close()
+    }
+  }
+}
