@@ -127,4 +127,42 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(spark.table("fs").count() > 0)
   }
+
+  test("foreachBatch maintains the incremental rollup (+KMV sketch) from a stream") {
+    // the streaming twin of IncrementalRollupSpec: micro-batches land in
+    // persisted mergeable state; the final state equals a one-shot batch
+    // aggregate over everything that streamed through
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sroll_src").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_sroll_st").toString
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    events.limit(1000).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.core.IncrementalRollup.update(spark, stateDir, batch,
+          Seq("event_type"), "value", distinctCol = Some("user_id"))
+      }
+      .option("checkpointLocation", srcDir + "_ckpt")
+      .start()
+    q.processAllAvailable()
+    // stream in a second file -> another micro-batch merges into state
+    events.limit(1500).exceptAll(events.limit(1000))
+      .write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val state = graft.core.IncrementalRollup.result(spark, stateDir)
+      .select($"event_type", $"cnt", $"sum_value", $"approx_distinct")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val oneShot = graft.core.IncrementalRollup
+      .partial(events.limit(1500), Seq("event_type"), "value", Some("user_id"))
+      .select($"event_type", $"cnt",
+        ($"sum_cents".cast("double") / 100.0).as("sum_value"),
+        graft.ops.Sketches.kmvEstimate($"kmv", graft.core.IncrementalRollup.KmvK)
+          .as("approx_distinct"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(state == oneShot, s"state=$state oneShot=$oneShot")
+  }
 }
