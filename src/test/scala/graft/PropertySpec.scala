@@ -111,4 +111,39 @@ class PropertySpec extends SparkSpec {
     val bad = df.select(explode(TA.tokens($"text")).as("t")).filter($"t" === "")
     assert(bad.isEmpty)
   }
+
+  test("native text-hash kernels equal the HOF formulations on arbitrary text") {
+    // random words over a small alphabet + random whitespace runs + unicode,
+    // adversarial for the hand-rolled tokenizer in functions.TextHash
+    val genWord = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.oneOf("tökens", "文字", "naïve", "«quoted»", "a.b,c;d", "x" * 40))
+    val genWs = Gen.nonEmptyListOf(Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"))
+      .map(_.mkString)
+    val genText = for {
+      words <- Gen.listOfN(12, genWord)
+      seps <- Gen.listOfN(12, genWs)
+      lead <- Gen.oneOf("", " ", "\n\n")
+    } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
+    val texts = Gen.listOfN(60, genText).sample.get ++ Seq("", " ", "\t\n", "one")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .localCheckpoint()
+    val diffs = df
+      .withColumn("sh_n", call_function("graft_shingles", $"text", lit(3)))
+      .withColumn("sh_h", TA.shingles(TA.tokens($"text"), 3))
+      .withColumn("sim_n", call_function("graft_simhash", $"text", lit(32)))
+      .withColumn("sim_h", Dedup.simhashExpr($"text", 32))
+      .withColumn("shh_n", call_function("graft_shingle_hashes", $"text", lit(2)))
+      .withColumn("shh_h", transform(TA.shingles(TA.tokens($"text"), 2),
+        s => graft.ops.Hashing.md5Long(s)))
+      .filter(not($"sh_n" <=> $"sh_h") || not($"sim_n" <=> $"sim_h") ||
+        not($"shh_n" <=> $"shh_h"))
+    assert(diffs.isEmpty, diffs.select("doc_id", "text").take(5).mkString("; "))
+    val mh = Dedup.withMinhashSignatureNative(df, "text", numPerm = 8, shingleN = 3)
+      .select($"doc_id", $"sigs".as("a"))
+      .join(Dedup.withMinhashSignature(df, "text", numPerm = 8, shingleN = 3)
+        .select($"doc_id", $"sigs".as("b")), "doc_id")
+      .filter(not($"a" <=> $"b"))
+    assert(mh.isEmpty, mh.take(5).mkString("; "))
+  }
 }

@@ -117,6 +117,35 @@ class Scd2Spec extends SparkSpec {
       fullMerge.exceptAll(bucketed).isEmpty)
   }
 
+  test("mergeLogged: versioned dim on TableLog — atomic merges, time travel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scdlog").toString
+    val v1 = Scd2.mergeLogged(spark, dir, snap((1, "a", "X"), (2, "b", "Y")),
+      bk, tracked, t0)
+    val v2 = Scd2.mergeLogged(spark, dir, snap((1, "a", "CHANGED"), (2, "b", "Y")),
+      bk, tracked, t1)
+    assert(v1 == 1 && v2 == 2)
+    // tip: key 1 closed + re-inserted, key 2 untouched
+    val tip = TableLog.read(spark, dir)
+    assert(tip.count() == 3)
+    assert(Scd2.currentRecords(tip).filter($"id" === 1)
+      .select($"seg").as[String].head() == "CHANGED")
+    // time travel: the pre-merge dimension is still a committed snapshot
+    val before = TableLog.read(spark, dir, Some(1L))
+    assert(before.count() == 2 &&
+      before.filter(!$"is_current").count() == 0)
+    // equivalence with the catalog-table merge path
+    val direct = merge(Some(merge(None, snap((1, "a", "X"), (2, "b", "Y")), t0)),
+      snap((1, "a", "CHANGED"), (2, "b", "Y")), t1)
+    val aligned = tip.select(direct.columns.map(col).toIndexedSeq: _*)
+    assert(aligned.exceptAll(direct).isEmpty && direct.exceptAll(aligned).isEmpty)
+    // a failed merge commits nothing: staged missing a tracked column
+    intercept[Exception] {
+      Scd2.mergeLogged(spark, dir,
+        Seq((9, "z")).toDF("id", "name"), bk, tracked, t1)
+    }
+    assert(TableLog.versions(spark, dir) == Seq(1L, 2L))
+  }
+
   test("currentRecords / changeHistory read API") {
     val initial = merge(None, snap((1, "a", "X"), (2, "b", "Y")), t0)
     val merged = merge(Some(initial), snap((1, "a", "Z"), (2, "b", "Y")), t1)
