@@ -102,15 +102,58 @@ object SimilarityOps {
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Product-quantization top-3: 8 subspaces × sampled codebook
+    * (vec_id % 50 == 3), asymmetric-distance scoring from per-query
+    * partial-dot tables (see [[Similarity.pqKnn]]).
+    */
+  def knnPq: Q = (s, d) =>
+    Similarity.pqKnn(corpus(s, d), querySet(s, d),
+        corpus(s, d).filter(col("vec_id") % 50 === 3),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+
+  val knnPqSql: String = {
+    val dxx = Similarity.dotSql("s.xv", "s.xv", 8)
+    val dxc = Similarity.dotSql("s.xv", "c.cv", 8)
+    val dcc = Similarity.dotSql("c.cv", "c.cv", 8)
+    val dqc = Similarity.dotSql("q.xv", "c.cv", 8)
+    val ms = (0 until 8).mkString("[", ",", "]")
+    val fixedSum = (0 until 8).map(i =>
+      s"coalesce(max(CASE WHEN p.m = $i THEN p.p END), 0.0)").mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |subs AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS xv
+      |  FROM base CROSS JOIN (SELECT unnest($ms) AS m)),
+      |cb AS (SELECT vec_id AS cent_id, m, xv AS cv FROM subs WHERE vec_id % 50 = 3),
+      |codes AS (SELECT vec_id, m, code FROM (
+      |  SELECT s.vec_id, s.m, c.cent_id AS code,
+      |    row_number() OVER (PARTITION BY s.vec_id, s.m
+      |      ORDER BY round($dxx - 2.0 * $dxc + $dcc, 6) ASC, c.cent_id ASC) AS rn
+      |  FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+      |partials AS (SELECT q.vec_id AS query_id, q.m, c.cent_id AS code, $dqc AS p
+      |  FROM subs q JOIN cb c ON q.m = c.m WHERE q.vec_id % 100 = 0),
+      |scored AS (SELECT p.query_id, s.vec_id,
+      |    round($fixedSum, 6) AS approx_dot
+      |  FROM codes s JOIN partials p ON s.m = p.m AND s.code = p.code
+      |  WHERE s.vec_id <> p.query_id
+      |  GROUP BY p.query_id, s.vec_id),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, vec_id AS nbr_id, CAST(rank AS INTEGER) AS rank, approx_dot
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
+    "q_knn_pq" -> knnPq,
   )
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" -> knnBruteSql,
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
+    "q_knn_pq" -> knnPqSql,
   )
 }

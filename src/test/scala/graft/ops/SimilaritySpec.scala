@@ -101,8 +101,20 @@ class SimilaritySpec extends SparkSpec {
       k = 5, bits = 4, probeHamming = 1))
     val mpRecall = (truth & mp).size.toDouble / truth.size
     assert(mpRecall > lshRecallAt(4), s"multi-probe $mpRecall vs single ${lshRecallAt(4)}")
+
+    // PQ: codes never touch corpus floats at query time; bigger codebooks
+    // must not hurt recall (the compression-accuracy dial)
+    val pqRecallAt = Seq(11, 5).map { mod => // ~4 vs ~10 centroids at sf0.001
+      val cb = emb.filter($"vec_id" % mod === 3)
+      val pq = pairs(Similarity.pqKnn(emb, queries, cb, "vec_id", "embedding", k = 5))
+      mod -> (truth & pq).size.toDouble / truth.size
+    }.toMap
+    assert(pqRecallAt(5) >= 0.2, s"PQ recall ${pqRecallAt(5)}")
+    assert(pqRecallAt(5) >= pqRecallAt(11) - 0.1,
+      s"PQ recall degraded with MORE centroids: $pqRecallAt")
+
     info(f"LSH recall by bits: $lshRecallAt, multi-probe@4: $mpRecall%.3f, " +
-      f"IVF recall nProbe=1: $ivfRecall%.3f, nProbe=2: $ivf2Recall%.3f " +
-      f"over ${truth.size} pairs")
+      f"IVF recall nProbe=1: $ivfRecall%.3f, nProbe=2: $ivf2Recall%.3f, " +
+      f"PQ by codebook-mod: $pqRecallAt over ${truth.size} pairs")
   }
 }
