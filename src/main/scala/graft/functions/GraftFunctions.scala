@@ -29,6 +29,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvAgg(children.head, children(1))),
+    (FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => CmsAgg(children.head, children(1), children(2))),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash"),
       (cs: Seq[Expression]) =>

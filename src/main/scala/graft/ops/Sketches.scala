@@ -43,4 +43,30 @@ object Sketches {
     s"CAST(CASE WHEN $ndExpr < $k THEN $ndExpr ELSE " +
       s"CAST(floor(${(k - 1).toDouble} * 1152921504606846976.0 / " +
       s"CAST($hkExpr AS DOUBLE)) AS BIGINT) END AS BIGINT)"
+
+  // ------------------------------------------------------------ count-min
+
+  /** The count-min aggregate as a Column (see [[graft.functions.CmsAgg]]);
+    * `hash` must already be masked to 30 bits.
+    */
+  def cms(hash: Column, depth: Int, width: Int): Column =
+    call_function("graft_cms", hash, lit(depth), lit(width))
+
+  /** CMS row-d cell index of a (30-bit-masked) hash — shared arithmetic
+    * with the aggregate's update path.
+    */
+  def cmsCell(hash: Column, d: Int, width: Int): Column =
+    ((hash * lit(Dedup.permA(d)) + lit(Dedup.permB(d))) % lit(Dedup.PermMod)) % width
+
+  /** Point-frequency estimate from the counter matrix: min over rows of
+    * the probed cell (upper-bounds the true count; never under).
+    */
+  def cmsEstimate(sketch: Column, hash: Column, depth: Int, width: Int): Column =
+    (0 until depth).map(d =>
+      element_at(sketch, (lit(d * width) + cmsCell(hash, d, width) + 1).cast("int")))
+      .reduce(least(_, _))
+
+  /** DuckDB fragment for row-d cell of `hashExpr` (masked). */
+  def cmsCellSql(hashExpr: String, d: Int, width: Int): String =
+    s"((($hashExpr) * ${Dedup.permA(d)} + ${Dedup.permB(d)}) % ${Dedup.PermMod}) % $width"
 }

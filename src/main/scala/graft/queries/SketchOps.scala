@@ -51,11 +51,63 @@ object SketchOps {
       |ORDER BY o_orderpriority""".stripMargin
   }
 
+  // --------------------------------------------------- count-min frequency
+
+  private val CmsDepth = 3
+  private val CmsWidth = 512
+  private val ProbeTokens = Seq("join", "hash", "row", "batch", "scan")
+
+  /** Token-frequency estimation over the whole corpus vocabulary with a
+    * fixed 3×512-counter count-min sketch: one pass builds the sketch (6 KB
+    * of state for an unbounded vocabulary), probes read min-over-rows.
+    * Exact counts ride along; the oracle reproduces the entire counter
+    * matrix from the same md5 cell arithmetic, so even the collision error
+    * is bit-identical.
+    */
+  def cmsCounts: Q = (s, d) => {
+    import graft.ops.{Dedup, TextAnalysis => TA}
+    val toks = Tables.documents(s, d)
+      .select(explode(TA.tokens(col("text"))).as("tok"))
+    val mask = (c: org.apache.spark.sql.Column) =>
+      Hashing.md5Long(c).bitwiseAND(lit(Dedup.HashMask))
+    val sk = toks.agg(Sketches.cms(mask(col("tok")), CmsDepth, CmsWidth).as("sk"))
+    toks.filter(col("tok").isin(ProbeTokens: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sk))
+      .withColumn("n_cms",
+        Sketches.cmsEstimate(col("sk"), mask(col("tok")), CmsDepth, CmsWidth))
+      .select(col("tok"), col("n_exact"), col("n_cms"))
+      .orderBy(col("tok"))
+  }
+
+  val cmsCountsSql: String = {
+    import graft.ops.{Dedup, TextAnalysis => TA}
+    val h = s"${Hashing.md5LongSql("tok")} & ${Dedup.HashMask}"
+    val cellRows = (0 until CmsDepth).map(dd =>
+      s"SELECT $dd AS d, ${Sketches.cmsCellSql("h", dd, CmsWidth)} AS cell, " +
+        "count(*) AS c FROM h GROUP BY 2").mkString("\n  UNION ALL ")
+    val probeList = ProbeTokens.map(t => s"'$t'").mkString(", ")
+    val mins = (0 until CmsDepth).map(dd =>
+      s"(SELECT c FROM cells WHERE d = $dd AND cell = " +
+        s"${Sketches.cmsCellSql("p.h", dd, CmsWidth)})").mkString(", ")
+    s"""WITH toks AS (SELECT unnest(${TA.tokensSql("text")}) AS tok FROM documents),
+      |h AS (SELECT tok, $h AS h FROM toks),
+      |cells AS (
+      |  $cellRows),
+      |probes AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact, max(h) AS h
+      |  FROM h WHERE tok IN ($probeList) GROUP BY tok)
+      |SELECT p.tok, p.n_exact, least($mins) AS n_cms
+      |FROM probes p ORDER BY p.tok""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_kmv_distinct" -> kmvDistinct,
+    "q_cms_counts" -> cmsCounts,
   )
 
   val oracles: Map[String, String] = Map(
     "q_kmv_distinct" -> kmvDistinctSql,
+    "q_cms_counts" -> cmsCountsSql,
   )
 }
