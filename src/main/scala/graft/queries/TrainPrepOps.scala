@@ -154,11 +154,61 @@ object TrainPrepOps {
       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Per-language z-score outlier screen on document length — the
+    * statistical quality gate that catches boilerplate floods and
+    * truncated scraps a fixed threshold misses.
+    *
+    * Determinism discipline: population moments come from EXACT integer
+    * sums (Σx, Σx² as longs — order-free), variance/mean/σ are derived
+    * with one fixed formula on both engines, so even the float z-scores
+    * and the outlier counts are bit-identical. (`stddev_pop` on doubles
+    * would be partitioning-dependent.) Stats are a tiny broadcast back
+    * onto the scan — two shuffles total at any scale.
+    */
+  def outlierZscore: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").cast("long").as("x"))
+    val stats = base.groupBy(col("lang"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("std", sqrt(
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) / col("n")))
+    base.join(broadcast(stats), "lang")
+      .withColumn("z", (col("x").cast("double") - col("mean")) / col("std"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(abs(col("z")) > 2.0, 1).otherwise(0)).as("n_outliers"),
+        round(max(col("mean")), 4).as("mean_chars"),
+        round(max(col("std")), 4).as("std_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val outlierZscoreSql: String =
+    """WITH base AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |st AS (SELECT lang,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM base GROUP BY lang),
+      |s2 AS (SELECT lang, CAST(sx AS DOUBLE) / n AS mean,
+      |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n) AS std
+      |  FROM st)
+      |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN abs((CAST(x AS DOUBLE) - mean) / std) > 2.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(max(mean), 4) AS mean_chars,
+      |  round(max(std), 4) AS std_chars
+      |FROM base b JOIN s2 USING (lang)
+      |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_data_mixture" -> dataMixture,
     "q_hash_split" -> hashSplit,
     "q_quality_filter" -> qualityFilter,
     "q_token_packing" -> tokenPacking,
+    "q_outlier_zscore" -> outlierZscore,
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,5 +216,6 @@ object TrainPrepOps {
     "q_hash_split" -> hashSplitSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_token_packing" -> tokenPackingSql,
+    "q_outlier_zscore" -> outlierZscoreSql,
   )
 }
