@@ -71,6 +71,32 @@ class TextHashSpec extends SparkSpec {
     assert(diff.isEmpty, diff.take(3).mkString("; "))
   }
 
+  test("native expressions run inside whole-stage codegen, no silent fallback") {
+    // fallback=false turns a Janino compile failure into a hard error, so
+    // this proves the doGenCode bodies of every native expression actually
+    // compile — otherwise Spark silently interprets and the perf claim lies
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = docs
+        .withColumn("mh", call_function("graft_minhash", $"text", lit(3), lit(8)))
+        .withColumn("sh", call_function("graft_simhash", $"text", lit(32)))
+        .withColumn("sg", call_function("graft_shingles", $"text", lit(3)))
+        .withColumn("shh", call_function("graft_shingle_hashes", $"text", lit(3)))
+        .withColumn("z", call_function("graft_zorder",
+          ($"doc_id" % 256).cast("long"), ($"doc_id" % 97).cast("long")))
+      assert(out.count() == docs.count())
+      // and the plan keeps them in a codegen'd (starred) Project
+      val plan = out.queryExecution.executedPlan.toString
+      val projLine = plan.linesIterator
+        .find(l => l.contains("graft_minhash")).getOrElse("")
+      assert(projLine.trim.startsWith("*"), s"not codegen'd: $projLine")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("null text stays null through every native expression") {
     val row = Seq((1L, null: String)).toDF("doc_id", "text")
       .select(
