@@ -88,7 +88,22 @@ object IncrementalRollup {
     val merged = existing.lastOption match {
       case None => fresh
       case Some((_, cur)) =>
-        spark.read.parquet(cur.toString)
+        val prev = spark.read.parquet(cur.toString)
+        val prevHasKmv = prev.columns.contains("kmv")
+        // reconcile a distinctCol config change against persisted state:
+        // DROPPING the sketch is a clean downgrade (discard the column);
+        // ADDING one cannot be honest — history's hashes are gone from the
+        // merged partials, so a conjured empty sketch would silently
+        // undercount forever. Fail with the recovery path instead.
+        if (distinctCol.isDefined && !prevHasKmv)
+          throw new IllegalStateException(
+            s"rollup state at $statePath was built without distinctCol; a KMV " +
+            "sketch cannot be recovered from merged partials. Delete the state " +
+            "directory and replay history with distinctCol set, or keep " +
+            "distinctCol=None.")
+        val prevAligned = if (prevHasKmv && distinctCol.isEmpty) prev.drop("kmv")
+                          else prev
+        prevAligned
           .unionByName(fresh)
           .groupBy(keys.map(col): _*)
           .agg(aggs.head, aggs.tail: _*)

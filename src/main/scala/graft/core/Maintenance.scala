@@ -95,6 +95,8 @@ object Maintenance {
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Seq.empty,
               zorderBy: Option[(String, String)] = None): (Int, Int) = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "pass clusterBy OR zorderBy, not both — they prescribe conflicting layouts")
     recover(spark, dir)
     val before = dataFiles(spark, dir)
     if (before.isEmpty) return (0, 0)

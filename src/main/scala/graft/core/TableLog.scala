@@ -89,6 +89,38 @@ object TableLog {
     files
   }
 
+  /** Put `bytes` at `path` atomically, failing if `path` already exists.
+    * On the local filesystem Hadoop's `create(path, overwrite=false)` is a
+    * check-then-create (TOCTOU: two racing writers can both "win", the
+    * second truncating the first), so there we write a temp file and
+    * hard-link it into place — POSIX `link(2)` is atomic, all-or-nothing,
+    * and fails with EEXIST if the destination exists, which also means a
+    * concurrent reader can never observe a partially-written manifest.
+    * Other filesystems fall back to `create(overwrite=false)` (atomic on
+    * HDFS's namenode); true object stores need an external commit
+    * coordinator for this primitive, exactly as Delta's LogStore does.
+    * Returns true if this writer won the version.
+    */
+  private def atomicPutIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                                path: Path, bytes: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      val dest = java.nio.file.Paths.get(path.toUri.getPath)
+      val tmp = dest.resolveSibling(
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(dest, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.delete(tmp)
+    } else {
+      try {
+        val out = fs.create(path, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException if fs.exists(path) => false
+      }
+    }
+
   /** Create-no-overwrite commit as the next version; `mkFiles` maps the
     * CURRENT tip's file list to the new manifest and is re-evaluated on
     * every attempt, so a committer that loses the race to version N
@@ -106,15 +138,8 @@ object TableLog {
       val base = tip.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
       val v = tip.getOrElse(0L) + 1
       val files = mkFiles(base)
-      try {
-        // overwrite=false -> atomic create; loser of a race gets an exception
-        val out = fs.create(manifestPath(dir, v), false)
-        try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-        finally out.close()
-        committed = v
-      } catch {
-        case _: java.io.IOException if fs.exists(manifestPath(dir, v)) => // retry
-      }
+      val bytes = (files.mkString("\n") + "\n").getBytes("UTF-8")
+      if (atomicPutIfAbsent(fs, manifestPath(dir, v), bytes)) committed = v
     }
     committed
   }
@@ -163,30 +188,66 @@ object TableLog {
     val fresh = writeDataFiles(spark, dir,
       read(spark, dir, Some(tip)).repartition(nFiles), commitId)
     // carry over files appended by racing writers since the snapshot read:
-    // the new manifest = rewritten snapshot + anything not in that snapshot
+    // the new manifest = rewritten snapshot + anything not in that snapshot.
+    // Valid ONLY while the snapshot's files are all still in the tip — a
+    // racing overwrite (or another compact) that removed any of them has
+    // replaced the data this rewrite copied, and committing would
+    // resurrect its deleted rows. Detect and abort instead (Delta aborts
+    // OPTIMIZE on conflicting overwrites the same way).
     val compactedSet = current.toSet
-    val v = commit(spark, dir, base => fresh ++ base.filterNot(compactedSet))
+    val v = try {
+      commit(spark, dir, rebaseCompaction(dir, compactedSet, fresh))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        val fs2 = fsOf(spark, dir)
+        fresh.foreach(f => fs2.delete(new Path(dir, f), false))
+        throw e
+    }
     (current.size, fresh.size, v)
+  }
+
+  /** Compaction's commit re-base (see [[compact]]): package-private so the
+    * conflict guard is unit-testable without orchestrating a real race.
+    */
+  private[core] def rebaseCompaction(dir: String, compactedSet: Set[String],
+                                     fresh: Seq[String])
+                                    (base: Seq[String]): Seq[String] = {
+    if (!compactedSet.subsetOf(base.toSet))
+      throw new java.util.ConcurrentModificationException(
+        s"table at $dir was overwritten/compacted during compact; aborting")
+    fresh ++ base.filterNot(compactedSet)
   }
 
   /** Drop manifests older than the newest `keepVersions` and delete data
     * files no retained manifest references (orphans from crashed commits
     * included). The retention floor is the time-travel horizon.
+    *
+    * Unreferenced files younger than `retainMs` are kept: an in-flight
+    * writer moves its data files into the table dir BEFORE its manifest
+    * exists, so without an age guard vacuum would reclaim the data of any
+    * commit it races (the writer then commits a manifest pointing at
+    * deleted files). Same guard for `.stage-*` dirs. The default is an
+    * hour — far beyond any single commit's write window; pass 0 only when
+    * no writer can be live (tests, maintenance windows).
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Unit = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1,
+             retainMs: Long = 60L * 60 * 1000): Unit = {
     val fs = fsOf(spark, dir)
+    val cutoff = System.currentTimeMillis() - math.max(0L, retainMs)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - math.max(1, keepVersions)))
     val referenced = keep.flatMap(readManifest(spark, dir, _)).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     fs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
+        && !s.getPath.getName.startsWith(".")
+        && s.getModificationTime < cutoff)
       .filterNot(s => referenced.contains(s.getPath.getName))
       .foreach(s => fs.delete(s.getPath, false))
     // stale staging dirs from crashed writers
     fs.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-")
+        && s.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, true))
   }
 }

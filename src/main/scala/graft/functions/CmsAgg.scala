@@ -22,9 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * the deterministic md5 hash the whole counter matrix is reproducible in
   * DuckDB, so estimates are hash-gateable like any exact operator.
   *
-  * Permutation constants are [[graft.ops.Dedup.permA]]/`permB` — the
-  * caller masks the hash to 30 bits ([[graft.ops.Hashing]] `& HashMask`)
-  * so products stay under 2^61 in both engines.
+  * Permutation constants are [[graft.ops.Dedup.permA]]/`permB`; the hash
+  * is masked to 30 bits ([[graft.ops.Dedup.HashMask]]) inside the update
+  * so products stay under 2^61 in both engines — a no-op for callers that
+  * already masked (the oracle contract), and a guard against the raw
+  * 60-bit hashes [[KmvAgg]] accepts, whose products overflow Long into a
+  * negative cell index (AIOOBE) without it.
   */
 @ExpressionDescription(
   usage = "graft_cms(hash, depth, width) - count-min sketch counters, row-major")
@@ -67,7 +70,7 @@ case class CmsAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val h = hashExpr.eval(input)
     if (h != null) {
-      val hv = h.asInstanceOf[Long]
+      val hv = h.asInstanceOf[Long] & Dedup.HashMask
       var d = 0
       while (d < depth) {
         val cell = (((pa(d) * hv + pb(d)) % Dedup.PermMod) % width).toInt

@@ -47,16 +47,19 @@ object Sketches {
   // ------------------------------------------------------------ count-min
 
   /** The count-min aggregate as a Column (see [[graft.functions.CmsAgg]]);
-    * `hash` must already be masked to 30 bits.
+    * the aggregate masks the hash to 30 bits itself, so raw
+    * [[Hashing.md5Long]] input is safe (identical result to pre-masked).
     */
   def cms(hash: Column, depth: Int, width: Int): Column =
     call_function("graft_cms", hash, lit(depth), lit(width))
 
-  /** CMS row-d cell index of a (30-bit-masked) hash — shared arithmetic
-    * with the aggregate's update path.
+  /** CMS row-d cell index — masks to 30 bits first (same arithmetic as the
+    * aggregate's update path; unmasked input would overflow into a
+    * negative index).
     */
   def cmsCell(hash: Column, d: Int, width: Int): Column =
-    ((hash * lit(Dedup.permA(d)) + lit(Dedup.permB(d))) % lit(Dedup.PermMod)) % width
+    ((hash.bitwiseAND(lit(Dedup.HashMask)) * lit(Dedup.permA(d)) +
+      lit(Dedup.permB(d))) % lit(Dedup.PermMod)) % width
 
   /** Point-frequency estimate from the counter matrix: min over rows of
     * the probed cell (upper-bounds the true count; never under).

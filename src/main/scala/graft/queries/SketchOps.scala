@@ -66,8 +66,12 @@ object SketchOps {
     */
   def cmsCounts: Q = (s, d) => {
     import graft.ops.{Dedup, TextAnalysis => TA}
+    // both the sketch build and the probe aggregation consume the token
+    // stream — materialize it once instead of re-tokenizing the corpus
+    // (same shared-input pattern as Dedup.ngramJaccardPairs)
     val toks = Tables.documents(s, d)
       .select(explode(TA.tokens(col("text"))).as("tok"))
+      .localCheckpoint()
     val mask = (c: org.apache.spark.sql.Column) =>
       Hashing.md5Long(c).bitwiseAND(lit(Dedup.HashMask))
     val sk = toks.agg(Sketches.cms(mask(col("tok")), CmsDepth, CmsWidth).as("sk"))

@@ -146,9 +146,12 @@ object TextOps {
     * as Num's integer-cents sums.
     */
   def bm25: Q = (s, d) => {
+    // tokenized once, consumed by both the corpus-stats pass and the
+    // term-frequency pass — materialize instead of re-tokenizing
     val toksDf = Tables.documents(s, d)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
+      .localCheckpoint()
     val st = toksDf.agg(
       sum(col("dl")).cast("double").as("s"),
       count(lit(1)).cast("double").as("n")).first()

@@ -102,6 +102,29 @@ class IncrementalRollupSpec extends SparkSpec {
     }
   }
 
+  test("distinctCol config changes: dropping the sketch migrates, adding fails fast") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables.orders(spark, sf)
+    // state built WITH the sketch, then maintained without: clean downgrade
+    val downDir = java.nio.file.Files.createTempDirectory("graft_mig1").toString
+    IncrementalRollup.update(spark, downDir, orders.limit(100),
+      Seq("o_orderstatus"), "o_totalprice", distinctCol = Some("o_custkey"))
+    IncrementalRollup.update(spark, downDir, orders.limit(50),
+      Seq("o_orderstatus"), "o_totalprice", distinctCol = None)
+    assert(!IncrementalRollup.result(spark, downDir)
+      .columns.contains("approx_distinct"))
+    // state built WITHOUT the sketch: adding one can't recover history's
+    // hashes — must fail with the rebuild instruction, not corrupt state
+    val upDir = java.nio.file.Files.createTempDirectory("graft_mig2").toString
+    IncrementalRollup.update(spark, upDir, orders.limit(100),
+      Seq("o_orderstatus"), "o_totalprice")
+    val e = intercept[IllegalStateException] {
+      IncrementalRollup.update(spark, upDir, orders.limit(50),
+        Seq("o_orderstatus"), "o_totalprice", distinctCol = Some("o_custkey"))
+    }
+    assert(e.getMessage.contains("replay"))
+  }
+
   test("updating with an empty batch is a no-op") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.core.Tables.orders(spark, sf)

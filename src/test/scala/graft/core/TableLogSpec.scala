@@ -43,7 +43,13 @@ class TableLogSpec extends SparkSpec {
     val before = TableLog.read(spark, dir).count()
     assert(before == 100) // orphan staging invisible
     TableLog.append(spark, dir, spark.range(100, 130).select($"id"))
+    // default retention protects young files of a possibly-in-flight
+    // commit: everything here is seconds old, so nothing is reclaimed
     TableLog.vacuum(spark, dir, keepVersions = 1)
+    assert(new java.io.File(dir, ".stage-deadbeef").exists())
+    assert(TableLog.read(spark, dir).count() == 130)
+    // retainMs=0 (quiesced table): orphans + old versions actually go
+    TableLog.vacuum(spark, dir, keepVersions = 1, retainMs = 0L)
     // old version gone, tip intact, stage dir reclaimed
     assert(TableLog.versions(spark, dir) == Seq(2L))
     assert(TableLog.read(spark, dir).count() == 130)
@@ -67,6 +73,18 @@ class TableLogSpec extends SparkSpec {
     // sum preserved
     assert(TableLog.read(spark, dir).agg(sum($"id")).first.getLong(0)
       == (0L until 300L).sum)
+  }
+
+  test("compact re-base carries racing appends but aborts on racing overwrite") {
+    // append race: the winner's files survive the re-base
+    assert(TableLog.rebaseCompaction("t", Set("a", "b"), Seq("z"))(
+      Seq("a", "b", "c")) == Seq("z", "c"))
+    // overwrite race: any compacted file missing from the new tip means the
+    // snapshot this rewrite copied was replaced — committing would
+    // resurrect deleted rows, so it must abort
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.rebaseCompaction("t", Set("a", "b"), Seq("z"))(Seq("d"))
+    }
   }
 
   test("manifests are authoritative; commits are create-no-overwrite atomic") {

@@ -134,9 +134,15 @@ class StreamingSpec extends SparkSpec {
     // aggregate over everything that streamed through
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sroll_src").toString
     val stateDir = java.nio.file.Files.createTempDirectory("graft_sroll_st").toString
+    // `limit` without ordering may pick different rows per evaluation, so
+    // pin a deterministic 1500-row set (sorted by event_id) and split it by
+    // an id cutoff — batch 2 is the exact complement of batch 1
     val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"user_id", $"event_type", $"value")
-    events.limit(1000).write.mode("overwrite").parquet(srcDir)
+    val all = events.orderBy($"event_id").limit(1500).localCheckpoint()
+    val cut = all.select($"event_id").orderBy($"event_id")
+      .collect().map(_.getLong(0)).apply(999)
+    all.filter($"event_id" <= cut).write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(events.schema).parquet(srcDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -147,8 +153,7 @@ class StreamingSpec extends SparkSpec {
       .start()
     q.processAllAvailable()
     // stream in a second file -> another micro-batch merges into state
-    events.limit(1500).exceptAll(events.limit(1000))
-      .write.mode("append").parquet(srcDir)
+    all.filter($"event_id" > cut).write.mode("append").parquet(srcDir)
     q.processAllAvailable()
     q.stop()
     val state = graft.core.IncrementalRollup.result(spark, stateDir)
@@ -156,7 +161,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toMap
     val oneShot = graft.core.IncrementalRollup
-      .partial(events.limit(1500), Seq("event_type"), "value", Some("user_id"))
+      .partial(all, Seq("event_type"), "value", Some("user_id"))
       .select($"event_type", $"cnt",
         ($"sum_cents".cast("double") / 100.0).as("sum_value"),
         graft.ops.Sketches.kmvEstimate($"kmv", graft.core.IncrementalRollup.KmvK)
