@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.SourceOps.queries ++
       graft.queries.SnapshotOps.queries ++
       graft.queries.SketchOps.queries ++
-      graft.queries.RollupOps.queries
+      graft.queries.RollupOps.queries ++
+      graft.queries.GraphOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.SourceOps.oracles ++
       graft.queries.SnapshotOps.oracles ++
       graft.queries.SketchOps.oracles ++
-      graft.queries.RollupOps.oracles
+      graft.queries.RollupOps.oracles ++
+      graft.queries.GraphOps.oracles
 }

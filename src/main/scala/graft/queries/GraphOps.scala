@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Iterative graph analytics on relational data — the capability family
+  * the reference's lakehouse lacks entirely but a 100 TB corpus pipeline
+  * leans on (entity importance for sampling weights, influence scoring,
+  * link-spam screens; the sibling of [[graft.ops.Dedup.connectedComponents]]
+  * which already powers duplicate clustering).
+  *
+  * PageRank here follows the engine's determinism discipline (see
+  * [[graft.queries.Num]]): ranks live in integer MICRO-UNITS and every
+  * per-iteration step is integer arithmetic — `r div deg` per edge, long
+  * sums (order-free), `(85 * Σ) div 100` damping — so the result is
+  * bit-identical regardless of partitioning, merge order, or cluster
+  * size, and the whole iterative computation hash-matches a DuckDB oracle
+  * with the iterations unrolled as chained CTEs. Floating-point PageRank
+  * cannot make that promise: double sums reorder under shuffle.
+  *
+  * Scale shape per iteration: per-node contributions (r div deg, O(nodes)
+  * rows) broadcast onto the checkpointed edge list — the O(edges) side is
+  * never re-shuffled — then ONE shuffle, the partial-aggregated sum by
+  * dst. `localCheckpoint` truncates lineage each round (the growth that
+  * kills naive iterative Spark). If the rank table ever outgrows
+  * broadcast, pre-partition edges by src once and drop the hint: every
+  * iteration's join then co-locates for free.
+  */
+object GraphOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed iteration count — parity with the unrolled oracle. */
+  private val Iters = 5
+  private val TopN = 25
+
+  /** PageRank over the undirected customer–supplier graph (an edge per
+    * distinct trading pair in orders⋈lineitem), damping 0.85, 5
+    * iterations, top-25 nodes. Node ids are namespaced `c<key>`/`s<key>`.
+    */
+  def pagerank: Q = (s, d) => {
+    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    // edge list materialized once; degrees are O(nodes) and reused each round
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    var i = 0
+    while (i < Iters) {
+      // ranks are O(nodes) — broadcast them so the O(edges) side never
+      // re-shuffles; the per-node contribution (r div deg) is computed
+      // once per node before fan-out to its edges. The only shuffle per
+      // iteration is the partial-aggregated sum by dst. (On a graph whose
+      // rank table outgrows broadcast, drop the hint and pre-partition
+      // edges by src once — every iteration then co-locates for free.)
+      val contrib = rank.join(deg, rank("node") === deg("src"))
+        .select(col("node").as("src"), expr("r div deg").as("c"))
+      rank = e
+        .join(broadcast(contrib), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"), expr("150000L + (85L * s) div 100L").as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    rank.orderBy(col("r").desc, col("node").asc).limit(TopN)
+      .select(col("node"), col("r").as("rank_micro"))
+  }
+
+  val pagerankSql: String = {
+    // unrolled power iteration: r1..r5 each one join + one aggregate.
+    // DuckDB `//` floors, Spark `div` truncates — identical on the
+    // all-positive values here; sums go HUGEINT, hence the BIGINT casts.
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (SELECT ed.dst AS node,
+        |    CAST(150000 + (85 * sum(r.r // ed.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+      |$iters
+      |SELECT node, r AS rank_micro FROM r$Iters
+      |ORDER BY r DESC, node LIMIT $TopN""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pagerank" -> pagerank,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pagerankSql,
+  )
+}
