@@ -33,6 +33,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - **Time travel**: `read(version = Some(v))` pins any retained
   *    manifest ([[graft.ops.SnapshotDiff]] turns two versions into a CDC
   *    change feed).
+  *  - **Exactly-once streaming ingest**: [[appendIdempotent]] records a
+  *    transaction token per commit and skips re-delivered batches —
+  *    `foreachBatch` + batchId gives end-to-end exactly-once appends.
   *  - **OPTIMIZE**: [[compact]] rewrites the current snapshot into
   *    target-size files and commits a new manifest; old versions still
   *    reference the old files, so layout changes are themselves
@@ -60,13 +63,29 @@ object TableLog {
       .sorted
   }
 
-  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  /** Raw manifest lines: data file names plus `#`-prefixed metadata
+    * (currently `#txn=<token>` from idempotent appends).
+    */
+  private def manifestLines(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     val fs = fsOf(spark, dir)
     val in = fs.open(manifestPath(dir, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+
+  /** Transaction tokens recorded by retained manifests (vacuumed versions
+    * lose theirs — see [[appendIdempotent]]'s retention caveat).
+    */
+  def committedTxns(spark: SparkSession, dir: String): Set[String] =
+    versions(spark, dir)
+      .flatMap(manifestLines(spark, dir, _))
+      .filter(_.startsWith("#txn="))
+      .map(_.stripPrefix("#txn="))
+      .toSet
 
   /** Write `df`'s rows as data files carrying `commitId` in their names;
     * returns the new file names. Staged fully before any manifest points
@@ -129,33 +148,64 @@ object TableLog {
     * Returns the committed version.
     */
   private def commit(spark: SparkSession, dir: String,
-                     mkFiles: Seq[String] => Seq[String]): Long = {
+                     mkFiles: Seq[String] => Seq[String],
+                     txn: Option[String] = None): Option[Long] = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(dir, LogDir))
     var committed = -1L
     while (committed < 0) {
+      // the txn check lives INSIDE the retry loop: two retries of the same
+      // batch can race past an outside check, but the loser re-enters here
+      // after losing the create and sees the winner's token
+      txn.foreach(t =>
+        if (committedTxns(spark, dir).contains(t)) return None)
       val tip = versions(spark, dir).lastOption
       val base = tip.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
       val v = tip.getOrElse(0L) + 1
-      val files = mkFiles(base)
+      val files = mkFiles(base) ++ txn.map(t => s"#txn=$t")
       val bytes = (files.mkString("\n") + "\n").getBytes("UTF-8")
       if (atomicPutIfAbsent(fs, manifestPath(dir, v), bytes)) committed = v
     }
-    committed
+    Some(committed)
   }
 
   /** Append `df` to the table; returns the new version. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId)
-    commit(spark, dir, base => base ++ fresh)
+    commit(spark, dir, base => base ++ fresh).get
+  }
+
+  /** Exactly-once append: a no-op returning None when a commit carrying
+    * `txn` already exists — Delta's `txn` pattern, sized for Structured
+    * Streaming's `foreachBatch` where a micro-batch is re-delivered after
+    * crash/restart (token = `"<queryName>-<batchId>"`). The token rides in
+    * the winning manifest, the duplicate's staged files are deleted, and
+    * the check re-runs inside the commit retry loop so even two
+    * simultaneous retries serialize correctly.
+    *
+    * Retention caveat (same as Delta's): [[vacuum]] drops old manifests
+    * and their tokens with them — keep `keepVersions` above the deepest
+    * possible replay horizon of the writer.
+    */
+  def appendIdempotent(spark: SparkSession, dir: String, df: DataFrame,
+                       txn: String): Option[Long] = {
+    if (committedTxns(spark, dir).contains(txn)) return None // cheap fast path
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val fresh = writeDataFiles(spark, dir, df, commitId)
+    val v = commit(spark, dir, base => base ++ fresh, txn = Some(txn))
+    if (v.isEmpty) { // lost to a racing retry of the same batch
+      val fs = fsOf(spark, dir)
+      fresh.foreach(f => fs.delete(new Path(dir, f), false))
+    }
+    v
   }
 
   /** Replace the table's contents with `df`; returns the new version. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId)
-    commit(spark, dir, _ => fresh)
+    commit(spark, dir, _ => fresh).get
   }
 
   /** Snapshot read: the latest version, or a pinned one (time travel).
@@ -196,7 +246,7 @@ object TableLog {
     // OPTIMIZE on conflicting overwrites the same way).
     val compactedSet = current.toSet
     val v = try {
-      commit(spark, dir, rebaseCompaction(dir, compactedSet, fresh))
+      commit(spark, dir, rebaseCompaction(dir, compactedSet, fresh)).get
     } catch {
       case e: java.util.ConcurrentModificationException =>
         val fs2 = fsOf(spark, dir)

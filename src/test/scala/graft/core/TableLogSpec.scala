@@ -75,6 +75,31 @@ class TableLogSpec extends SparkSpec {
       == (0L until 300L).sum)
   }
 
+  test("idempotent append skips re-delivered transactions and leaves no orphans") {
+    val dir = freshDir()
+    val v1 = TableLog.appendIdempotent(spark, dir,
+      spark.range(0, 100).select($"id"), txn = "q-0")
+    assert(v1.contains(1L))
+    // re-delivery of the same batch (crash-replay): no-op, no new version
+    val again = TableLog.appendIdempotent(spark, dir,
+      spark.range(0, 100).select($"id"), txn = "q-0")
+    assert(again.isEmpty)
+    assert(TableLog.versions(spark, dir) == Seq(1L))
+    assert(TableLog.read(spark, dir).count() == 100)
+    // a NEW batch still lands
+    assert(TableLog.appendIdempotent(spark, dir,
+      spark.range(100, 150).select($"id"), txn = "q-1").contains(2L))
+    assert(TableLog.read(spark, dir).count() == 150)
+    assert(TableLog.committedTxns(spark, dir) == Set("q-0", "q-1"))
+    // the skipped retry's staged files were cleaned up: every data file in
+    // the dir is referenced by the tip manifest
+    val files = new java.io.File(dir).listFiles().filter(_.isFile)
+      .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    val referenced = TableLog.read(spark, dir).inputFiles
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(files == referenced, s"orphans: ${files -- referenced}")
+  }
+
   test("compact re-base carries racing appends but aborts on racing overwrite") {
     // append race: the winner's files survive the re-base
     assert(TableLog.rebaseCompaction("t", Set("a", "b"), Seq("z"))(

@@ -128,6 +128,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("fs").count() > 0)
   }
 
+  test("foreachBatch streams into TableLog exactly-once (re-delivered batch is a no-op)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_tlsink_src").toString
+    val tblDir = java.nio.file.Files.createTempDirectory("graft_tlsink_tbl").toString
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"event_type").orderBy($"event_id").limit(800)
+      .localCheckpoint()
+    events.write.mode("overwrite").parquet(srcDir)
+    var lastBatch: Option[(org.apache.spark.sql.DataFrame, Long)] = None
+    val q = spark.readStream.schema(events.schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        lastBatch = Some((batch.localCheckpoint(), id))
+        graft.core.TableLog.appendIdempotent(spark, tblDir, batch, s"tlsink-$id")
+        ()
+      }
+      .option("checkpointLocation", srcDir + "_ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.core.TableLog.read(spark, tblDir).count() == 800)
+    // simulate the crash-replay Structured Streaming guarantees: the same
+    // micro-batch delivered again must not double the data
+    val (b, id) = lastBatch.get
+    assert(graft.core.TableLog.appendIdempotent(
+      spark, tblDir, b, s"tlsink-$id").isEmpty)
+    assert(graft.core.TableLog.read(spark, tblDir).count() == 800)
+  }
+
   test("foreachBatch maintains the incremental rollup (+KMV sketch) from a stream") {
     // the streaming twin of IncrementalRollupSpec: micro-batches land in
     // persisted mergeable state; the final state equals a one-shot batch
