@@ -100,6 +100,34 @@ object Streaming {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STREAM interval join: attribute each `effectType` event to the
+    * `causeType` events of the same user within `within` before it —
+    * click→purchase attribution, impression→conversion, etc. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so the state store provably expires rows older than watermark +
+    * interval (an unbounded stream-stream join would buffer both streams
+    * forever). State partitions by user_id; per-key state is O(events in
+    * the interval window), independent of stream length.
+    */
+  def attributeConversions(events: DataFrame, causeType: String,
+                           effectType: String,
+                           within: String = "10 minutes"): DataFrame = {
+    val cause = events.filter(col("event_type") === causeType)
+      .select(col("user_id"), col("event_id").as("cause_id"),
+        col("ts").as("cause_ts"))
+      .withWatermark("cause_ts", "1 hour")
+    val effect = events.filter(col("event_type") === effectType)
+      .select(col("user_id").as("e_user_id"), col("event_id").as("effect_id"),
+        col("ts").as("effect_ts"))
+      .withWatermark("effect_ts", "1 hour")
+    cause.join(effect,
+      col("user_id") === col("e_user_id") &&
+        col("effect_ts") >= col("cause_ts") &&
+        col("effect_ts") <= col("cause_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("cause_id"), col("effect_id"),
+        col("cause_ts"), col("effect_ts"))
+  }
+
   /** Stream-static enrichment join: the static dimension side is re-read
     * per micro-batch and broadcast (no stream-side shuffle, no state).
     * The standard shape for decorating an event stream with slowly-changing

@@ -128,6 +128,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("fs").count() > 0)
   }
 
+  test("stream-stream interval join attributes conversions within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.attributeConversions(input.toDF(), "view", "purchase")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    input.addData(events(
+      (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+      (2, "2024-01-01 10:05:00", 1, "purchase", 9.99), // 5 min after view -> match
+      (3, "2024-01-01 10:00:00", 2, "view", 0.0),
+      (4, "2024-01-01 10:20:00", 2, "purchase", 5.0), // 20 min -> outside window
+      (5, "2024-01-01 10:06:00", 3, "purchase", 1.0)): _*) // no prior view
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr")
+      .select($"user_id", $"cause_id", $"effect_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L)))
+  }
+
   test("foreachBatch streams into TableLog exactly-once (re-delivered batch is a no-op)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_tlsink_src").toString
     val tblDir = java.nio.file.Files.createTempDirectory("graft_tlsink_tbl").toString
