@@ -105,13 +105,91 @@ object SketchOps {
       |FROM probes p ORDER BY p.tok""".stripMargin
   }
 
+  // ------------------------------------------- histogram-based quantiles
+
+  private val QBuckets = 256
+
+  /** Approximate per-group price quantiles (p50/p95/p99) from a fixed
+    * 256-bucket equi-width histogram — the third sketch family after
+    * frequency (CMS) and distinct (KMV): bucket counts ADD, so unlike
+    * exact percentiles (which need a full sort of history) the state
+    * merges across batches/partitions and fits incremental rollups.
+    * Error is bounded by one bucket width of the global [min,max] range.
+    *
+    * Determinism discipline: values are integer cents, bucket index and
+    * quantile targets are integer `div` arithmetic, the estimate is the
+    * bucket's upper edge in integer cents — so Spark and DuckDB agree
+    * bit-for-bit, and even the approximation error is hash-gated.
+    * Shuffle shape: ONE partial-aggregated groupBy(group, bucket) over
+    * the fact table (≤ groups×256 rows out), then tiny window/agg work.
+    */
+  def approxQuantiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Num.cents(col("l_extendedprice"))
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), cents.as("c"))
+    val r = li.agg(min(col("c")), max(col("c"))).first()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1
+    val counts = li
+      .withColumn("b", least(lit(QBuckets - 1),
+        expr(s"((c - ${lo}L) * $QBuckets) div ${span}L")))
+      .groupBy(col("l_returnflag"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy(col("l_returnflag"))))
+    // min bucket whose cumulative count reaches ceil(pct% of total)
+    def qEst(pct: Int) =
+      min(when(col("cum") >= expr(s"(total * $pct + 99) div 100"), col("b")))
+    // bucket upper edge in dollars — integer `div` end to end: double
+    // casts round in DuckDB but truncate in Spark, so no double may carry
+    // a fractional part across the engines
+    def edge(bCol: String) =
+      expr(s"cast(${lo}L + (($bCol + 1) * ${span}L) div ${QBuckets}L as double)") / 100.0
+    cum.groupBy(col("l_returnflag"))
+      .agg(qEst(50).as("b50"), qEst(95).as("b95"), qEst(99).as("b99"))
+      .select(col("l_returnflag"),
+        edge("b50").as("p50"), edge("b95").as("p95"), edge("b99").as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val approxQuantilesSql: String = {
+    val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    s"""WITH v AS (SELECT l_returnflag, $cents AS c FROM lineitem),
+      |r AS (SELECT min(c) AS lo, max(c) - min(c) + 1 AS span FROM v),
+      |counts AS (SELECT l_returnflag,
+      |    least($QBuckets - 1, ((c - r.lo) * $QBuckets) // r.span) AS b,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM v CROSS JOIN r GROUP BY 1, 2),
+      |cum AS (SELECT l_returnflag, b, n,
+      |    sum(n) OVER (PARTITION BY l_returnflag ORDER BY b
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM counts),
+      |picks AS (SELECT l_returnflag,
+      |    min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN b END) AS b50,
+      |    min(CASE WHEN cum >= (total * 95 + 99) // 100 THEN b END) AS b95,
+      |    min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN b END) AS b99
+      |  FROM cum GROUP BY 1)
+      |SELECT l_returnflag,
+      |  CAST(r.lo + ((b50 + 1) * r.span) // $QBuckets AS DOUBLE) / 100.0 AS p50,
+      |  CAST(r.lo + ((b95 + 1) * r.span) // $QBuckets AS DOUBLE) / 100.0 AS p95,
+      |  CAST(r.lo + ((b99 + 1) * r.span) // $QBuckets AS DOUBLE) / 100.0 AS p99
+      |FROM picks CROSS JOIN r ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_kmv_distinct" -> kmvDistinct,
     "q_cms_counts" -> cmsCounts,
+    "q_approx_quantiles" -> approxQuantiles,
   )
 
   val oracles: Map[String, String] = Map(
     "q_kmv_distinct" -> kmvDistinctSql,
     "q_cms_counts" -> cmsCountsSql,
+    "q_approx_quantiles" -> approxQuantilesSql,
   )
 }
