@@ -30,19 +30,54 @@ object IncrementalRollup {
   /** Sketch size for the optional distinct-count state (±~6% at k=256). */
   val KmvK = 256
 
-  private def stateAggs(withKmv: Boolean) = Seq(
+  /** Bucket count for the optional quantile-histogram state. */
+  val HistBuckets = 128
+
+  private val StateCols =
+    Set("cnt", "sum_cents", "min_cents", "max_cents", "kmv", "hist")
+
+  private def stateAggs(withKmv: Boolean, withHist: Boolean) = Seq(
     sum(col("cnt")).as("cnt"),
     sum(col("sum_cents")).as("sum_cents"),
     min(col("min_cents")).as("min_cents"),
     max(col("max_cents")).as("max_cents")) ++
     (if (withKmv) Seq(graft.ops.Sketches.kmvMergeAgg(col("kmv"), KmvK).as("kmv"))
-     else Seq.empty)
+     else Seq.empty) ++
+    (if (withHist) Seq(expr(
+      s"""aggregate(collect_list(hist), array_repeat(0L, $HistBuckets),
+         |(acc, h) -> zip_with(acc, h, (x, y) -> x + y))""".stripMargin)
+      .as("hist")) else Seq.empty)
+
+  /** Per-key bucket-count array over `valueCol` cents — the mergeable
+    * quantile state (element-wise-additive, like the CMS counter matrix).
+    * Bounds are FIXED per rollup (mergeability demands one bucket grid
+    * across all batches); out-of-range values clamp to the edge buckets.
+    */
+  private def histPartial(batch: DataFrame, keys: Seq[String], valueCol: String,
+                          lo: Long, hi: Long): DataFrame = {
+    val span = hi - lo + 1
+    batch
+      .select(keys.map(col) :+ round(col(valueCol) * 100).cast("long").as("c"): _*)
+      .withColumn("b", expr(
+        s"least(${HistBuckets - 1}L, greatest(0L, ((c - ${lo}L) * $HistBuckets) div ${span}L))"))
+      .groupBy(keys.map(col) :+ col("b"): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(keys.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("b").cast("int"), col("n"))))
+        .as("m"))
+      .select(keys.map(col) :+ expr(
+        s"transform(sequence(0, ${HistBuckets - 1}), i -> coalesce(element_at(m, i), 0L))")
+        .as("hist"): _*)
+  }
 
   /** One batch's partial aggregates; `distinctCol` adds a KMV k-min-set
-    * sketch of that column so the state can answer approx-distinct.
+    * sketch of that column so the state can answer approx-distinct;
+    * `histBounds` (lo,hi in CENTS of `valueCol`) adds the bucket-count
+    * histogram so the state can answer approximate quantiles.
     */
   def partial(batch: DataFrame, keys: Seq[String], valueCol: String,
-              distinctCol: Option[String] = None): DataFrame = {
+              distinctCol: Option[String] = None,
+              histBounds: Option[(Long, Long)] = None): DataFrame = {
     val aggs = Seq(
       count(lit(1)).as("cnt"),
       sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"),
@@ -50,7 +85,12 @@ object IncrementalRollup {
       max(round(col(valueCol) * 100).cast("long")).as("max_cents")) ++
       distinctCol.map(c => graft.ops.Sketches.kmv(
         graft.ops.Hashing.md5Long(col(c)), KmvK).as("kmv"))
-    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val base = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    histBounds match {
+      case None => base
+      case Some((lo, hi)) =>
+        base.join(histPartial(batch, keys, valueCol, lo, hi), keys)
+    }
   }
 
   /** State lives in versioned subdirectories `v=N`; a version COUNTS only
@@ -75,35 +115,76 @@ object IncrementalRollup {
     versions(fs, p).lastOption.map(_._2)
   }
 
+  /** Persisted histogram bounds: one grid per rollup, forever — merging
+    * counts bucketed on different grids would be silent nonsense.
+    */
+  private def boundsPath(p: Path) = new Path(p, "_hist_bounds")
+
+  private def checkBounds(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                          histBounds: Option[(Long, Long)]): Unit = {
+    val bp = boundsPath(p)
+    val stored: Option[(Long, Long)] =
+      if (!fs.exists(bp)) None
+      else {
+        val in = fs.open(bp)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        val Array(lo, hi) = s.split(","); Some((lo.toLong, hi.toLong))
+      }
+    (histBounds, stored) match {
+      case (Some(b), Some(st)) if b != st =>
+        throw new IllegalStateException(
+          s"rollup at $p was built with histogram bounds $st; got $b. One " +
+          "bucket grid per rollup — rebuild the state to change bounds.")
+      case (Some((lo, hi)), None) =>
+        val out = fs.create(bp, true)
+        try out.write(s"$lo,$hi".getBytes("UTF-8")) finally out.close()
+      case _ => ()
+    }
+  }
+
+  private[core] def readBounds(spark: SparkSession, statePath: String): (Long, Long) = {
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(boundsPath(p))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+    val Array(lo, hi) = s.split(","); (lo.toLong, hi.toLong)
+  }
+
   /** Merge a new batch into the persisted state at `statePath`. */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
              keys: Seq[String], valueCol: String,
-             distinctCol: Option[String] = None): Unit = {
+             distinctCol: Option[String] = None,
+             histBounds: Option[(Long, Long)] = None): Unit = {
     val p = new Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = partial(batch, keys, valueCol, distinctCol)
+    checkBounds(fs, p, histBounds)
+    val fresh = partial(batch, keys, valueCol, distinctCol, histBounds)
     val existing = versions(fs, p)
     val next = new Path(p, f"v=${existing.lastOption.map(_._1).getOrElse(0L) + 1}%08d")
-    val aggs = stateAggs(distinctCol.isDefined)
+    val aggs = stateAggs(distinctCol.isDefined, histBounds.isDefined)
     val merged = existing.lastOption match {
       case None => fresh
       case Some((_, cur)) =>
         val prev = spark.read.parquet(cur.toString)
-        val prevHasKmv = prev.columns.contains("kmv")
-        // reconcile a distinctCol config change against persisted state:
-        // DROPPING the sketch is a clean downgrade (discard the column);
-        // ADDING one cannot be honest — history's hashes are gone from the
-        // merged partials, so a conjured empty sketch would silently
+        // reconcile sketch-config changes against persisted state:
+        // DROPPING a sketch is a clean downgrade (discard the column);
+        // ADDING one cannot be honest — history's raw values are gone from
+        // the merged partials, so a conjured empty sketch would silently
         // undercount forever. Fail with the recovery path instead.
-        if (distinctCol.isDefined && !prevHasKmv)
-          throw new IllegalStateException(
-            s"rollup state at $statePath was built without distinctCol; a KMV " +
-            "sketch cannot be recovered from merged partials. Delete the state " +
-            "directory and replay history with distinctCol set, or keep " +
-            "distinctCol=None.")
-        val prevAligned = if (prevHasKmv && distinctCol.isEmpty) prev.drop("kmv")
-                          else prev
-        prevAligned
+        def reconcile(want: Boolean, colName: String, what: String): Unit =
+          if (want && !prev.columns.contains(colName))
+            throw new IllegalStateException(
+              s"rollup state at $statePath was built without $what; it cannot " +
+              "be recovered from merged partials. Delete the state directory " +
+              s"and replay history, or keep $what off.")
+        reconcile(distinctCol.isDefined, "kmv", "distinctCol")
+        reconcile(histBounds.isDefined, "hist", "histBounds")
+        val drops =
+          (if (prev.columns.contains("kmv") && distinctCol.isEmpty) Seq("kmv") else Nil) ++
+          (if (prev.columns.contains("hist") && histBounds.isEmpty) Seq("hist") else Nil)
+        prev.drop(drops: _*)
           .unionByName(fresh)
           .groupBy(keys.map(col): _*)
           .agg(aggs.head, aggs.tail: _*)
@@ -115,7 +196,9 @@ object IncrementalRollup {
   }
 
   /** Read-time view: derived statistics from the mergeable state (adds
-    * `approx_distinct` when the state carries the KMV sketch).
+    * `approx_distinct` when the state carries the KMV sketch, and
+    * `p50/p95/p99` when it carries the quantile histogram — same
+    * integer-`div` bucket-edge math as `SketchOps.approxQuantiles`).
     */
   def result(spark: SparkSession, statePath: String): DataFrame = {
     val state = spark.read.parquet(latestVersion(spark, statePath)
@@ -128,11 +211,31 @@ object IncrementalRollup {
       .withColumn("min_value", col("min_cents").cast("double") / 100.0)
       .withColumn("max_value", col("max_cents").cast("double") / 100.0)
       .drop("sum_cents", "min_cents", "max_cents")
-    if (state.columns.contains("kmv"))
-      withDerived
-        .withColumn("approx_distinct",
-          graft.ops.Sketches.kmvEstimate(col("kmv"), KmvK))
-        .drop("kmv")
-    else withDerived
+    val withKmv =
+      if (state.columns.contains("kmv"))
+        withDerived
+          .withColumn("approx_distinct",
+            graft.ops.Sketches.kmvEstimate(col("kmv"), KmvK))
+          .drop("kmv")
+      else withDerived
+    if (state.columns.contains("hist")) {
+      val (lo, hi) = readBounds(spark, statePath)
+      val span = hi - lo + 1
+      // min bucket whose running count reaches ceil(pct% of total) = the
+      // NUMBER of strict-prefix sums below the target (cumsum is
+      // nondecreasing); then that bucket's upper edge in dollars — all
+      // integer div, same math as SketchOps.approxQuantiles
+      def pick(pct: Int) = expr(
+        s"""cast(${lo}L + ((aggregate(hist, named_struct('cum', 0L, 'k', 0L),
+           |  (s, x) -> named_struct('cum', s.cum + x,
+           |    'k', s.k + if(s.cum + x < (hist_total * $pct + 99) div 100, 1L, 0L))
+           |  ).k + 1) * ${span}L) div $HistBuckets as double) / 100.0""".stripMargin)
+      withKmv
+        .withColumn("hist_total", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .withColumn("p50", pick(50))
+        .withColumn("p95", pick(95))
+        .withColumn("p99", pick(99))
+        .drop("hist", "hist_total")
+    } else withKmv
   }
 }

@@ -220,7 +220,12 @@ object TableLog {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")} (vacuumed?)")
     val files = readManifest(spark, dir, v).map(f => s"$dir/$f")
-    spark.read.parquet(files: _*)
+    // mergeSchema: additive schema evolution — a snapshot may span commits
+    // written before and after a column was added; rows from old files
+    // surface the new column as null (Delta's mergeSchema semantics).
+    // Without it the scan takes one file's footer as THE schema and
+    // silently drops the others' extra columns.
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and

@@ -102,6 +102,51 @@ class IncrementalRollupSpec extends SparkSpec {
     }
   }
 
+  test("histogram state: batch-merged quantiles equal one-shot; bounds are pinned") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+    val bounds = Some((0L, 60000000L)) // 0..600k dollars in cents
+    val batches = Seq(orders.filter(col("yr") <= 1997), orders.filter(col("yr") > 1997))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hroll").toString
+    batches.foreach(b => IncrementalRollup.update(spark, dir, b,
+      Seq("o_orderpriority"), "o_totalprice", histBounds = bounds))
+    val merged = IncrementalRollup.result(spark, dir)
+      .select("o_orderpriority", "p50", "p95", "p99")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+
+    // one-shot: a single-batch rollup over everything
+    val oneDir = java.nio.file.Files.createTempDirectory("graft_hroll1").toString
+    IncrementalRollup.update(spark, oneDir, orders,
+      Seq("o_orderpriority"), "o_totalprice", histBounds = bounds)
+    val oneShot = IncrementalRollup.result(spark, oneDir)
+      .select("o_orderpriority", "p50", "p95", "p99")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(merged == oneShot)
+    // sanity: estimates track the exact interpolation-free percentiles to
+    // within one bucket (span/128 cents)
+    val bucketDollars = 60000000L / 128 / 100.0
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(expr("percentile(cast(round(o_totalprice*100) as long), 0.5)").as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1) / 100.0).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(merged(k)._1 - e) <= 2 * bucketDollars,
+        s"$k: p50 ${merged(k)._1} vs ~exact $e")
+    }
+    // changing the bucket grid mid-life is refused
+    intercept[IllegalStateException] {
+      IncrementalRollup.update(spark, dir, batches.head,
+        Seq("o_orderpriority"), "o_totalprice",
+        histBounds = Some((0L, 1000L)))
+    }
+    // dropping the histogram is a clean downgrade
+    IncrementalRollup.update(spark, dir, batches.head.limit(10),
+      Seq("o_orderpriority"), "o_totalprice")
+    assert(!IncrementalRollup.result(spark, dir).columns.contains("p50"))
+  }
+
   test("distinctCol config changes: dropping the sketch migrates, adding fails fast") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.core.Tables.orders(spark, sf)

@@ -75,6 +75,20 @@ class TableLogSpec extends SparkSpec {
       == (0L until 300L).sum)
   }
 
+  test("additive schema evolution: new columns surface, old rows read as null") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 10).select($"id"))
+    TableLog.append(spark, dir,
+      spark.range(10, 15).select($"id", ($"id" * 2).as("score")))
+    val snap = TableLog.read(spark, dir)
+    assert(snap.columns.toSet == Set("id", "score"))
+    assert(snap.count() == 15)
+    assert(snap.filter($"score".isNull).count() == 10) // pre-evolution rows
+    assert(snap.filter($"score" === $"id" * 2).count() == 5)
+    // time travel still sees the old shape
+    assert(TableLog.read(spark, dir, Some(1)).columns.toSet == Set("id"))
+  }
+
   test("idempotent append skips re-delivered transactions and leaves no orphans") {
     val dir = freshDir()
     val v1 = TableLog.appendIdempotent(spark, dir,
