@@ -58,6 +58,9 @@ object IncrementalRollup {
     val span = hi - lo + 1
     batch
       .select(keys.map(col) :+ round(col(valueCol) * 100).cast("long").as("c"): _*)
+      // null values carry no quantile information (base aggs skip them in
+      // sum/min/max too) — and a null bucket would blow up map_from_entries
+      .filter(col("c").isNotNull)
       .withColumn("b", expr(
         s"least(${HistBuckets - 1}L, greatest(0L, ((c - ${lo}L) * $HistBuckets) div ${span}L))"))
       .groupBy(keys.map(col) :+ col("b"): _*)
@@ -89,7 +92,16 @@ object IncrementalRollup {
     histBounds match {
       case None => base
       case Some((lo, hi)) =>
-        base.join(histPartial(batch, keys, valueCol, lo, hi), keys)
+        // null-SAFE join: a null group key is a real group in the base
+        // aggregates, and a plain equi-join would silently drop it. Left
+        // join because an all-null-valued group has no histogram row (its
+        // hist reads as null; the merge's collect_list skips nulls, which
+        // is exactly "zero counts").
+        val h = histPartial(batch, keys, valueCol, lo, hi)
+        val cond = keys.map(k => base(k) <=> h(k)).reduce(_ && _)
+        base.join(h, cond, "left")
+          .select(keys.map(base(_)) ++ StateCols.toSeq.sorted
+            .filter(base.columns.contains).map(base(_)) :+ h("hist"): _*)
     }
   }
 
@@ -120,26 +132,15 @@ object IncrementalRollup {
     */
   private def boundsPath(p: Path) = new Path(p, "_hist_bounds")
 
-  private def checkBounds(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-                          histBounds: Option[(Long, Long)]): Unit = {
+  private def storedBounds(fs: org.apache.hadoop.fs.FileSystem,
+                           p: Path): Option[(Long, Long)] = {
     val bp = boundsPath(p)
-    val stored: Option[(Long, Long)] =
-      if (!fs.exists(bp)) None
-      else {
-        val in = fs.open(bp)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-        val Array(lo, hi) = s.split(","); Some((lo.toLong, hi.toLong))
-      }
-    (histBounds, stored) match {
-      case (Some(b), Some(st)) if b != st =>
-        throw new IllegalStateException(
-          s"rollup at $p was built with histogram bounds $st; got $b. One " +
-          "bucket grid per rollup — rebuild the state to change bounds.")
-      case (Some((lo, hi)), None) =>
-        val out = fs.create(bp, true)
-        try out.write(s"$lo,$hi".getBytes("UTF-8")) finally out.close()
-      case _ => ()
+    if (!fs.exists(bp)) None
+    else {
+      val in = fs.open(bp)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      val Array(lo, hi) = s.split(","); Some((lo.toLong, hi.toLong))
     }
   }
 
@@ -159,7 +160,13 @@ object IncrementalRollup {
              histBounds: Option[(Long, Long)] = None): Unit = {
     val p = new Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    checkBounds(fs, p, histBounds)
+    // grid-mismatch check up front; the WRITE of new bounds waits until
+    // the whole update is validated, so a rejected update (e.g. adding a
+    // histogram to hist-less state) leaves no stale metadata behind
+    for (b <- histBounds; st <- storedBounds(fs, p); if b != st)
+      throw new IllegalStateException(
+        s"rollup at $p was built with histogram bounds $st; got $b. One " +
+        "bucket grid per rollup — rebuild the state to change bounds.")
     val fresh = partial(batch, keys, valueCol, distinctCol, histBounds)
     val existing = versions(fs, p)
     val next = new Path(p, f"v=${existing.lastOption.map(_._1).getOrElse(0L) + 1}%08d")
@@ -191,6 +198,10 @@ object IncrementalRollup {
     }
     // overwrite handles a partial `next` left by a crashed previous attempt
     merged.write.mode("overwrite").parquet(next.toString)
+    for ((lo, hi) <- histBounds if storedBounds(fs, p).isEmpty) {
+      val out = fs.create(boundsPath(p), true)
+      try out.write(s"$lo,$hi".getBytes("UTF-8")) finally out.close()
+    }
     // only after the new version is complete: drop superseded versions
     existing.foreach { case (_, vp) => fs.delete(vp, true) }
   }

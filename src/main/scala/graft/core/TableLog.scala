@@ -87,6 +87,31 @@ object TableLog {
       .map(_.stripPrefix("#txn="))
       .toSet
 
+  /** Per-JVM incremental token index: manifests are immutable once
+    * written, so each call reads only versions newer than the last scan —
+    * a streaming sink committing one version per micro-batch pays O(1)
+    * manifest reads per append instead of O(versions) (the committedTxns
+    * full scan made the sink quadratic over its lifetime). Tokens from
+    * since-vacuumed manifests stay cached; that is conservative in the
+    * safe direction (a replay can only be *skipped*, never duplicated).
+    * Writers in OTHER processes are still seen: their commits are new
+    * manifests, which the next incremental scan picks up.
+    */
+  private val txnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
+  private def txnsSeen(spark: SparkSession, dir: String): Set[String] =
+    txnCache.compute(dir, (_, prev) => {
+      val (scanned, known) =
+        Option(prev).getOrElse((0L, Set.empty[String]))
+      val fresh = versions(spark, dir).filter(_ > scanned)
+      val tokens = known ++ fresh
+        .flatMap(manifestLines(spark, dir, _))
+        .filter(_.startsWith("#txn="))
+        .map(_.stripPrefix("#txn="))
+      (fresh.lastOption.getOrElse(scanned), tokens)
+    })._2
+
   /** Write `df`'s rows as data files carrying `commitId` in their names;
     * returns the new file names. Staged fully before any manifest points
     * at them.
@@ -126,10 +151,13 @@ object TableLog {
       val dest = java.nio.file.Paths.get(path.toUri.getPath)
       val tmp = dest.resolveSibling(
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.write(tmp, bytes)
-      try { java.nio.file.Files.createLink(dest, tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      finally java.nio.file.Files.delete(tmp)
+      try {
+        java.nio.file.Files.write(tmp, bytes) // inside try: a failed write
+        // (disk full) must still reach the finally-cleanup; a hard crash
+        // between write and delete leaks the tmp — vacuum sweeps those
+        try { java.nio.file.Files.createLink(dest, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       try {
         val out = fs.create(path, false)
@@ -158,7 +186,7 @@ object TableLog {
       // batch can race past an outside check, but the loser re-enters here
       // after losing the create and sees the winner's token
       txn.foreach(t =>
-        if (committedTxns(spark, dir).contains(t)) return None)
+        if (txnsSeen(spark, dir).contains(t)) return None)
       val tip = versions(spark, dir).lastOption
       val base = tip.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
       val v = tip.getOrElse(0L) + 1
@@ -190,7 +218,7 @@ object TableLog {
     */
   def appendIdempotent(spark: SparkSession, dir: String, df: DataFrame,
                        txn: String): Option[Long] = {
-    if (committedTxns(spark, dir).contains(txn)) return None // cheap fast path
+    if (txnsSeen(spark, dir).contains(txn)) return None // incremental fast path
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId)
     val v = commit(spark, dir, base => base ++ fresh, txn = Some(txn))
@@ -304,5 +332,12 @@ object TableLog {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-")
         && s.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, true))
+    // manifest temp files leaked by commits killed mid-link
+    val log = new Path(dir, LogDir)
+    if (fs.exists(log))
+      fs.listStatus(log).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-")
+          && s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
   }
 }

@@ -111,15 +111,16 @@ object Streaming {
     */
   def attributeConversions(events: DataFrame, causeType: String,
                            effectType: String,
-                           within: String = "10 minutes"): DataFrame = {
+                           within: String = "10 minutes",
+                           lateness: String = "1 hour"): DataFrame = {
     val cause = events.filter(col("event_type") === causeType)
       .select(col("user_id"), col("event_id").as("cause_id"),
         col("ts").as("cause_ts"))
-      .withWatermark("cause_ts", "1 hour")
+      .withWatermark("cause_ts", lateness)
     val effect = events.filter(col("event_type") === effectType)
       .select(col("user_id").as("e_user_id"), col("event_id").as("effect_id"),
         col("ts").as("effect_ts"))
-      .withWatermark("effect_ts", "1 hour")
+      .withWatermark("effect_ts", lateness)
     cause.join(effect,
       col("user_id") === col("e_user_id") &&
         col("effect_ts") >= col("cause_ts") &&

@@ -141,6 +141,24 @@ class IncrementalRollupSpec extends SparkSpec {
         Seq("o_orderpriority"), "o_totalprice",
         histBounds = Some((0L, 1000L)))
     }
+    // null group keys and null values survive the histogram path: the
+    // null-key group keeps its base aggregates, null values just carry no
+    // quantile information
+    val nullsDir = java.nio.file.Files.createTempDirectory("graft_hrolln").toString
+    val withNulls = orders.limit(200)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 5 === 0, lit(null: String))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, lit(null: java.lang.Double))
+          .otherwise(col("o_totalprice")))
+    IncrementalRollup.update(spark, nullsDir, withNulls,
+      Seq("o_orderpriority"), "o_totalprice", histBounds = bounds)
+    val st = IncrementalRollup.result(spark, nullsDir)
+    assert(st.filter(col("o_orderpriority").isNull).count() == 1)
+    val expectNullGroup = withNulls.filter(col("o_orderpriority").isNull).count()
+    assert(st.filter(col("o_orderpriority").isNull).head.getAs[Long]("cnt")
+      == expectNullGroup)
     // dropping the histogram is a clean downgrade
     IncrementalRollup.update(spark, dir, batches.head.limit(10),
       Seq("o_orderpriority"), "o_totalprice")
