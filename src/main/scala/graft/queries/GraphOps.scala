@@ -39,7 +39,8 @@ object GraphOps {
     * distinct trading pair in orders⋈lineitem), damping 0.85, 5
     * iterations, top-25 nodes. Node ids are namespaced `c<key>`/`s<key>`.
     */
-  def pagerank: Q = (s, d) => {
+  /** The undirected trading graph: (checkpointed edge list, degrees). */
+  private[queries] def tradingGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -51,23 +52,39 @@ object GraphOps {
     // edge list materialized once; degrees are O(nodes) and reused each round
     val e = edges.localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    (e, deg)
+  }
+
+  /** One power-iteration step. Ranks are O(nodes) — broadcast them so the
+    * O(edges) side never re-shuffles; the per-node contribution
+    * (r div deg) is computed once per node before fan-out to its edges.
+    * The only shuffle per iteration is the partial-aggregated sum by dst.
+    * (On a graph whose rank table outgrows broadcast, drop the hint and
+    * pre-partition edges by src once — every iteration then co-locates
+    * for free.) Package-visible so PlanSpec can assert the plan shape
+    * before checkpointing hides it.
+    */
+  private[queries] def iterate(e: DataFrame, deg: DataFrame,
+                               rank: DataFrame): DataFrame = {
+    // deg is static O(nodes) — broadcast it too, else the rank⋈deg join
+    // sort-merges with TWO node-table exchanges per iteration
+    val contrib = rank.join(broadcast(deg), rank("node") === deg("src"))
+      .select(col("node").as("src"), expr("r div deg").as("c"))
+    e.join(broadcast(contrib), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("node"), expr("150000L + (85L * s) div 100L").as("r"))
+  }
+
+  private[queries] def initialRank(deg: DataFrame): DataFrame =
+    deg.select(col("src").as("node"), lit(1000000L).as("r"))
+
+  def pagerank: Q = (s, d) => {
+    val (e, deg) = tradingGraph(s, d)
+    var rank = initialRank(deg)
     var i = 0
     while (i < Iters) {
-      // ranks are O(nodes) — broadcast them so the O(edges) side never
-      // re-shuffles; the per-node contribution (r div deg) is computed
-      // once per node before fan-out to its edges. The only shuffle per
-      // iteration is the partial-aggregated sum by dst. (On a graph whose
-      // rank table outgrows broadcast, drop the hint and pre-partition
-      // edges by src once — every iteration then co-locates for free.)
-      val contrib = rank.join(deg, rank("node") === deg("src"))
-        .select(col("node").as("src"), expr("r div deg").as("c"))
-      rank = e
-        .join(broadcast(contrib), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("node"), expr("150000L + (85L * s) div 100L").as("r"))
-        .localCheckpoint()
+      rank = iterate(e, deg, rank).localCheckpoint()
       i += 1
     }
     rank.orderBy(col("r").desc, col("node").asc).limit(TopN)

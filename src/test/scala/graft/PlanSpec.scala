@@ -111,6 +111,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("histogram-quantile bucketing partially aggregates before its one exchange") {
+    // the sketch's scale claim: ONE shuffle of ≤ groups×buckets rows; the
+    // bucket counting must combine map-side
+    val plan = executed(graft.queries.SketchOps
+      .approxQuantiles(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+  }
+
   test("approx sketches track exact answers within tolerance (the 100TB path)") {
     val li = graft.core.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_orderkey"))).first.getLong(0)
