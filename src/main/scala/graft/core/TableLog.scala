@@ -36,6 +36,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - **Exactly-once streaming ingest**: [[appendIdempotent]] records a
   *    transaction token per commit and skips re-delivered batches —
   *    `foreachBatch` + batchId gives end-to-end exactly-once appends.
+  *  - **Partitioned tables**: `partitionBy` lays commits out hive-style
+  *    (`col=val/...`); [[read]] re-derives partition columns via basePath
+  *    and prunes files by path at the MANIFEST level — a pure metadata
+  *    operation, before Spark lists or opens anything.
   *  - **OPTIMIZE**: [[compact]] rewrites the current snapshot into
   *    target-size files and commits a new manifest; old versions still
   *    reference the old files, so layout changes are themselves
@@ -113,24 +117,40 @@ object TableLog {
     })._2
 
   /** Write `df`'s rows as data files carrying `commitId` in their names;
-    * returns the new file names. Staged fully before any manifest points
-    * at them.
+    * returns the new file names (RELATIVE paths — partitioned writes keep
+    * their `col=val/` directory structure, which is both the partition
+    * encoding Spark re-derives on read and what [[read]]'s manifest-level
+    * pruning matches against). Staged fully before any manifest points at
+    * them.
     */
   private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame,
-                             commitId: String): Seq[String] = {
+                             commitId: String,
+                             partitionBy: Seq[String] = Seq.empty): Seq[String] = {
     val fs = fsOf(spark, dir)
     val stage = new Path(dir, s".stage-$commitId")
-    df.write.mode("overwrite").parquet(stage.toString)
-    val files = fs.listStatus(stage).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map { s =>
-        val name = s"$commitId-${s.getPath.getName}"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    val stageUri = stage.toUri.getPath
+    val parts = fs.listFiles(stage, true)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    while (parts.hasNext) {
+      val s = parts.next()
+      if (s.isFile && s.getPath.getName.startsWith("part-")) {
+        val rel = s.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+        val relDir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => rel.substring(0, i + 1)
+        }
+        val name = s"$relDir$commitId-${s.getPath.getName}"
+        if (relDir.nonEmpty) fs.mkdirs(new Path(dir, relDir))
         if (!fs.rename(s.getPath, new Path(dir, name)))
           throw new java.io.IOException(s"stage move failed for $name")
-        name
+        out += name
       }
+    }
     fs.delete(stage, true)
-    files
+    out.toList
   }
 
   /** Put `bytes` at `path` atomically, failing if `path` already exists.
@@ -197,10 +217,15 @@ object TableLog {
     Some(committed)
   }
 
-  /** Append `df` to the table; returns the new version. */
-  def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
+  /** Append `df` to the table; returns the new version. `partitionBy`
+    * lays the commit's files out hive-style (`col=val/...`) — the layout
+    * [[read]] prunes on and Spark re-derives partition columns from.
+    * Use the same columns for every commit to a table.
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+             partitionBy: Seq[String] = Seq.empty): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val fresh = writeDataFiles(spark, dir, df, commitId)
+    val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
     commit(spark, dir, base => base ++ fresh).get
   }
 
@@ -217,10 +242,11 @@ object TableLog {
     * possible replay horizon of the writer.
     */
   def appendIdempotent(spark: SparkSession, dir: String, df: DataFrame,
-                       txn: String): Option[Long] = {
+                       txn: String,
+                       partitionBy: Seq[String] = Seq.empty): Option[Long] = {
     if (txnsSeen(spark, dir).contains(txn)) return None // incremental fast path
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val fresh = writeDataFiles(spark, dir, df, commitId)
+    val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
     val v = commit(spark, dir, base => base ++ fresh, txn = Some(txn))
     if (v.isEmpty) { // lost to a racing retry of the same batch
       val fs = fsOf(spark, dir)
@@ -230,9 +256,10 @@ object TableLog {
   }
 
   /** Replace the table's contents with `df`; returns the new version. */
-  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Long = {
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+                partitionBy: Seq[String] = Seq.empty): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val fresh = writeDataFiles(spark, dir, df, commitId)
+    val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
     commit(spark, dir, _ => fresh).get
   }
 
@@ -242,18 +269,31 @@ object TableLog {
     * one file per snapshot in practice (parquet writers always emit one).
     */
   def read(spark: SparkSession, dir: String,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None,
+           partitionFilter: Seq[(String, String)] = Seq.empty): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions under $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")} (vacuumed?)")
-    val files = readManifest(spark, dir, v).map(f => s"$dir/$f")
+    // manifest-level partition pruning: `col=val` filters drop files by
+    // PATH before Spark ever lists or opens them — at a million files the
+    // difference between a metadata operation and a cluster job. (Catalyst
+    // would prune the same files from a filter on the partition column,
+    // but only after receiving the full file list.)
+    val all = readManifest(spark, dir, v)
+    val files = partitionFilter.foldLeft(all) { case (fs0, (c, value)) =>
+      fs0.filter(_.contains(s"$c=$value/"))
+    }.map(f => s"$dir/$f")
+    require(files.nonEmpty,
+      s"no files match partition filter $partitionFilter in version $v")
     // mergeSchema: additive schema evolution — a snapshot may span commits
     // written before and after a column was added; rows from old files
     // surface the new column as null (Delta's mergeSchema semantics).
-    // Without it the scan takes one file's footer as THE schema and
-    // silently drops the others' extra columns.
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    // basePath re-derives hive-style partition columns from file paths.
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", dir)
+      .parquet(files: _*)
   }
 
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and
@@ -265,6 +305,9 @@ object TableLog {
     val fs = fsOf(spark, dir)
     val tip = versions(spark, dir).last
     val current = readManifest(spark, dir, tip)
+    require(current.forall(!_.contains("/")),
+      "compact rewrites the table unpartitioned — for a partitioned table, " +
+      "compact each partition's files separately (or overwrite with partitionBy)")
     val totalBytes = current.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -321,12 +364,21 @@ object TableLog {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - math.max(1, keepVersions)))
     val referenced = keep.flatMap(readManifest(spark, dir, _)).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
-    fs.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith(".")
-        && s.getModificationTime < cutoff)
-      .filterNot(s => referenced.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, false))
+    // recursive walk so files inside partition subdirs are reclaimed too;
+    // matching is on the manifest's RELATIVE path. Any path with a dot/
+    // underscore segment (_graft_log, .stage-*, markers) is off-limits.
+    val dirUri = new Path(dir).toUri.getPath
+    val it = fs.listFiles(new Path(dir), true)
+    val stale = scala.collection.mutable.ListBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(dirUri).stripPrefix("/")
+      val protectedPath = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (s.isFile && !protectedPath && s.getModificationTime < cutoff
+        && !referenced.contains(rel)) stale += s.getPath
+    }
+    stale.foreach(fs.delete(_, false))
     // stale staging dirs from crashed writers
     fs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-")

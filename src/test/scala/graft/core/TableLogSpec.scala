@@ -75,6 +75,49 @@ class TableLogSpec extends SparkSpec {
       == (0L until 300L).sum)
   }
 
+  test("partitioned commits: columns re-derive, manifest-level pruning, vacuum reclaims subdirs") {
+    val dir = freshDir()
+    val df = spark.range(0, 100)
+      .select($"id", (($"id" % 4).cast("int")).as("bucket"))
+    TableLog.append(spark, dir, df, partitionBy = Seq("bucket"))
+    TableLog.append(spark, dir,
+      spark.range(100, 140).select($"id", (($"id" % 4).cast("int")).as("bucket")),
+      partitionBy = Seq("bucket"))
+    val snap = TableLog.read(spark, dir)
+    assert(snap.columns.toSet == Set("id", "bucket"))
+    assert(snap.count() == 140)
+    assert(snap.filter($"bucket" === 2).count() == 35)
+    // partition filter prunes at the manifest: only bucket=2 files are
+    // even handed to the reader
+    val pruned = TableLog.read(spark, dir, partitionFilter = Seq("bucket" -> "2"))
+    assert(pruned.count() == 35)
+    assert(pruned.inputFiles.forall(_.contains("bucket=2/")))
+    assert(pruned.inputFiles.length < snap.inputFiles.length)
+    // overwrite compacts per-partition semantics away; vacuum reclaims the
+    // replaced files inside partition subdirectories
+    TableLog.overwrite(spark, dir,
+      spark.range(0, 10).select($"id", lit(0).cast("int").as("bucket")),
+      partitionBy = Seq("bucket"))
+    TableLog.vacuum(spark, dir, keepVersions = 1, retainMs = 0L)
+    assert(TableLog.read(spark, dir).count() == 10)
+    val leftover = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toUri.getPath
+        if (!rel.contains("/_") && !rel.contains("/.")) n += 1
+      }
+      n
+    }
+    assert(leftover == TableLog.read(spark, dir).inputFiles.length,
+      s"unreclaimed data files: $leftover")
+    // compacting a partitioned table is refused (it would flatten layout)
+    intercept[IllegalArgumentException] { TableLog.compact(spark, dir) }
+  }
+
   test("additive schema evolution: new columns surface, old rows read as null") {
     val dir = freshDir()
     TableLog.append(spark, dir, spark.range(0, 10).select($"id"))
