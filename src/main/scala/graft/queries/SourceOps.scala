@@ -103,15 +103,46 @@ object SourceOps {
       |FROM v2 JOIN tip USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Partitioned TableLog: two commits laid out hive-style by order
+    * status, then a MANIFEST-pruned read of one partition (only that
+    * partition's files are handed to Spark — metadata-only pruning). The
+    * oracle is the equivalent predicate over the raw table, so the gate
+    * proves pruning loses no rows and invents none.
+    */
+  def tableLogPartitioned: Q = (s, d) => {
+    val dir = Scratch.dir("tlogp_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    (0 to 1).foreach(i => graft.core.TableLog.append(s, dir,
+      o.filter(col("o_orderkey") % 2 === i), partitionBy = Seq("o_orderstatus")))
+    graft.core.TableLog.read(s, dir,
+        partitionFilter = Seq("o_orderstatus" -> "F"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tableLogPartitionedSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+      |  ${Num.moneySumSql("o_totalprice")} AS revenue
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_table_log" -> tableLog,
+    "q_table_log_partitioned" -> tableLogPartitioned,
   )
 
   val oracles: Map[String, String] = Map(
     "q_json_roundtrip" -> jsonRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_table_log" -> tableLogSql,
+    "q_table_log_partitioned" -> tableLogPartitionedSql,
   )
 }
