@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** A minimal manifest-log table format over plain parquet — the engine's
   * stand-in for the Delta transaction log the reference leans on
@@ -40,6 +41,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (`col=val/...`); [[read]] re-derives partition columns via basePath
   *    and prunes files by path at the MANIFEST level — a pure metadata
   *    operation, before Spark lists or opens anything.
+  *  - **Copy-on-write DELETE / MERGE**: [[deleteWhere]] and [[upsert]]
+  *    rewrite only the data files containing affected rows; everything
+  *    else carries into the new version untouched.
   *  - **OPTIMIZE**: [[compact]] rewrites the current snapshot into
   *    target-size files and commits a new manifest; old versions still
   *    reference the old files, so layout changes are themselves
@@ -330,6 +334,89 @@ object TableLog {
         throw e
     }
     (current.size, fresh.size, v)
+  }
+
+  /** Absolute scan path (as `input_file_name` reports it) → the
+    * manifest's relative path.
+    */
+  private def toRelative(dir: String, absUri: String): String = {
+    val dirPath = new Path(dir).toUri.getPath
+    val p = new Path(new java.net.URI(absUri)).toUri.getPath
+    p.stripPrefix(dirPath).stripPrefix("/")
+  }
+
+  /** Copy-on-write DELETE: rewrite ONLY the data files that contain rows
+    * matching `cond`; untouched files carry into the new version as-is —
+    * at a million files, a selective delete rewrites the handful that
+    * matter instead of the table. Old versions still see the deleted rows
+    * (time travel). Concurrent appends are carried over; a concurrent
+    * overwrite/compact of the affected files aborts (same conflict rule
+    * as [[compact]]). Pass `partitionBy` for partitioned tables so
+    * rewritten survivors keep their layout.
+    * Returns (newVersion, filesRewritten) — version unchanged when
+    * nothing matched.
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  cond: org.apache.spark.sql.Column,
+                  partitionBy: Seq[String] = Seq.empty): (Long, Int) = {
+    val tip = versions(spark, dir).last
+    val snap = read(spark, dir, Some(tip))
+    val affected = snap.filter(cond)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(r => toRelative(dir, r.getString(0))).toSet
+    if (affected.isEmpty) return (tip, 0)
+    val survivors = spark.read
+      .option("mergeSchema", "true").option("basePath", dir)
+      .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
+      .filter(!cond)
+    replaceFiles(spark, dir, affected, survivors, partitionBy)
+  }
+
+  /** MERGE/upsert by key: rows of `updates` replace same-keyed rows,
+    * new keys append — in ONE commit, rewriting only the files that hold
+    * a matched key (copy-on-write, like [[deleteWhere]]).
+    */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+             keyCols: Seq[String],
+             partitionBy: Seq[String] = Seq.empty): (Long, Int) = {
+    val tip = versions(spark, dir).last
+    val snap = read(spark, dir, Some(tip))
+    // bind input_file_name to the snapshot scan BEFORE the join — after
+    // it the expression has two sources and refuses to resolve
+    val affected = snap
+      .withColumn("_file", org.apache.spark.sql.functions.input_file_name())
+      .join(org.apache.spark.sql.functions.broadcast(
+        updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
+      .select(col("_file"))
+      .distinct().collect().map(r => toRelative(dir, r.getString(0))).toSet
+    val survivors =
+      if (affected.isEmpty) updates
+      else spark.read
+        .option("mergeSchema", "true").option("basePath", dir)
+        .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
+        .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .unionByName(updates, allowMissingColumns = true)
+    replaceFiles(spark, dir, affected, survivors, partitionBy)
+  }
+
+  /** Shared copy-on-write tail: stage `replacement` rows, commit a
+    * manifest = fresh files + (base minus `replaced`), aborting if a
+    * racing overwrite already removed any replaced file.
+    */
+  private def replaceFiles(spark: SparkSession, dir: String,
+                           replaced: Set[String], replacement: DataFrame,
+                           partitionBy: Seq[String]): (Long, Int) = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val fresh = writeDataFiles(spark, dir, replacement, commitId, partitionBy)
+    val v = try {
+      commit(spark, dir, rebaseCompaction(dir, replaced, fresh)).get
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        val fs = fsOf(spark, dir)
+        fresh.foreach(f => fs.delete(new Path(dir, f), false))
+        throw e
+    }
+    (v, replaced.size)
   }
 
   /** Compaction's commit re-base (see [[compact]]): package-private so the

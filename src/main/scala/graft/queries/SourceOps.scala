@@ -132,11 +132,53 @@ object SourceOps {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Copy-on-write DELETE + MERGE on the table log: delete a predicate
+    * slice, upsert a keyed update set (replacing matched keys, inserting
+    * the rest), then aggregate the tip — hash-matched against the same
+    * relational algebra applied directly in the oracle. Only files
+    * containing affected rows were rewritten (TableLogSpec proves the
+    * file-level selectivity; this gates the row-level semantics).
+    */
+  def tableLogMerge: Q = (s, d) => {
+    val dir = Scratch.dir("tlogm_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    (0 to 2).foreach(i => graft.core.TableLog.append(s, dir,
+      o.filter(col("o_orderkey") % 3 === i)))
+    graft.core.TableLog.deleteWhere(s, dir,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0)
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", lit(100.0))
+    graft.core.TableLog.upsert(s, dir, updates, Seq("o_orderkey"))
+    graft.core.TableLog.read(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tableLogMergeSql: String =
+    s"""WITH afterdel AS (SELECT * FROM orders
+      |    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)),
+      |ups AS (SELECT o_orderkey, o_orderstatus, 100.0 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM afterdel
+      |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+      |  UNION ALL SELECT * FROM ups)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  ${Num.moneySumSql("o_totalprice")} AS revenue
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_table_log" -> tableLog,
     "q_table_log_partitioned" -> tableLogPartitioned,
+    "q_table_log_merge" -> tableLogMerge,
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,5 +186,6 @@ object SourceOps {
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_table_log" -> tableLogSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
+    "q_table_log_merge" -> tableLogMergeSql,
   )
 }

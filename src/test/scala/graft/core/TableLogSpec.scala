@@ -75,6 +75,40 @@ class TableLogSpec extends SparkSpec {
       == (0L until 300L).sum)
   }
 
+  test("copy-on-write delete/upsert rewrite only affected files") {
+    val dir = freshDir()
+    // 4 commits = 4 data files, disjoint id ranges
+    (0 until 4).foreach(i => TableLog.append(spark, dir,
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select($"id", ($"id" * 10).as("v")).coalesce(1)))
+    val filesBefore = TableLog.read(spark, dir).inputFiles.toSet
+    assert(filesBefore.size == 4)
+
+    // delete touches ids 150..249 -> exactly 2 of the 4 files
+    val (v1, rewritten) = TableLog.deleteWhere(spark, dir,
+      $"id".between(150, 249))
+    assert(rewritten == 2 && v1 == 5)
+    val afterDelete = TableLog.read(spark, dir)
+    assert(afterDelete.count() == 300)
+    assert(afterDelete.filter($"id".between(150, 249)).count() == 0)
+    // the two untouched files carried over verbatim
+    assert((filesBefore intersect afterDelete.inputFiles.toSet).size == 2)
+    // time travel still sees the deleted rows
+    assert(TableLog.read(spark, dir, Some(4)).count() == 400)
+    // no-match delete: version unchanged
+    assert(TableLog.deleteWhere(spark, dir, $"id" === -1) == (5L, 0))
+
+    // upsert: update id 10 (in one surviving file), insert id 9999
+    val up = Seq((10L, 777L), (9999L, 1L)).toDF("id", "v")
+    val (v2, rewritten2) = TableLog.upsert(spark, dir, up, Seq("id"))
+    assert(v2 == 6 && rewritten2 == 1)
+    val tip = TableLog.read(spark, dir)
+    assert(tip.count() == 301)
+    assert(tip.filter($"id" === 10).head.getLong(1) == 777L)
+    assert(tip.filter($"id" === 9999).count() == 1)
+    assert(tip.filter($"id" === 11).head.getLong(1) == 110L) // neighbor intact
+  }
+
   test("partitioned commits: columns re-derive, manifest-level pruning, vacuum reclaims subdirs") {
     val dir = freshDir()
     val df = spark.range(0, 100)
