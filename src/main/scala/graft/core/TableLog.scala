@@ -44,6 +44,10 @@ import org.apache.spark.sql.functions.col
   *  - **Copy-on-write DELETE / MERGE**: [[deleteWhere]] and [[upsert]]
   *    rewrite only the data files containing affected rows; everything
   *    else carries into the new version untouched.
+  *  - **Data skipping**: `append(statsCol=...)` records per-file min/max
+  *    in the manifest (`#stats=` lines, carried forward with their
+  *    files); `read(skip=(col,lo,hi))` drops files whose range cannot
+  *    match — no footer reads, no file listing, just the log.
   *  - **OPTIMIZE**: [[compact]] rewrites the current snapshot into
   *    target-size files and commits a new manifest; old versions still
   *    reference the old files, so layout changes are themselves
@@ -84,6 +88,21 @@ object TableLog {
 
   private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
     manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+
+  /** Parse `#stats=<file>|<col>|<min>|<max>` metadata into a per-file
+    * map. Manifests are self-contained: every commit re-emits the stats
+    * of each file it lists, so the TIP manifest alone answers skipping.
+    */
+  private def fileStats(lines: Seq[String]): Map[String, (String, Long, Long)] =
+    lines.filter(_.startsWith("#stats=")).flatMap {
+      _.stripPrefix("#stats=").split('|') match {
+        case Array(f, c, mn, mx) => Some(f -> ((c, mn.toLong, mx.toLong)))
+        case _ => None
+      }
+    }.toMap
+
+  private def statsLine(f: String, s: (String, Long, Long)): String =
+    s"#stats=$f|${s._1}|${s._2}|${s._3}"
 
   /** Transaction tokens recorded by retained manifests (vacuumed versions
     * lose theirs — see [[appendIdempotent]]'s retention caveat).
@@ -201,7 +220,9 @@ object TableLog {
     */
   private def commit(spark: SparkSession, dir: String,
                      mkFiles: Seq[String] => Seq[String],
-                     txn: Option[String] = None): Option[Long] = {
+                     txn: Option[String] = None,
+                     freshStats: Map[String, (String, Long, Long)] = Map.empty)
+      : Option[Long] = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(dir, LogDir))
     var committed = -1L
@@ -212,25 +233,59 @@ object TableLog {
       txn.foreach(t =>
         if (txnsSeen(spark, dir).contains(t)) return None)
       val tip = versions(spark, dir).lastOption
-      val base = tip.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
+      val tipLines = tip.map(manifestLines(spark, dir, _)).getOrElse(Seq.empty)
+      val base = tipLines.filterNot(_.startsWith("#"))
       val v = tip.getOrElse(0L) + 1
-      val files = mkFiles(base) ++ txn.map(t => s"#txn=$t")
-      val bytes = (files.mkString("\n") + "\n").getBytes("UTF-8")
+      val files = mkFiles(base)
+      // stats travel with their files: fresh commits bring their own,
+      // carried files inherit the tip's (keeps manifests self-contained)
+      val carried = fileStats(tipLines)
+      val stats = files.flatMap(f =>
+        freshStats.get(f).orElse(carried.get(f)).map(statsLine(f, _)))
+      val all = files ++ stats ++ txn.map(t => s"#txn=$t")
+      val bytes = (all.mkString("\n") + "\n").getBytes("UTF-8")
       if (atomicPutIfAbsent(fs, manifestPath(dir, v), bytes)) committed = v
     }
     Some(committed)
   }
 
+  /** Per-file min/max of `statsCol` for freshly staged files, recorded as
+    * `#stats=<relpath>|<col>|<min>|<max>` manifest metadata — Delta-style
+    * file statistics, computed in ONE job (group by input_file_name) at
+    * write time, consulted by [[read]]'s `skip` without opening a single
+    * parquet footer at plan time.
+    */
+  private def collectStats(spark: SparkSession, dir: String,
+                           fresh: Seq[String], statsCol: String)
+      : Map[String, (String, Long, Long)] = {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    if (fresh.isEmpty) Map.empty
+    else spark.read.option("basePath", dir)
+      .parquet(fresh.map(f => s"$dir/$f"): _*)
+      .groupBy(input_file_name().as("_f"))
+      .agg(fmin(col(statsCol)).cast("long").as("mn"),
+        fmax(col(statsCol)).cast("long").as("mx"))
+      .collect().toSeq
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => toRelative(dir, r.getString(0)) ->
+        ((statsCol, r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
   /** Append `df` to the table; returns the new version. `partitionBy`
     * lays the commit's files out hive-style (`col=val/...`) — the layout
     * [[read]] prunes on and Spark re-derives partition columns from.
-    * Use the same columns for every commit to a table.
+    * Use the same columns for every commit to a table. `statsCol` records
+    * per-file min/max of a (long-castable) column in the manifest for
+    * [[read]]'s value-range data skipping.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-             partitionBy: Seq[String] = Seq.empty): Long = {
+             partitionBy: Seq[String] = Seq.empty,
+             statsCol: Option[String] = None): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
-    commit(spark, dir, base => base ++ fresh).get
+    val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
+    commit(spark, dir, base => base ++ fresh, freshStats = stats).get
   }
 
   /** Exactly-once append: a no-op returning None when a commit carrying
@@ -261,10 +316,12 @@ object TableLog {
 
   /** Replace the table's contents with `df`; returns the new version. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
-                partitionBy: Seq[String] = Seq.empty): Long = {
+                partitionBy: Seq[String] = Seq.empty,
+                statsCol: Option[String] = None): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
-    commit(spark, dir, _ => fresh).get
+    val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
+    commit(spark, dir, _ => fresh, freshStats = stats).get
   }
 
   /** Snapshot read: the latest version, or a pinned one (time travel).
@@ -274,22 +331,32 @@ object TableLog {
     */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None,
-           partitionFilter: Seq[(String, String)] = Seq.empty): DataFrame = {
+           partitionFilter: Seq[(String, String)] = Seq.empty,
+           skip: Option[(String, Long, Long)] = None): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions under $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")} (vacuumed?)")
-    // manifest-level partition pruning: `col=val` filters drop files by
-    // PATH before Spark ever lists or opens them — at a million files the
-    // difference between a metadata operation and a cluster job. (Catalyst
-    // would prune the same files from a filter on the partition column,
-    // but only after receiving the full file list.)
-    val all = readManifest(spark, dir, v)
-    val files = partitionFilter.foldLeft(all) { case (fs0, (c, value)) =>
+    // manifest-level pruning, twice over — both pure metadata operations
+    // on the manifest, before Spark ever lists or opens a file:
+    //  * partitionFilter drops files by `col=val` PATH segment;
+    //  * skip=(col,lo,hi) drops files whose recorded min/max range
+    //    (stats collected at append time) cannot intersect [lo,hi]; files
+    //    without stats for that column are conservatively kept.
+    val lines = manifestLines(spark, dir, v)
+    val all = lines.filterNot(_.startsWith("#"))
+    val stats = fileStats(lines)
+    val afterPart = partitionFilter.foldLeft(all) { case (fs0, (c, value)) =>
       fs0.filter(_.contains(s"$c=$value/"))
+    }
+    val files = skip.fold(afterPart) { case (c, lo, hi) =>
+      afterPart.filter(f => stats.get(f) match {
+        case Some((sc, mn, mx)) if sc == c => mx >= lo && mn <= hi
+        case _ => true
+      })
     }.map(f => s"$dir/$f")
     require(files.nonEmpty,
-      s"no files match partition filter $partitionFilter in version $v")
+      s"no files match partition filter $partitionFilter / skip $skip in version $v")
     // mergeSchema: additive schema evolution — a snapshot may span commits
     // written before and after a column was added; rows from old files
     // surface the new column as null (Delta's mergeSchema semantics).

@@ -173,12 +173,50 @@ object SourceOps {
       |  ${Num.moneySumSql("o_totalprice")} AS revenue
       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Manifest-stats data skipping: commits carry per-file min/max of the
+    * order key, a range read prunes files from the log alone, and the
+    * surviving rows' aggregate hash-matches the equivalent predicate over
+    * the raw table — skipping must lose nothing the predicate wants.
+    * (Files are range-disjoint here because each commit is a key slice —
+    * the clustered-ingest layout that makes stats selective at scale.)
+    */
+  def tableLogSkipping: Q = (s, d) => {
+    val dir = Scratch.dir("tlogs_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val maxKey = o.agg(max(col("o_orderkey"))).first().getLong(0)
+    val slice = maxKey / 4 + 1
+    (0 until 4).foreach(i => graft.core.TableLog.append(s, dir,
+      o.filter(col("o_orderkey") >= i * slice && col("o_orderkey") < (i + 1) * slice),
+      statsCol = Some("o_orderkey")))
+    val lo = slice + 1
+    val hi = 3 * slice - 2
+    graft.core.TableLog.read(s, dir, skip = Some(("o_orderkey", lo, hi)))
+      .filter(col("o_orderkey").between(lo, hi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tableLogSkippingSql: String =
+    s"""WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) // 4 + 1 AS slice FROM orders)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  ${Num.moneySumSql("o_totalprice")} AS revenue
+      |FROM orders CROSS JOIN b
+      |WHERE o_orderkey BETWEEN b.slice + 1 AND 3 * b.slice - 2
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_table_log" -> tableLog,
     "q_table_log_partitioned" -> tableLogPartitioned,
     "q_table_log_merge" -> tableLogMerge,
+    "q_table_log_skipping" -> tableLogSkipping,
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +225,6 @@ object SourceOps {
     "q_table_log" -> tableLogSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
     "q_table_log_merge" -> tableLogMergeSql,
+    "q_table_log_skipping" -> tableLogSkippingSql,
   )
 }

@@ -75,6 +75,28 @@ class TableLogSpec extends SparkSpec {
       == (0L until 300L).sum)
   }
 
+  test("manifest file stats drive value-range data skipping") {
+    val dir = freshDir()
+    (0 until 4).foreach(i => TableLog.append(spark, dir,
+      spark.range(i * 100L, (i + 1) * 100L).select($"id").coalesce(1),
+      statsCol = Some("id")))
+    val full = TableLog.read(spark, dir)
+    assert(full.inputFiles.length == 4)
+    // range [150,249] intersects exactly files 1 and 2 — pruned from the
+    // manifest's #stats lines alone
+    val skipped = TableLog.read(spark, dir, skip = Some(("id", 150L, 249L)))
+    assert(skipped.inputFiles.length == 2, skipped.inputFiles.mkString(","))
+    assert(skipped.filter($"id".between(150, 249)).count() == 100)
+    // stats ride with carried files across later commits (self-contained
+    // manifests): a stats-less append doesn't strip the old files' stats
+    TableLog.append(spark, dir, spark.range(1000, 1010).select($"id").coalesce(1))
+    val after = TableLog.read(spark, dir, skip = Some(("id", 0L, 99L)))
+    // file 0 matches; files 1-3 skipped; the stats-less new file is kept
+    // conservatively
+    assert(after.inputFiles.length == 2, after.inputFiles.mkString(","))
+    assert(after.filter($"id" < 100).count() == 100)
+  }
+
   test("copy-on-write delete/upsert rewrite only affected files") {
     val dir = freshDir()
     // 4 commits = 4 data files, disjoint id ranges
