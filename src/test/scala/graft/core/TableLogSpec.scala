@@ -75,6 +75,53 @@ class TableLogSpec extends SparkSpec {
       == (0L until 300L).sum)
   }
 
+  test("random op sequences match an in-memory model (seeded)") {
+    // model-based check over the whole surface: append / overwrite /
+    // deleteWhere / upsert / compact / vacuum in random order must always
+    // read back exactly what a trivial in-memory model holds
+    val rnd = new scala.util.Random(42)
+    val dir = freshDir()
+    var model = Map.empty[Long, Long] // id -> v
+    var nextId = 0L
+    def freshBatch(n: Int): Seq[(Long, Long)] = {
+      val rows = (0 until n).map(i => (nextId + i, rnd.nextLong(1000000)))
+      nextId += n
+      rows
+    }
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "v")
+    // bootstrap
+    val init = freshBatch(50)
+    TableLog.append(spark, dir, df(init)); model = init.toMap
+    (1 to 25).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 =>
+          val b = freshBatch(rnd.nextInt(40) + 1)
+          TableLog.append(spark, dir, df(b)); model ++= b
+        case 1 =>
+          val b = freshBatch(rnd.nextInt(20) + 5)
+          TableLog.overwrite(spark, dir, df(b)); model = b.toMap
+        case 2 if model.nonEmpty =>
+          val m = rnd.nextInt(5) + 2
+          TableLog.deleteWhere(spark, dir, $"id" % m === 0)
+          model = model.filter(_._1 % m != 0)
+        case 3 if model.nonEmpty =>
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(10))
+          val ups = existing.map(k => (k, -1L)) ++ freshBatch(rnd.nextInt(5) + 1)
+          TableLog.upsert(spark, dir, df(ups), Seq("id")); model ++= ups
+        case 4 if model.nonEmpty =>
+          TableLog.compact(spark, dir, targetBytes = 1L << 30)
+        case 5 =>
+          TableLog.vacuum(spark, dir, keepVersions = 2, retainMs = 0L)
+        case _ => () // op not applicable to an empty table this step
+      }
+      if (model.nonEmpty) {
+        val got = TableLog.read(spark, dir)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"diverged at step $step")
+      }
+    }
+  }
+
   test("manifest file stats drive value-range data skipping") {
     val dir = freshDir()
     (0 until 4).foreach(i => TableLog.append(spark, dir,
