@@ -20,6 +20,7 @@ object Verify {
     // the driver never sets it, so its runs always cover every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank env var = no filter, not "run nothing"
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[verify] WARNING: unknown query in SPARK_GRAFT_ONLY: $n")))
     SparkEntry.queries

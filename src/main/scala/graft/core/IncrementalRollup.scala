@@ -61,8 +61,13 @@ object IncrementalRollup {
       // null values carry no quantile information (base aggs skip them in
       // sum/min/max too) — and a null bucket would blow up map_from_entries
       .filter(col("c").isNotNull)
+      // clamp the VALUE into [lo,hi] before the multiply: a far-out-of-
+      // range value would overflow (c-lo)*buckets into a negative Long and
+      // land in bucket 0 instead of the top edge bucket the contract
+      // promises
       .withColumn("b", expr(
-        s"least(${HistBuckets - 1}L, greatest(0L, ((c - ${lo}L) * $HistBuckets) div ${span}L))"))
+        s"((least(greatest(c, ${lo}L), ${hi}L) - ${lo}L) * $HistBuckets) div ${span}L"))
+      .withColumn("b", expr(s"least(${HistBuckets - 1}L, b)"))
       .groupBy(keys.map(col) :+ col("b"): _*)
       .agg(count(lit(1)).as("n"))
       .groupBy(keys.map(col): _*)
@@ -196,12 +201,16 @@ object IncrementalRollup {
           .groupBy(keys.map(col): _*)
           .agg(aggs.head, aggs.tail: _*)
     }
-    // overwrite handles a partial `next` left by a crashed previous attempt
-    merged.write.mode("overwrite").parquet(next.toString)
+    // bounds persist AFTER all validation (a rejected update must leave no
+    // stale grid metadata) but BEFORE the state write — a crash between a
+    // hist-bearing version and its bounds would otherwise leave state
+    // whose grid a later update could silently redefine
     for ((lo, hi) <- histBounds if storedBounds(fs, p).isEmpty) {
       val out = fs.create(boundsPath(p), true)
       try out.write(s"$lo,$hi".getBytes("UTF-8")) finally out.close()
     }
+    // overwrite handles a partial `next` left by a crashed previous attempt
+    merged.write.mode("overwrite").parquet(next.toString)
     // only after the new version is complete: drop superseded versions
     existing.foreach { case (_, vp) => fs.delete(vp, true) }
   }

@@ -122,16 +122,27 @@ object TableLog {
     * since-vacuumed manifests stay cached; that is conservative in the
     * safe direction (a replay can only be *skipped*, never duplicated).
     * Writers in OTHER processes are still seen: their commits are new
-    * manifests, which the next incremental scan picks up.
+    * manifests, which the next incremental scan picks up. Deleting and
+    * recreating a table at the same path resets the cache when the tip
+    * version regresses below the watermark; a recreate that races past
+    * the old watermark before the next append is not detectable from
+    * version numbers — use a fresh path for a logically new table.
     */
   private val txnCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
 
   private def txnsSeen(spark: SparkSession, dir: String): Set[String] =
     txnCache.compute(dir, (_, prev) => {
+      val vs = versions(spark, dir)
       val (scanned, known) =
-        Option(prev).getOrElse((0L, Set.empty[String]))
-      val fresh = versions(spark, dir).filter(_ > scanned)
+        Option(prev)
+          // a tip LOWER than the watermark means the table was deleted and
+          // recreated at this path — stale watermark+tokens would both
+          // skip legitimate first-time appends and miss new tokens; start
+          // over from the actual log
+          .filter(_ => vs.lastOption.getOrElse(0L) >= Option(prev).map(_._1).getOrElse(0L))
+          .getOrElse((0L, Set.empty[String]))
+      val fresh = vs.filter(_ > scanned)
       val tokens = known ++ fresh
         .flatMap(manifestLines(spark, dir, _))
         .filter(_.startsWith("#txn="))
@@ -154,7 +165,8 @@ object TableLog {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
-    val stageUri = stage.toUri.getPath
+    // qualified: listFiles returns absolute paths even when dir is relative
+    val stageUri = fs.makeQualified(stage).toUri.getPath
     val parts = fs.listFiles(stage, true)
     val out = scala.collection.mutable.ListBuffer.empty[String]
     while (parts.hasNext) {
@@ -267,7 +279,7 @@ object TableLog {
         fmax(col(statsCol)).cast("long").as("mx"))
       .collect().toSeq
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map(r => toRelative(dir, r.getString(0)) ->
+      .map(r => toRelative(spark, dir, r.getString(0)) ->
         ((statsCol, r.getLong(1), r.getLong(2))))
       .toMap
   }
@@ -346,8 +358,10 @@ object TableLog {
     val lines = manifestLines(spark, dir, v)
     val all = lines.filterNot(_.startsWith("#"))
     val stats = fileStats(lines)
+    // whole-SEGMENT match, not substring: "market=2/et=1/f" must not
+    // satisfy et->2 just because "market=2/" happens to contain "et=2/"
     val afterPart = partitionFilter.foldLeft(all) { case (fs0, (c, value)) =>
-      fs0.filter(_.contains(s"$c=$value/"))
+      fs0.filter(_.split('/').init.contains(s"$c=$value"))
     }
     val files = skip.fold(afterPart) { case (c, lo, hi) =>
       afterPart.filter(f => stats.get(f) match {
@@ -355,16 +369,20 @@ object TableLog {
         case _ => true
       })
     }.map(f => s"$dir/$f")
-    require(files.nonEmpty,
-      s"no files match partition filter $partitionFilter / skip $skip in version $v")
+    require(all.nonEmpty, s"version $v has an empty manifest")
     // mergeSchema: additive schema evolution — a snapshot may span commits
     // written before and after a column was added; rows from old files
     // surface the new column as null (Delta's mergeSchema semantics).
     // basePath re-derives hive-style partition columns from file paths.
-    spark.read
+    def scan(fl: Seq[String]) = spark.read
       .option("mergeSchema", "true")
       .option("basePath", dir)
-      .parquet(files: _*)
+      .parquet(fl: _*)
+    // a filter matching zero files is a legitimate empty partition/range,
+    // not an error: return an empty frame with the snapshot's schema
+    if (files.nonEmpty) scan(files)
+    else scan(all.map(f => s"$dir/$f"))
+      .where(org.apache.spark.sql.functions.lit(false))
   }
 
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and
@@ -381,35 +399,29 @@ object TableLog {
       "compact each partition's files separately (or overwrite with partitionBy)")
     val totalBytes = current.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val fresh = writeDataFiles(spark, dir,
-      read(spark, dir, Some(tip)).repartition(nFiles), commitId)
-    // carry over files appended by racing writers since the snapshot read:
-    // the new manifest = rewritten snapshot + anything not in that snapshot.
-    // Valid ONLY while the snapshot's files are all still in the tip — a
-    // racing overwrite (or another compact) that removed any of them has
-    // replaced the data this rewrite copied, and committing would
-    // resurrect its deleted rows. Detect and abort instead (Delta aborts
-    // OPTIMIZE on conflicting overwrites the same way).
-    val compactedSet = current.toSet
-    val v = try {
-      commit(spark, dir, rebaseCompaction(dir, compactedSet, fresh)).get
-    } catch {
-      case e: java.util.ConcurrentModificationException =>
-        val fs2 = fsOf(spark, dir)
-        fresh.foreach(f => fs2.delete(new Path(dir, f), false))
-        throw e
-    }
+    // replaceFiles carries over files appended by racing writers since the
+    // snapshot read and ABORTS if a racing overwrite/compact removed any
+    // of the snapshot's files (committing would resurrect deleted rows —
+    // Delta aborts OPTIMIZE on conflicting overwrites the same way)
+    val (v, fresh) = replaceFiles(spark, dir, current.toSet,
+      read(spark, dir, Some(tip)).repartition(nFiles), Seq.empty)
     (current.size, fresh.size, v)
   }
+
+  /** `dir` as an absolute filesystem path — manifest-relative paths are
+    * computed by stripping this, and a RELATIVE `dir` (scratch paths)
+    * would make stripPrefix a silent no-op against the absolute paths
+    * listings and `input_file_name` report.
+    */
+  private def qualifiedDir(spark: SparkSession, dir: String): String =
+    fsOf(spark, dir).makeQualified(new Path(dir)).toUri.getPath
 
   /** Absolute scan path (as `input_file_name` reports it) → the
     * manifest's relative path.
     */
-  private def toRelative(dir: String, absUri: String): String = {
-    val dirPath = new Path(dir).toUri.getPath
+  private def toRelative(spark: SparkSession, dir: String, absUri: String): String = {
     val p = new Path(new java.net.URI(absUri)).toUri.getPath
-    p.stripPrefix(dirPath).stripPrefix("/")
+    p.stripPrefix(qualifiedDir(spark, dir)).stripPrefix("/")
   }
 
   /** Copy-on-write DELETE: rewrite ONLY the data files that contain rows
@@ -430,13 +442,18 @@ object TableLog {
     val snap = read(spark, dir, Some(tip))
     val affected = snap.filter(cond)
       .select(org.apache.spark.sql.functions.input_file_name())
-      .distinct().collect().map(r => toRelative(dir, r.getString(0))).toSet
+      .distinct().collect().map(r => toRelative(spark, dir, r.getString(0))).toSet
     if (affected.isEmpty) return (tip, 0)
+    // three-valued logic: for a NULL-evaluating row, !cond is NULL and a
+    // bare filter would DROP it — i.e. delete rows the predicate never
+    // matched. Survivors = rows where cond is not definitely true.
     val survivors = spark.read
       .option("mergeSchema", "true").option("basePath", dir)
       .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
-      .filter(!cond)
-    replaceFiles(spark, dir, affected, survivors, partitionBy)
+      .filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.coalesce(
+          cond, org.apache.spark.sql.functions.lit(false))))
+    replaceFiles(spark, dir, affected, survivors, partitionBy)._1 -> affected.size
   }
 
   /** MERGE/upsert by key: rows of `updates` replace same-keyed rows,
@@ -455,7 +472,7 @@ object TableLog {
       .join(org.apache.spark.sql.functions.broadcast(
         updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
       .select(col("_file"))
-      .distinct().collect().map(r => toRelative(dir, r.getString(0))).toSet
+      .distinct().collect().map(r => toRelative(spark, dir, r.getString(0))).toSet
     val survivors =
       if (affected.isEmpty) updates
       else spark.read
@@ -463,16 +480,17 @@ object TableLog {
         .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
         .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    replaceFiles(spark, dir, affected, survivors, partitionBy)
+    replaceFiles(spark, dir, affected, survivors, partitionBy)._1 -> affected.size
   }
 
-  /** Shared copy-on-write tail: stage `replacement` rows, commit a
-    * manifest = fresh files + (base minus `replaced`), aborting if a
-    * racing overwrite already removed any replaced file.
+  /** Shared copy-on-write tail (also [[compact]]'s): stage `replacement`
+    * rows, commit a manifest = fresh files + (base minus `replaced`),
+    * aborting — with staged-file cleanup — if a racing overwrite already
+    * removed any replaced file. Returns (version, fresh file names).
     */
   private def replaceFiles(spark: SparkSession, dir: String,
                            replaced: Set[String], replacement: DataFrame,
-                           partitionBy: Seq[String]): (Long, Int) = {
+                           partitionBy: Seq[String]): (Long, Seq[String]) = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, replacement, commitId, partitionBy)
     val v = try {
@@ -483,7 +501,7 @@ object TableLog {
         fresh.foreach(f => fs.delete(new Path(dir, f), false))
         throw e
     }
-    (v, replaced.size)
+    (v, fresh)
   }
 
   /** Compaction's commit re-base (see [[compact]]): package-private so the

@@ -126,7 +126,9 @@ object SketchOps {
   def approxQuantiles: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val cents = Num.cents(col("l_extendedprice"))
+    // consumed twice (range scan, bucket counts) — materialize once
     val li = Tables.lineitem(s, d).select(col("l_returnflag"), cents.as("c"))
+      .localCheckpoint()
     val r = li.agg(min(col("c")), max(col("c"))).first()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val span = hi - lo + 1

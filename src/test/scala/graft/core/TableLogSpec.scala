@@ -144,6 +144,31 @@ class TableLogSpec extends SparkSpec {
     assert(after.filter($"id" < 100).count() == 100)
   }
 
+  test("deleteWhere keeps rows where the predicate evaluates to NULL") {
+    // three-valued logic regression: !cond is NULL for a null row, and a
+    // naive filter(!cond) deletes rows the predicate never matched
+    val dir = freshDir()
+    val rows = Seq((1L, Option("F")), (2L, Option.empty[String]), (10L, Option("F")))
+      .toDF("id", "status")
+    TableLog.append(spark, dir, rows)
+    TableLog.deleteWhere(spark, dir, $"status" === "F" && $"id" % 10 === 0)
+    val left = TableLog.read(spark, dir).select($"id").as[Long].collect().toSet
+    assert(left == Set(1L, 2L)) // id=10 deleted; null-status id=2 SURVIVES
+  }
+
+  test("partition filters match whole path segments, not substrings") {
+    // partitioned by (market, et): market=2/ must not satisfy et->2
+    val dir = freshDir()
+    TableLog.append(spark, dir,
+      Seq((1L, 2, 1), (2L, 2, 2), (3L, 1, 2)).toDF("id", "market", "et"),
+      partitionBy = Seq("market", "et"))
+    val et2 = TableLog.read(spark, dir, partitionFilter = Seq("et" -> "2"))
+    assert(et2.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+    // empty partition = empty result with schema, not an exception
+    val none = TableLog.read(spark, dir, partitionFilter = Seq("et" -> "9"))
+    assert(none.count() == 0 && none.columns.toSet == Set("id", "market", "et"))
+  }
+
   test("copy-on-write delete/upsert rewrite only affected files") {
     val dir = freshDir()
     // 4 commits = 4 data files, disjoint id ranges
