@@ -387,10 +387,18 @@ object TableLog {
 
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and
     * commit the new layout as a new version. Old data files stay for time
-    * travel until vacuumed. Returns (filesBefore, filesAfter, newVersion).
+    * travel until vacuumed. `clusterBy` range-partitions + sorts the
+    * rewrite so each output file owns a disjoint key range, and `statsCol`
+    * records fresh per-file min/max — together they make `read(skip=...)`
+    * prune at the filter's selectivity (Delta's OPTIMIZE ZORDER role;
+    * for genuine two-dimensional clustering see
+    * [[Maintenance.compact]]'s `zorderBy` with the `graft_zorder` key).
+    * Returns (filesBefore, filesAfter, newVersion).
     */
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[String] = Seq.empty,
+              statsCol: Option[String] = None): (Int, Int, Long) = {
     val fs = fsOf(spark, dir)
     val tip = versions(spark, dir).last
     val current = readManifest(spark, dir, tip)
@@ -399,12 +407,17 @@ object TableLog {
       "compact each partition's files separately (or overwrite with partitionBy)")
     val totalBytes = current.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val snap = read(spark, dir, Some(tip))
+    val arranged =
+      if (clusterBy.isEmpty) snap.repartition(nFiles)
+      else snap.repartitionByRange(nFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     // replaceFiles carries over files appended by racing writers since the
     // snapshot read and ABORTS if a racing overwrite/compact removed any
     // of the snapshot's files (committing would resurrect deleted rows —
     // Delta aborts OPTIMIZE on conflicting overwrites the same way)
-    val (v, fresh) = replaceFiles(spark, dir, current.toSet,
-      read(spark, dir, Some(tip)).repartition(nFiles), Seq.empty)
+    val (v, fresh) = replaceFiles(spark, dir, current.toSet, arranged,
+      Seq.empty, statsCol)
     (current.size, fresh.size, v)
   }
 
@@ -490,11 +503,14 @@ object TableLog {
     */
   private def replaceFiles(spark: SparkSession, dir: String,
                            replaced: Set[String], replacement: DataFrame,
-                           partitionBy: Seq[String]): (Long, Seq[String]) = {
+                           partitionBy: Seq[String],
+                           statsCol: Option[String] = None): (Long, Seq[String]) = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, replacement, commitId, partitionBy)
+    val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
     val v = try {
-      commit(spark, dir, rebaseCompaction(dir, replaced, fresh)).get
+      commit(spark, dir, rebaseCompaction(dir, replaced, fresh),
+        freshStats = stats).get
     } catch {
       case e: java.util.ConcurrentModificationException =>
         val fs = fsOf(spark, dir)

@@ -144,6 +144,26 @@ class TableLogSpec extends SparkSpec {
     assert(after.filter($"id" < 100).count() == 100)
   }
 
+  test("clustered compaction restores skipping selectivity on unclustered data") {
+    val dir = freshDir()
+    // interleaved appends: every file spans most of the id domain, so
+    // stats-based skipping can prune nothing
+    (0 until 4).foreach(i => TableLog.append(spark, dir,
+      spark.range(0, 400).filter($"id" % 4 === i).select($"id").coalesce(1),
+      statsCol = Some("id")))
+    val before = TableLog.read(spark, dir, skip = Some(("id", 100L, 149L)))
+    assert(before.inputFiles.length == 4) // nothing skippable
+    // OPTIMIZE with clustering + fresh stats: files become range-disjoint
+    val (_, nAfter, _) = TableLog.compact(spark, dir, targetBytes = 3000,
+      clusterBy = Seq("id"), statsCol = Some("id"))
+    assert(nAfter >= 2)
+    val after = TableLog.read(spark, dir, skip = Some(("id", 100L, 149L)))
+    assert(after.inputFiles.length < nAfter,
+      s"skip pruned nothing: ${after.inputFiles.length} of $nAfter")
+    assert(after.filter($"id".between(100, 149)).count() == 50)
+    assert(TableLog.read(spark, dir).count() == 400)
+  }
+
   test("deleteWhere keeps rows where the predicate evaluates to NULL") {
     // three-valued logic regression: !cond is NULL for a null row, and a
     // naive filter(!cond) deletes rows the predicate never matched
