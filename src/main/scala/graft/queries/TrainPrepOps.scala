@@ -25,12 +25,12 @@ object TrainPrepOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** md5-keyed bucket in [0, 100): first 15 hex chars -> 60-bit int. */
-  private def hashBucket(key: org.apache.spark.sql.Column) =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 100
+  /** md5-keyed bucket in [0, mod): first 15 hex chars -> 60-bit int. */
+  private def hashBucket(key: org.apache.spark.sql.Column, mod: Int = 100) =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % mod
 
-  private def hashBucketSql(key: String) =
-    s"CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+  private def hashBucketSql(key: String, mod: Int = 100) =
+    s"CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % $mod"
 
   /** Deterministic 90/5/5 train/val/test split on md5(doc_id). */
   def hashSplit: Q = (s, d) => {
@@ -203,8 +203,35 @@ object TrainPrepOps {
       |FROM base b JOIN s2 USING (lang)
       |GROUP BY b.lang ORDER BY b.lang""".stripMargin
 
+  /** Weight-proportional Bernoulli sampling with a CONTINUOUS per-row
+    * weight (here length-proportional, capped at 4000 chars → weight 1):
+    * keep a doc iff its md5 bucket-of-10000 falls under weight*10000 —
+    * the per-row generalization of [[dataMixture]]'s per-group rates.
+    * Deterministic (hash, not rand), scan-side (no shuffle before the
+    * rollup), integer arithmetic end to end. The training-data use:
+    * sample proportional to quality/informativeness without a sort,
+    * shuffle, or any coordination across executors.
+    */
+  def weightedSample: Q = (s, d) => {
+    val b = hashBucket(col("doc_id"), 10000)
+    val thresh = expr("(least(n_chars, 4000) * 10000) div 4000")
+    Tables.documents(s, d)
+      .filter(b < thresh)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val weightedSampleSql: String =
+    s"""SELECT lang, count(*) AS n_sampled,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE ${hashBucketSql("doc_id", 10000)} < (least(n_chars, 4000) * 10000) // 4000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_data_mixture" -> dataMixture,
+    "q_weighted_sample" -> weightedSample,
     "q_hash_split" -> hashSplit,
     "q_quality_filter" -> qualityFilter,
     "q_token_packing" -> tokenPacking,
@@ -213,6 +240,7 @@ object TrainPrepOps {
 
   val oracles: Map[String, String] = Map(
     "q_data_mixture" -> dataMixtureSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_hash_split" -> hashSplitSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_token_packing" -> tokenPackingSql,
