@@ -421,6 +421,35 @@ object TableLog {
     (current.size, fresh.size, v)
   }
 
+  /** OPTIMIZE one partition of a hive-partitioned table: rewrites only
+    * that partition's files (a copy-on-write replace, like
+    * [[deleteWhere]]), leaving every other partition's files untouched in
+    * the new version — so maintenance parallelizes across partitions and
+    * never rewrites cold data. Returns (filesBefore, filesAfter,
+    * newVersion); version unchanged when the partition has ≤1 file.
+    */
+  def compactPartition(spark: SparkSession, dir: String,
+                       partition: (String, String),
+                       targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+    val fs = fsOf(spark, dir)
+    val tip = versions(spark, dir).last
+    val (c, value) = partition
+    val seg = s"$c=$value"
+    val affected = readManifest(spark, dir, tip)
+      .filter(_.split('/').init.contains(seg)).toSet
+    if (affected.size <= 1) return (affected.size, affected.size, tip)
+    val totalBytes = affected.toSeq
+      .map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // basePath keeps the partition column, partitionBy re-lays it out
+    val rows = spark.read
+      .option("mergeSchema", "true").option("basePath", dir)
+      .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
+      .repartition(nFiles)
+    val (v, fresh) = replaceFiles(spark, dir, affected, rows, Seq(c))
+    (affected.size, fresh.size, v)
+  }
+
   /** `dir` as an absolute filesystem path — manifest-relative paths are
     * computed by stripping this, and a RELATIVE `dir` (scratch paths)
     * would make stripPrefix a silent no-op against the absolute paths

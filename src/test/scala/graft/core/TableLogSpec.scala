@@ -144,6 +144,28 @@ class TableLogSpec extends SparkSpec {
     assert(after.filter($"id" < 100).count() == 100)
   }
 
+  test("per-partition compaction rewrites one partition, leaves the rest cold") {
+    val dir = freshDir()
+    // 3 appends × 2 partitions = 3 small files per partition
+    (0 until 3).foreach(i => TableLog.append(spark, dir,
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select($"id", ($"id" % 2).cast("int").as("bucket")).coalesce(1),
+      partitionBy = Seq("bucket")))
+    val before = TableLog.read(spark, dir).inputFiles.toSet
+    val coldBefore = before.filter(_.contains("bucket=1/"))
+    val (nb, na, v) = TableLog.compactPartition(spark, dir, "bucket" -> "0",
+      targetBytes = 1L << 30)
+    assert(nb == 3 && na == 1 && v == 4)
+    val after = TableLog.read(spark, dir)
+    assert(after.count() == 300)
+    assert(after.filter($"bucket" === 0).count() == 150)
+    // bucket=1 files are byte-identical carryovers
+    assert(after.inputFiles.toSet.filter(_.contains("bucket=1/")) == coldBefore)
+    assert(after.inputFiles.count(_.contains("bucket=0/")) == 1)
+    // old layout still time-travelable
+    assert(TableLog.read(spark, dir, Some(3)).count() == 300)
+  }
+
   test("clustered compaction restores skipping selectivity on unclustered data") {
     val dir = freshDir()
     // interleaved appends: every file spans most of the id domain, so
