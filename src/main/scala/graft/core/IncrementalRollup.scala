@@ -165,15 +165,17 @@ object IncrementalRollup {
              histBounds: Option[(Long, Long)] = None): Unit = {
     val p = new Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // grid-mismatch check up front; the WRITE of new bounds waits until
-    // the whole update is validated, so a rejected update (e.g. adding a
-    // histogram to hist-less state) leaves no stale metadata behind
-    for (b <- histBounds; st <- storedBounds(fs, p); if b != st)
+    val existing = versions(fs, p)
+    // grid-mismatch check up front — but ONLY against state that exists:
+    // a bounds file orphaned by a crashed first update (bounds written,
+    // state write died) must not lock the operator out of retrying with
+    // corrected bounds when there is no data to mismatch against
+    for (b <- histBounds; st <- storedBounds(fs, p)
+         if b != st && existing.nonEmpty)
       throw new IllegalStateException(
         s"rollup at $p was built with histogram bounds $st; got $b. One " +
         "bucket grid per rollup — rebuild the state to change bounds.")
     val fresh = partial(batch, keys, valueCol, distinctCol, histBounds)
-    val existing = versions(fs, p)
     val next = new Path(p, f"v=${existing.lastOption.map(_._1).getOrElse(0L) + 1}%08d")
     val aggs = stateAggs(distinctCol.isDefined, histBounds.isDefined)
     val merged = existing.lastOption match {
@@ -204,8 +206,12 @@ object IncrementalRollup {
     // bounds persist AFTER all validation (a rejected update must leave no
     // stale grid metadata) but BEFORE the state write — a crash between a
     // hist-bearing version and its bounds would otherwise leave state
-    // whose grid a later update could silently redefine
-    for ((lo, hi) <- histBounds if storedBounds(fs, p).isEmpty) {
+    // whose grid a later update could silently redefine. When no complete
+    // version exists yet (first update, or a retry after a crashed first
+    // attempt), this call's bounds are authoritative and overwrite any
+    // orphaned file.
+    for ((lo, hi) <- histBounds
+         if storedBounds(fs, p).isEmpty || existing.isEmpty) {
       val out = fs.create(boundsPath(p), true)
       try out.write(s"$lo,$hi".getBytes("UTF-8")) finally out.close()
     }

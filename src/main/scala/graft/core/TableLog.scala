@@ -104,6 +104,13 @@ object TableLog {
   private def statsLine(f: String, s: (String, Long, Long)): String =
     s"#stats=$f|${s._1}|${s._2}|${s._3}"
 
+  /** Whole-segment hive-partition match: `market=2/et=1/f` satisfies
+    * (market,2) and (et,1), and nothing else — substring matching once
+    * let one partition column's name suffix another's.
+    */
+  private def inPartition(file: String, c: String, value: String): Boolean =
+    file.split('/').init.contains(s"$c=$value")
+
   /** Transaction tokens recorded by retained manifests (vacuumed versions
     * lose theirs — see [[appendIdempotent]]'s retention caveat).
     */
@@ -140,7 +147,8 @@ object TableLog {
           // recreated at this path — stale watermark+tokens would both
           // skip legitimate first-time appends and miss new tokens; start
           // over from the actual log
-          .filter(_ => vs.lastOption.getOrElse(0L) >= Option(prev).map(_._1).getOrElse(0L))
+          .filter { case (watermark, _) =>
+            vs.lastOption.getOrElse(0L) >= watermark }
           .getOrElse((0L, Set.empty[String]))
       val fresh = vs.filter(_ > scanned)
       val tokens = known ++ fresh
@@ -358,10 +366,8 @@ object TableLog {
     val lines = manifestLines(spark, dir, v)
     val all = lines.filterNot(_.startsWith("#"))
     val stats = fileStats(lines)
-    // whole-SEGMENT match, not substring: "market=2/et=1/f" must not
-    // satisfy et->2 just because "market=2/" happens to contain "et=2/"
     val afterPart = partitionFilter.foldLeft(all) { case (fs0, (c, value)) =>
-      fs0.filter(_.split('/').init.contains(s"$c=$value"))
+      fs0.filter(inPartition(_, c, value))
     }
     val files = skip.fold(afterPart) { case (c, lo, hi) =>
       afterPart.filter(f => stats.get(f) match {
@@ -379,10 +385,16 @@ object TableLog {
       .option("basePath", dir)
       .parquet(fl: _*)
     // a filter matching zero files is a legitimate empty partition/range,
-    // not an error: return an empty frame with the snapshot's schema
+    // not an error: return an empty frame with the snapshot's schema —
+    // derived from ONE representative file per directory (mergeSchema
+    // over all N files would read every footer just to plan empty)
     if (files.nonEmpty) scan(files)
-    else scan(all.map(f => s"$dir/$f"))
-      .where(org.apache.spark.sql.functions.lit(false))
+    else {
+      val reps = all.groupBy(f => f.take(f.lastIndexOf('/') + 1))
+        .values.map(_.head).toSeq
+      scan(reps.map(f => s"$dir/$f"))
+        .where(org.apache.spark.sql.functions.lit(false))
+    }
   }
 
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and
@@ -430,23 +442,29 @@ object TableLog {
     */
   def compactPartition(spark: SparkSession, dir: String,
                        partition: (String, String),
-                       targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+                       targetBytes: Long = 128L * 1024 * 1024,
+                       statsCol: Option[String] = None): (Int, Int, Long) = {
     val fs = fsOf(spark, dir)
     val tip = versions(spark, dir).last
     val (c, value) = partition
-    val seg = s"$c=$value"
     val affected = readManifest(spark, dir, tip)
-      .filter(_.split('/').init.contains(seg)).toSet
+      .filter(inPartition(_, c, value)).toSet
     if (affected.size <= 1) return (affected.size, affected.size, tip)
     val totalBytes = affected.toSeq
       .map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // basePath keeps the partition column, partitionBy re-lays it out
+    // the rewrite must reproduce the FULL hive layout, not just the
+    // filtered column — partitioning by (market, et) and compacting on
+    // et would otherwise flatten market out of the path and break every
+    // later partitionFilter on it. The affected files' own path segments
+    // carry the complete ordered column list.
+    val partCols = affected.head.split('/').init.map(_.split('=')(0)).toSeq
+    // basePath re-derives the partition columns, partitionBy re-lays out
     val rows = spark.read
       .option("mergeSchema", "true").option("basePath", dir)
       .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
       .repartition(nFiles)
-    val (v, fresh) = replaceFiles(spark, dir, affected, rows, Seq(c))
+    val (v, fresh) = replaceFiles(spark, dir, affected, rows, partCols, statsCol)
     (affected.size, fresh.size, v)
   }
 
@@ -582,9 +600,12 @@ object TableLog {
     val referenced = keep.flatMap(readManifest(spark, dir, _)).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     // recursive walk so files inside partition subdirs are reclaimed too;
-    // matching is on the manifest's RELATIVE path. Any path with a dot/
-    // underscore segment (_graft_log, .stage-*, markers) is off-limits.
-    val dirUri = new Path(dir).toUri.getPath
+    // matching is on the manifest's RELATIVE path (qualified base — an
+    // unqualified relative dir would make stripPrefix a no-op, nothing
+    // would match `referenced`, and vacuum would delete LIVE files). Any
+    // path with a dot/underscore segment (_graft_log, .stage-*, markers)
+    // is off-limits.
+    val dirUri = qualifiedDir(spark, dir)
     val it = fs.listFiles(new Path(dir), true)
     val stale = scala.collection.mutable.ListBuffer.empty[Path]
     while (it.hasNext) {

@@ -166,6 +166,27 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, dir, Some(3)).count() == 300)
   }
 
+  test("compactPartition preserves the FULL hive layout on multi-column partitioning") {
+    // regression: compacting on the inner column must not flatten the
+    // outer column out of the path (which would silently break every
+    // later partitionFilter on it)
+    val dir = freshDir()
+    (0 until 2).foreach(_ => TableLog.append(spark, dir,
+      Seq((1L, 1, 1), (2L, 1, 2), (3L, 2, 2)).toDF("id", "market", "et").coalesce(1),
+      partitionBy = Seq("market", "et")))
+    TableLog.compactPartition(spark, dir, "et" -> "2", targetBytes = 1L << 30)
+    val snap = TableLog.read(spark, dir)
+    assert(snap.count() == 6)
+    // rewritten files still live under market=.../et=2/
+    assert(snap.inputFiles.filter(_.contains("et=2"))
+      .forall(f => f.contains("market=1/et=2/") || f.contains("market=2/et=2/")))
+    // partition filters on BOTH columns still work over the new layout
+    assert(TableLog.read(spark, dir, partitionFilter = Seq("market" -> "2"))
+      .count() == 2)
+    assert(TableLog.read(spark, dir, partitionFilter = Seq("et" -> "2"))
+      .count() == 4)
+  }
+
   test("clustered compaction restores skipping selectivity on unclustered data") {
     val dir = freshDir()
     // interleaved appends: every file spans most of the id domain, so
