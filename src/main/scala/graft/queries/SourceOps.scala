@@ -210,6 +210,42 @@ object SourceOps {
       |WHERE o_orderkey BETWEEN b.slice + 1 AND 3 * b.slice - 2
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Change-data-capture off the table log's write paths: version 1 is
+    * the full table, then a predicate DELETE and a keyed MERGE commit
+    * versions 2-3; `SnapshotDiff.diff(v1, tip)` derives the change feed
+    * (inserts/updates/deletes) that Delta would surface as CDF. The
+    * oracle recomputes the same feed relationally: deletes = the delete
+    * predicate minus re-upserted keys, updates = the upsert key set.
+    */
+  def tableLogCdc: Q = (s, d) => {
+    val dir = Scratch.dir("tlogc_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.core.TableLog.append(s, dir, o)
+    graft.core.TableLog.deleteWhere(s, dir, col("o_orderkey") % 10 === 0)
+    graft.core.TableLog.upsert(s, dir,
+      o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", lit(-1.0)), // impossible price -> always a hash change
+      Seq("o_orderkey"))
+    graft.ops.SnapshotDiff.diff(
+        graft.core.TableLog.read(s, dir, Some(1)),
+        graft.core.TableLog.read(s, dir),
+        Seq("o_orderkey"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("change_type"))
+  }
+
+  val tableLogCdcSql: String =
+    """SELECT 'delete' AS change_type, count(*) AS n_keys
+      |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+      |UNION ALL
+      |SELECT 'update', count(*) FROM orders WHERE o_orderkey % 7 = 0
+      |ORDER BY change_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
@@ -217,6 +253,7 @@ object SourceOps {
     "q_table_log_partitioned" -> tableLogPartitioned,
     "q_table_log_merge" -> tableLogMerge,
     "q_table_log_skipping" -> tableLogSkipping,
+    "q_table_log_cdc" -> tableLogCdc,
   )
 
   val oracles: Map[String, String] = Map(
@@ -226,5 +263,6 @@ object SourceOps {
     "q_table_log_partitioned" -> tableLogPartitionedSql,
     "q_table_log_merge" -> tableLogMergeSql,
     "q_table_log_skipping" -> tableLogSkippingSql,
+    "q_table_log_cdc" -> tableLogCdcSql,
   )
 }
