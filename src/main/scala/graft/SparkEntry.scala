@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.SnapshotOps.queries ++
       graft.queries.SketchOps.queries ++
       graft.queries.RollupOps.queries ++
-      graft.queries.GraphOps.queries
+      graft.queries.GraphOps.queries ++
+      graft.queries.CorpusOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.SnapshotOps.oracles ++
       graft.queries.SketchOps.oracles ++
       graft.queries.RollupOps.oracles ++
-      graft.queries.GraphOps.oracles
+      graft.queries.GraphOps.oracles ++
+      graft.queries.CorpusOps.oracles
 }

@@ -172,7 +172,61 @@ object Analytics {
       |FROM events WHERE event_id % 3 = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Pearson correlation per group from EXACT integer moments (n, Σx, Σy,
+    * Σx², Σy², Σxy as longs — order-free partial aggregates), the same
+    * discipline as [[TrainPrepOps.outlierZscore]]: built-in `corr()` sums
+    * doubles and its partial merges are partition-order dependent, so it
+    * cannot hash-match an oracle nor reproduce bit-identically at 1000
+    * executors. One scan, one partial-aggregated exchange; the float math
+    * happens once per GROUP on the six exact sums, identically on both
+    * engines. Quantities are integral by data contract; prices round to
+    * whole dollars so Σy² stays within long range at any SF.
+    */
+  def corrMoments: Q = (s, d) => {
+    val x = col("l_quantity").cast("long")
+    val y = round(col("l_extendedprice")).cast("long")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        // cross-products exceed Long range (n·Σy² ~ 4e20 at sf0.1), so the
+        // exact long sums are cast to double FIRST; the products then round
+        // per IEEE-754, identically on both engines
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))),
+          6).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val corrMomentsSql: String =
+    """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+      |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM b GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_corr_moments" -> corrMoments,
     "q_pct_of_total" -> pctOfTotal,
     "q_global_summary" -> globalSummary,
     "q_distinct_count" -> distinctCount,
@@ -183,6 +237,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_corr_moments" -> corrMomentsSql,
     "q_pct_of_total" -> pctOfTotalSql,
     "q_global_summary" -> globalSummarySql,
     "q_distinct_count" -> distinctCountSql,

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{TextAnalysis => TA}
+
+/** Corpus-governance operators — the policy layer a 100 TB pre-training
+  * pipeline runs AFTER per-document scoring ([[TrainPrepOps]]) and dedup
+  * ([[DedupOps]]): per-domain quotas, stratified downsampling, repetition
+  * screens, and benchmark decontamination. The reference has no corpus ops
+  * (it is a FAERS star schema); these extend the beyond-parity north star
+  * (SURVEY.md §7.5).
+  *
+  * Scale shapes:
+  *  - quota/stratification are ONE window shuffle on the policy key
+  *    (source / lang) + a partial-aggregated rollup; the per-key sort is
+  *    bounded by the largest single domain, not the corpus.
+  *  - the repetition screen is the explode→two-level-aggregate form: linear
+  *    in total tokens with map-side combine on (doc, token); the HOF
+  *    alternative (count each distinct token via a lambda scan) is O(len²)
+  *    per document and dies on long docs.
+  *  - decontamination is a shingle semi-join: benchmark shingles are tiny
+  *    (they fit a broadcast at any realistic benchmark size), so the train
+  *    side is never shuffled — flagging rides the scan.
+  *
+  * Determinism discipline throughout (see [[Num]]): thresholds compare
+  * integer cross-products (`mx*1000 > n*120`, never `mx/n > 0.12`), sample
+  * membership is md5-ordered, and the only doubles are final presentation
+  * ratios derived from exact integer counts.
+  */
+object CorpusOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-domain quota. */
+  private val DomainCap = 20
+  /** Per-language stratified sample size. */
+  private val StratumK = 50
+  /** Every ~97th doc_id plays the held-out benchmark set. */
+  private val BenchMod = 97
+
+  /** Per-domain quota: keep the first [[DomainCap]] docs per source (by
+    * doc_id — stable under re-partitioning), account for the rest. The
+    * C4-style guard against one crawl domain flooding the mixture.
+    * One window + one aggregate; no join, no second pass.
+    */
+  def domainCap: Q = (s, d) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= DomainCap, 1).otherwise(0)).as("n_kept"),
+        sum(when(col("rn") <= DomainCap, col("n_chars"))).as("kept_chars"),
+        max(when(col("rn") <= DomainCap, col("doc_id"))).as("last_kept_doc"))
+      .orderBy(col("source"))
+  }
+
+  val domainCapSql: String =
+    s"""WITH r AS (SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rn <= $DomainCap THEN n_chars END) AS BIGINT) AS kept_chars,
+      |  max(CASE WHEN rn <= $DomainCap THEN doc_id END) AS last_kept_doc
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Stratified downsample: exactly min([[StratumK]], |stratum|) docs per
+    * language, membership decided by md5(doc_id) order — a deterministic
+    * "random" sample that is reproducible across reruns and cluster sizes
+    * (rand() is neither). Unlike [[TrainPrepOps.dataMixture]]'s Bernoulli
+    * rates, this form guarantees the exact stratum count a balanced eval
+    * set needs.
+    */
+  def stratifiedSample: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= StratumK)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH r AS (SELECT lang, source, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_sampled,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM r WHERE rn <= $StratumK GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Gopher-style repetition screen: drop documents dominated by one token
+    * (mx/n > 0.12) or with collapsed vocabulary (distinct/n < 0.35), with
+    * first-failing-reason accounting per language. Thresholds compare
+    * integer cross-products, so the verdict is exact — no float epsilon at
+    * the boundary.
+    */
+  def repetitionFilter: Q = (s, d) => {
+    val perTok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TA.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n"), max(col("c")).as("mx"),
+        count(lit(1)).as("nd"))
+      .withColumn("verdict",
+        when(col("mx") * 1000 > col("n") * 120, "drop:top_token")
+          .when(col("nd") * 1000 < col("n") * 350, "drop:low_diversity")
+          .otherwise("keep"))
+    perDoc.groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .orderBy(col("lang"), col("verdict"))
+  }
+
+  val repetitionFilterSql: String = {
+    val toks = TA.tokensSql("text")
+    s"""WITH ex AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
+      |pt AS (SELECT doc_id, lang, tok, count(*) AS c FROM ex GROUP BY 1, 2, 3),
+      |pd AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(max(c) AS BIGINT) AS mx, CAST(count(*) AS BIGINT) AS nd
+      |  FROM pt GROUP BY 1, 2),
+      |v AS (SELECT lang, n,
+      |    CASE WHEN mx * 1000 > n * 120 THEN 'drop:top_token'
+      |         WHEN nd * 1000 < n * 350 THEN 'drop:low_diversity'
+      |         ELSE 'keep' END AS verdict
+      |  FROM pd)
+      |SELECT lang, verdict, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS sum_tokens
+      |FROM v GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * trigram with the held-out set (doc_id % [[BenchMod]] == 0 plays the
+    * benchmark). The real-pipeline shape: benchmark shingles are a few
+    * thousand rows at most — broadcast them and the training corpus is
+    * flagged scan-side via a semi-join probe, no shuffle of the 100 TB
+    * side. Per-language contamination rates come out as exact counts plus
+    * one presentation ratio.
+    */
+  def decontaminate: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("sh"))
+    val bench = sh.filter(col("doc_id") % BenchMod === 0)
+      .select(col("sh")).distinct()
+    val contaminated = sh.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    Tables.documents(s, d).filter(col("doc_id") % BenchMod =!= 0)
+      .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .withColumn("pct_contaminated",
+        round(col("n_contaminated") * lit(100.0) / col("n_train"), 2))
+      .orderBy(col("lang"))
+  }
+
+  val decontaminateSql: String = {
+    val toks = TA.tokensSql("text")
+    val sh = TA.shinglesSql("toks", 3)
+    s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+      |sh AS (SELECT doc_id, lang, unnest(list_distinct($sh)) AS sh FROM tok),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $BenchMod = 0),
+      |cont AS (SELECT DISTINCT doc_id FROM sh
+      |  WHERE doc_id % $BenchMod <> 0 AND sh IN (SELECT sh FROM bench))
+      |SELECT lang, count(*) AS n_train,
+      |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+      |    THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct_contaminated
+      |FROM documents WHERE doc_id % $BenchMod <> 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_domain_cap" -> domainCap,
+    "q_stratified_sample" -> stratifiedSample,
+    "q_repetition_filter" -> repetitionFilter,
+    "q_decontaminate" -> decontaminate,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_domain_cap" -> domainCapSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_repetition_filter" -> repetitionFilterSql,
+    "q_decontaminate" -> decontaminateSql,
+  )
+}
