@@ -150,20 +150,26 @@ object CorpusOps {
     * one presentation ratio.
     */
   def decontaminate: Q = (s, d) => {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        explode(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("sh"))
-    val bench = sh.filter(col("doc_id") % BenchMod === 0)
+    val docs = Tables.documents(s, d)
+    def shingleRows(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      explode(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("sh"))
+    // benchmark shingles: derived from the 1% held-out slice only — the
+    // filter runs BEFORE tokenize/explode, so the expensive path touches
+    // 1/BenchMod of the corpus and the result is a tiny broadcast set
+    val bench = shingleRows(docs.filter(col("doc_id") % BenchMod === 0))
       .select(col("sh")).distinct()
-    val contaminated = sh.filter(col("doc_id") % BenchMod =!= 0)
+    // the train side is flagged scan-side: explode → broadcast-semi probe
+    // → per-doc dedup → per-lang count. The 100 TB corpus is never
+    // shuffled whole; only matched (doc, lang) pairs reach the exchange.
+    val contPerLang = shingleRows(docs.filter(col("doc_id") % BenchMod =!= 0))
       .join(broadcast(bench), Seq("sh"), "left_semi")
-      .select(col("doc_id")).distinct()
-    Tables.documents(s, d).filter(col("doc_id") % BenchMod =!= 0)
-      .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_train"),
-        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("hits"))
+    val totals = docs.filter(col("doc_id") % BenchMod =!= 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
+    totals.join(broadcast(contPerLang), Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated"))
       .withColumn("pct_contaminated",
         round(col("n_contaminated") * lit(100.0) / col("n_train"), 2))
       .orderBy(col("lang"))
