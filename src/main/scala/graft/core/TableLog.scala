@@ -52,6 +52,10 @@ import org.apache.spark.sql.functions.col
   *    target-size files and commits a new manifest; old versions still
   *    reference the old files, so layout changes are themselves
   *    time-travelable.
+  *  - **RESTORE / HISTORY**: [[restore]] rolls back to any retained
+  *    version with a metadata-only commit (no data moves); every commit
+  *    records its operation as `#op=` metadata, surfaced by [[history]]
+  *    as the `DESCRIBE HISTORY` audit trail.
   */
 object TableLog {
 
@@ -241,7 +245,8 @@ object TableLog {
   private def commit(spark: SparkSession, dir: String,
                      mkFiles: Seq[String] => Seq[String],
                      txn: Option[String] = None,
-                     freshStats: Map[String, (String, Long, Long)] = Map.empty)
+                     freshStats: Map[String, (String, Long, Long)] = Map.empty,
+                     op: String = "write")
       : Option[Long] = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(dir, LogDir))
@@ -262,7 +267,7 @@ object TableLog {
       val carried = fileStats(tipLines)
       val stats = files.flatMap(f =>
         freshStats.get(f).orElse(carried.get(f)).map(statsLine(f, _)))
-      val all = files ++ stats ++ txn.map(t => s"#txn=$t")
+      val all = files ++ stats ++ txn.map(t => s"#txn=$t") ++ Seq(s"#op=$op")
       val bytes = (all.mkString("\n") + "\n").getBytes("UTF-8")
       if (atomicPutIfAbsent(fs, manifestPath(dir, v), bytes)) committed = v
     }
@@ -305,7 +310,8 @@ object TableLog {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
     val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
-    commit(spark, dir, base => base ++ fresh, freshStats = stats).get
+    commit(spark, dir, base => base ++ fresh, freshStats = stats,
+      op = "append").get
   }
 
   /** Exactly-once append: a no-op returning None when a commit carrying
@@ -326,7 +332,8 @@ object TableLog {
     if (txnsSeen(spark, dir).contains(txn)) return None // incremental fast path
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
-    val v = commit(spark, dir, base => base ++ fresh, txn = Some(txn))
+    val v = commit(spark, dir, base => base ++ fresh, txn = Some(txn),
+      op = "append")
     if (v.isEmpty) { // lost to a racing retry of the same batch
       val fs = fsOf(spark, dir)
       fresh.foreach(f => fs.delete(new Path(dir, f), false))
@@ -341,7 +348,7 @@ object TableLog {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
     val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
-    commit(spark, dir, _ => fresh, freshStats = stats).get
+    commit(spark, dir, _ => fresh, freshStats = stats, op = "overwrite").get
   }
 
   /** Snapshot read: the latest version, or a pinned one (time travel).
@@ -429,7 +436,7 @@ object TableLog {
     // of the snapshot's files (committing would resurrect deleted rows —
     // Delta aborts OPTIMIZE on conflicting overwrites the same way)
     val (v, fresh) = replaceFiles(spark, dir, current.toSet, arranged,
-      Seq.empty, statsCol)
+      Seq.empty, statsCol, op = "compact")
     (current.size, fresh.size, v)
   }
 
@@ -464,7 +471,8 @@ object TableLog {
       .option("mergeSchema", "true").option("basePath", dir)
       .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
       .repartition(nFiles)
-    val (v, fresh) = replaceFiles(spark, dir, affected, rows, partCols, statsCol)
+    val (v, fresh) = replaceFiles(spark, dir, affected, rows, partCols,
+      statsCol, op = "compact")
     (affected.size, fresh.size, v)
   }
 
@@ -513,7 +521,8 @@ object TableLog {
       .filter(org.apache.spark.sql.functions.not(
         org.apache.spark.sql.functions.coalesce(
           cond, org.apache.spark.sql.functions.lit(false))))
-    replaceFiles(spark, dir, affected, survivors, partitionBy)._1 -> affected.size
+    replaceFiles(spark, dir, affected, survivors, partitionBy,
+      op = "delete")._1 -> affected.size
   }
 
   /** MERGE/upsert by key: rows of `updates` replace same-keyed rows,
@@ -540,7 +549,8 @@ object TableLog {
         .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
         .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    replaceFiles(spark, dir, affected, survivors, partitionBy)._1 -> affected.size
+    replaceFiles(spark, dir, affected, survivors, partitionBy,
+      op = "merge")._1 -> affected.size
   }
 
   /** Shared copy-on-write tail (also [[compact]]'s): stage `replacement`
@@ -551,13 +561,14 @@ object TableLog {
   private def replaceFiles(spark: SparkSession, dir: String,
                            replaced: Set[String], replacement: DataFrame,
                            partitionBy: Seq[String],
-                           statsCol: Option[String] = None): (Long, Seq[String]) = {
+                           statsCol: Option[String] = None,
+                           op: String = "write"): (Long, Seq[String]) = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, replacement, commitId, partitionBy)
     val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
     val v = try {
       commit(spark, dir, rebaseCompaction(dir, replaced, fresh),
-        freshStats = stats).get
+        freshStats = stats, op = op).get
     } catch {
       case e: java.util.ConcurrentModificationException =>
         val fs = fsOf(spark, dir)
@@ -629,5 +640,40 @@ object TableLog {
         .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-")
           && s.getModificationTime < cutoff)
         .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Roll the table back to `version` — Delta's `RESTORE TABLE ... TO
+    * VERSION AS OF`: commits a NEW version whose manifest is the target
+    * version's file set (stats included), so the rollback is itself
+    * time-travelable and never moves a byte of data. Requires the target
+    * manifest to still be retained (not vacuumed). Like [[overwrite]], a
+    * restore discards concurrent appends racing it — rollback semantics.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val vs = versions(spark, dir)
+    require(vs.contains(version),
+      s"version $version not in ${vs.mkString(",")} (vacuumed?)")
+    val target = manifestLines(spark, dir, version)
+    val files = target.filterNot(_.startsWith("#"))
+    // stats come from the TARGET manifest, not the tip: a file dropped at
+    // the tip (deleted/compacted away) keeps its skipping stats on restore
+    commit(spark, dir, _ => files, freshStats = fileStats(target),
+      op = s"restore($version)").get
+  }
+
+  /** The table's commit history, newest first — `DESCRIBE HISTORY`:
+    * one row per retained version with its operation (`#op=` manifest
+    * metadata; pre-op manifests read as "write") and file count. A pure
+    * metadata read: manifests only, no data files touched.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, dir).reverse.map { v =>
+      val lines = manifestLines(spark, dir, v)
+      val op = lines.find(_.startsWith("#op="))
+        .map(_.stripPrefix("#op=")).getOrElse("write")
+      val txn = lines.find(_.startsWith("#txn=")).map(_.stripPrefix("#txn="))
+      (v, op, lines.count(!_.startsWith("#")), txn)
+    }.toDF("version", "operation", "n_files", "txn")
   }
 }

@@ -246,6 +246,49 @@ object SourceOps {
       |SELECT 'update', count(*) FROM orders WHERE o_orderkey % 7 = 0
       |ORDER BY change_type""".stripMargin
 
+  /** RESTORE + DESCRIBE HISTORY over the log: append (v1), predicate
+    * delete (v2), `restore(1)` (v3 — a metadata-only commit re-pointing
+    * at v1's files). The result carries BOTH the v2 time-travel aggregate
+    * (proving the delete really removed rows) and the tip aggregate
+    * (proving restore re-surfaced exactly the deleted rows), plus the
+    * history's operation column pinned as a literal — so the `#op=`
+    * audit trail is hash-gated too.
+    */
+  def tableLogRestore: Q = (s, d) => {
+    val dir = Scratch.dir("tlogr_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.core.TableLog.append(s, dir, o)
+    graft.core.TableLog.deleteWhere(s, dir, col("o_orderkey") % 5 === 0)
+    graft.core.TableLog.restore(s, dir, 1)
+    val oplog = graft.core.TableLog.history(s, dir).collect()
+      .map(_.getString(1)).mkString(",")
+    val afterDelete = graft.core.TableLog.read(s, dir, Some(2))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_del"), Num.moneySum(col("o_totalprice")).as("rev_del"))
+    val tip = graft.core.TableLog.read(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_tip"), Num.moneySum(col("o_totalprice")).as("rev_tip"))
+    afterDelete.join(tip, "o_orderstatus")
+      .withColumn("oplog", lit(oplog))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tableLogRestoreSql: String =
+    s"""WITH afterdel AS (SELECT o_orderstatus, count(*) AS n_del,
+      |    ${Num.moneySumSql("o_totalprice")} AS rev_del
+      |  FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_orderstatus),
+      |tip AS (SELECT o_orderstatus, count(*) AS n_tip,
+      |    ${Num.moneySumSql("o_totalprice")} AS rev_tip
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, n_del, rev_del, n_tip, rev_tip,
+      |  'restore(1),delete,append' AS oplog
+      |FROM afterdel JOIN tip USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
@@ -254,6 +297,7 @@ object SourceOps {
     "q_table_log_merge" -> tableLogMerge,
     "q_table_log_skipping" -> tableLogSkipping,
     "q_table_log_cdc" -> tableLogCdc,
+    "q_table_log_restore" -> tableLogRestore,
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,5 +308,6 @@ object SourceOps {
     "q_table_log_merge" -> tableLogMergeSql,
     "q_table_log_skipping" -> tableLogSkippingSql,
     "q_table_log_cdc" -> tableLogCdcSql,
+    "q_table_log_restore" -> tableLogRestoreSql,
   )
 }

@@ -378,4 +378,41 @@ class TableLogSpec extends SparkSpec {
         s"$dir/_graft_log/${f"${3L}%020d"}.manifest"), false).close()
     }
   }
+
+  test("restore rolls back metadata-only; history records every operation") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 100).select($"id"))
+    TableLog.deleteWhere(spark, dir, $"id" % 10 === 0)
+    assert(TableLog.read(spark, dir).count() == 90)
+    val dataFilesBefore = new java.io.File(dir).listFiles()
+      .filter(_.isFile).map(_.getName).toSet
+    val v = TableLog.restore(spark, dir, 1)
+    // metadata-only: no new data files were written for the restore
+    val dataFilesAfter = new java.io.File(dir).listFiles()
+      .filter(_.isFile).map(_.getName).toSet
+    assert(dataFilesAfter == dataFilesBefore)
+    assert(v == 3 && TableLog.read(spark, dir).count() == 100)
+    // the rollback is itself time-travelable
+    assert(TableLog.read(spark, dir, Some(2)).count() == 90)
+    val h = TableLog.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(h.map(_.getString(1)).toSeq == Seq("restore(1)", "delete", "append"))
+    // restoring a vacuumed version is refused
+    TableLog.vacuum(spark, dir, keepVersions = 1, retainMs = 0)
+    intercept[IllegalArgumentException](TableLog.restore(spark, dir, 2))
+  }
+
+  test("restored files keep their skipping stats from the target manifest") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 100).select($"id"),
+      statsCol = Some("id"))
+    TableLog.append(spark, dir, spark.range(100, 200).select($"id"),
+      statsCol = Some("id"))
+    TableLog.overwrite(spark, dir, spark.range(500, 510).select($"id"))
+    TableLog.restore(spark, dir, 2)
+    // stats survived the overwrite->restore round trip: a range read on
+    // the restored tip still prunes to the matching slice only
+    val pruned = TableLog.read(spark, dir, skip = Some(("id", 150L, 160L)))
+    assert(pruned.count() < 200 && pruned.filter($"id".between(150, 160)).count() == 11)
+  }
 }
