@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.SketchOps.queries ++
       graft.queries.RollupOps.queries ++
       graft.queries.GraphOps.queries ++
-      graft.queries.CorpusOps.queries
+      graft.queries.CorpusOps.queries ++
+      graft.queries.BehaviorOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -66,5 +67,6 @@ object SparkEntry {
       graft.queries.SketchOps.oracles ++
       graft.queries.RollupOps.oracles ++
       graft.queries.GraphOps.oracles ++
-      graft.queries.CorpusOps.oracles
+      graft.queries.CorpusOps.oracles ++
+      graft.queries.BehaviorOps.oracles
 }
