@@ -201,12 +201,93 @@ object TextOps {
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Terms the index/tf-idf queries cover — a fixed vocabulary slice, the
+    * shape of a search-engine dictionary shard.
+    */
+  private val IdxTerms = Seq("spark", "merge", "window", "stream", "filter")
+
+  /** Inverted-index build: term → (document frequency, total term
+    * frequency, capped sorted posting list). The posting list is the
+    * search-engine primitive; the cap (20 ids) bounds row width the same
+    * way real indexes shard long postings. One explode + one aggregate;
+    * `sort_array` makes the collect order deterministic under any
+    * partitioning.
+    */
+  def invertedIndex: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(IdxTerms: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 20), ",")
+          .as("posting_head"))
+      .orderBy(col("term"))
+  }
+
+  val invertedIndexSql: String = {
+    val terms = IdxTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (SELECT term, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+      |  WHERE term IN ($terms) GROUP BY 1, 2)
+      |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  array_to_string((list_sort(list(doc_id)))[1:20], ',') AS posting_head
+      |FROM tf GROUP BY term ORDER BY term""".stripMargin
+  }
+
+  /** Integer tf-idf ranking: per term, the top-3 documents by score
+    * `tf * idf_micro` where `idf_micro = (N * 1e6) div df` — the engine's
+    * order-independent integer discipline applied to relevance scoring
+    * (ties break on doc_id). No floats anywhere, so ranks are bit-stable
+    * at any cluster size and the full score column hash-matches.
+    */
+  def tfidfTopk: Q = (s, d) => {
+    val nDocs = Tables.documents(s, d).count()
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(IdxTerms: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro", expr(s"(${nDocs}L * 1000000L) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
+    tf.join(broadcast(dfTab), "term")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("term"), col("rnk"), col("doc_id"), col("tf"),
+        col("df"), col("score_micro"))
+      .orderBy(col("term"), col("rnk"))
+  }
+
+  val tfidfTopkSql: String = {
+    val terms = IdxTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+      |  WHERE term IN ($terms) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df,
+      |    ((SELECT count(*) FROM documents) * 1000000) // count(*) AS idf_micro
+      |  FROM tf GROUP BY term),
+      |ranked AS (SELECT tf.term, tf.doc_id, tf.tf, df.df,
+      |    CAST(tf.tf * df.idf_micro AS BIGINT) AS score_micro,
+      |    row_number() OVER (PARTITION BY tf.term
+      |      ORDER BY tf.tf DESC, tf.doc_id) AS rnk
+      |  FROM tf JOIN df USING (term))
+      |SELECT term, CAST(rnk AS INTEGER) AS rnk, doc_id, tf, df, score_micro
+      |FROM ranked WHERE rnk <= 3 ORDER BY term, rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
     "q_doc_fingerprint" -> docFingerprint,
     "q_bm25" -> bm25,
+    "q_inverted_index" -> invertedIndex,
+    "q_tfidf_topk" -> tfidfTopk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,5 +296,7 @@ object TextOps {
     "q_token_count" -> tokenCountSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_bm25" -> bm25Sql,
+    "q_inverted_index" -> invertedIndexSql,
+    "q_tfidf_topk" -> tfidfTopkSql,
   )
 }
