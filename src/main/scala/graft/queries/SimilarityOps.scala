@@ -143,11 +143,81 @@ object SimilarityOps {
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** One Lloyd's assignment + recompute step in EXACT integer arithmetic —
+    * the oracle-gatable twin of [[graft.ops.Similarity.kmeansCentroids]]
+    * (whose float means are deterministic per engine but not bit-portable
+    * across engines). Components scale to integer micros, similarity is
+    * the raw integer dot product (exact, associative → argmax can never
+    * flip with partition order), and the recomputed centroid is a
+    * floor-mean per dimension. Output: per-cluster size, member-id sum,
+    * and the new centroid's component checksum — enough to pin the entire
+    * assignment AND the recompute bit-exactly.
+    *
+    * Scale: centroids broadcast (k rows); assignment rides the scan;
+    * recompute is posexplode → (cluster, dim) partial agg → per-cluster
+    * rollup — two shuffles total, both on tiny keys, same as the float
+    * path.
+    */
+  def kmeansStep: Q = (s, d) => {
+    val k = 4
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => round(x * 1e6).cast("long")).as("v"))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dp").desc, col("cent_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("dp", aggregate(zip_with(col("v"), col("cv"), _ * _),
+        lit(0L), _ + _))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id"), col("v"))
+    val sizes = assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_points"), sum(col("vec_id")).as("sum_ids"))
+    val checksum = assigned
+      .select(col("cent_id"), posexplode(col("v")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+      .groupBy(col("cent_id"))
+      .agg(sum(floor(col("sm").cast("double") / col("n")).cast("long"))
+        .as("centroid_checksum"))
+    sizes.join(checksum, "cent_id").orderBy(col("cent_id"))
+  }
+
+  val kmeansStepSql: String =
+    """WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 4),
+      |dots AS (SELECT e.vec_id, c.cent_id,
+      |    list_sum(list_transform(generate_series(1, len(e.v)),
+      |      i -> e.v[i] * c.cv[i])) AS dp
+      |  FROM emb e CROSS JOIN cents c),
+      |best AS (SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dp DESC, cent_id) AS rn FROM dots) WHERE rn = 1),
+      |asg AS (SELECT b.cent_id, e.vec_id, e.v FROM best b JOIN emb e USING (vec_id)),
+      |sizes AS (SELECT cent_id, count(*) AS n_points,
+      |    CAST(sum(vec_id) AS BIGINT) AS sum_ids FROM asg GROUP BY 1),
+      |ex AS (SELECT cent_id, unnest(generate_series(1, len(v))) AS dim,
+      |    unnest(v) AS val FROM asg),
+      |perdim AS (SELECT cent_id, dim, CAST(sum(val) AS BIGINT) AS sm,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM ex GROUP BY 1, 2),
+      |chk AS (SELECT cent_id,
+      |    CAST(sum(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT)) AS BIGINT)
+      |      AS centroid_checksum
+      |  FROM perdim GROUP BY 1)
+      |SELECT cent_id, n_points, sum_ids, centroid_checksum
+      |FROM sizes JOIN chk USING (cent_id) ORDER BY cent_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_knn_pq" -> knnPq,
+    "q_kmeans_step" -> kmeansStep,
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +225,6 @@ object SimilarityOps {
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_pq" -> knnPqSql,
+    "q_kmeans_step" -> kmeansStepSql,
   )
 }
