@@ -151,8 +151,12 @@ object CorpusOps {
     */
   def decontaminate: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // the fused native kernel (one JVM call per document, bit-equal to the
+    // HOF tokenize→transform→slice chain per TextHashSpec) — the
+    // interpreted HOF form was 2.5x this query's runtime
     def shingleRows(df: DataFrame) = df.select(col("doc_id"), col("lang"),
-      explode(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("sh"))
+      explode(array_distinct(
+        call_function("graft_shingles", col("text"), lit(3)))).as("sh"))
     // benchmark shingles: derived from the 1% held-out slice only — the
     // filter runs BEFORE tokenize/explode, so the expensive path touches
     // 1/BenchMod of the corpus and the result is a tiny broadcast set
