@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.RollupOps.queries ++
       graft.queries.GraphOps.queries ++
       graft.queries.CorpusOps.queries ++
-      graft.queries.BehaviorOps.queries
+      graft.queries.BehaviorOps.queries ++
+      graft.queries.QualityOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -68,5 +69,6 @@ object SparkEntry {
       graft.queries.RollupOps.oracles ++
       graft.queries.GraphOps.oracles ++
       graft.queries.CorpusOps.oracles ++
-      graft.queries.BehaviorOps.oracles
+      graft.queries.BehaviorOps.oracles ++
+      graft.queries.QualityOps.oracles
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Data-quality operators — the Deequ/Great-Expectations role in a
+  * lakehouse: column profiling and declarative constraint checks, both as
+  * plain aggregates so they ride the scan and scale like any other rollup.
+  * The reference's silver layer IS a cleansing pipeline (date repair,
+  * numeric coercion, code decoding); these operators are how such a
+  * pipeline measures itself.
+  *
+  * Scale shapes:
+  *  - the profile is ONE pass over the table: every per-column statistic
+  *    (nulls, distincts, min/max) is a conditional aggregate in a single
+  *    `agg`, then unpivoted to long form — no per-column scans, no
+  *    shuffles beyond the one partial-aggregated exchange. Exact distinct
+  *    counts use Spark's Expand rewrite (one extra map-side blowup per
+  *    distinct column); at 100 TB swap `approx_count_distinct` or the
+  *    engine's `graft_kmv` when ±2% is acceptable.
+  *  - checks are the same shape: each constraint is a `sum(when(...))`
+  *    violation counter; referential integrity is a broadcast anti-join
+  *    probe when the parent key set is dimension-sized, a shuffle join
+  *    when it is not.
+  */
+object QualityOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One-pass column profile of `orders`: per column — null count, exact
+    * distinct count, min/max rendered as strings (the Deequ "analyzer"
+    * table). Long-form output via an unpivot of a single wide aggregate
+    * row.
+    */
+  def dataProfile: Q = (s, d) => {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    val longForm = cols.map { c =>
+      wide.select(lit(c).as("column_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))
+    }.reduce(_.unionByName(_))
+    longForm.orderBy(col("column_name"))
+  }
+
+  val dataProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+        |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  CAST(min($c) AS VARCHAR) AS min_str,
+        |  CAST(max($c) AS VARCHAR) AS max_str
+        |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  /** Declarative constraint suite over the star schema, one row per named
+    * check with its violation count and verdict:
+    *  - `pk_unique`: o_orderkey has no duplicates
+    *  - `fk_customer`: every o_custkey exists in customer (referential
+    *    integrity, anti-join probe)
+    *  - `price_positive`: o_totalprice > 0
+    *  - `status_domain`: o_orderstatus within its code set
+    *  - `date_bounds`: order dates inside the corpus's known range
+    */
+  def dqChecks: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val dupKeys = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val orphans = o.join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val scalarChecks = o.agg(
+      sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).cast("long").as("bad_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("long").as("bad_status"),
+      sum(when(col("o_orderdate") < "1992-01-01" || col("o_orderdate") > "1998-12-31",
+        1).otherwise(0)).cast("long").as("bad_date")).first()
+    import s.implicits._
+    Seq(
+      ("pk_unique", dupKeys),
+      ("fk_customer", orphans),
+      ("price_positive", scalarChecks.getLong(0)),
+      ("status_domain", scalarChecks.getLong(1)),
+      ("date_bounds", scalarChecks.getLong(2)))
+      .toDF("check_name", "n_violations")
+      .withColumn("verdict", when(col("n_violations") === 0, "pass").otherwise("fail"))
+      .orderBy(col("check_name"))
+  }
+
+  val dqChecksSql: String =
+    """WITH checks AS (
+      |  SELECT 'pk_unique' AS check_name, (SELECT count(*) FROM (
+      |      SELECT o_orderkey FROM orders GROUP BY o_orderkey
+      |      HAVING count(*) > 1)) AS n_violations
+      |  UNION ALL SELECT 'fk_customer', (SELECT count(*) FROM orders
+      |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  UNION ALL SELECT 'price_positive', (SELECT count(*) FROM orders
+      |    WHERE o_totalprice <= 0)
+      |  UNION ALL SELECT 'status_domain', (SELECT count(*) FROM orders
+      |    WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+      |  UNION ALL SELECT 'date_bounds', (SELECT count(*) FROM orders
+      |    WHERE o_orderdate < DATE '1992-01-01' OR o_orderdate > DATE '1998-12-31'))
+      |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS verdict
+      |FROM checks ORDER BY check_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_data_profile" -> dataProfile,
+    "q_dq_checks" -> dqChecks,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_data_profile" -> dataProfileSql,
+    "q_dq_checks" -> dqChecksSql,
+  )
+}
