@@ -196,7 +196,48 @@ object CorpusOps {
       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Feature hashing (the "hashing trick"): tokens map to a fixed
+    * 32-bucket feature space via md5 — vocabulary-free featurization, the
+    * step that turns a text corpus into fixed-width training vectors
+    * without a dictionary build or broadcast. Output: each document's
+    * sparse vector rendered canonically (`bucket:tf` pairs, sorted), plus
+    * its nnz — string-rendered so the whole vector is hash-gated.
+    * Restricted to doc_id < 50 to keep the gated output row-bounded; the
+    * featurization itself is corpus-wide linear, explode → two-level
+    * partial aggregate, same scale shape as the repetition screen.
+    */
+  def featureHashing: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("tok")), 1, 15), 16, 10)
+      .cast("long") % 32
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      .withColumn("b", bucket)
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("pair", concat(lpad(col("b"), 2, "0"), lit(":"), col("tf")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"),
+        array_join(array_sort(collect_list(col("pair"))), " ").as("sparse_vec"))
+      .orderBy(col("doc_id"))
+  }
+
+  val featureHashingSql: String = {
+    val toks = TA.tokensSql("text")
+    s"""WITH ex AS (SELECT doc_id, unnest($toks) AS tok
+      |    FROM documents WHERE doc_id < 50),
+      |tf AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 32 AS b,
+      |    count(*) AS tf
+      |  FROM ex GROUP BY 1, 2)
+      |SELECT doc_id, count(*) AS nnz,
+      |  array_to_string(list_sort(list(lpad(CAST(b AS VARCHAR), 2, '0')
+      |    || ':' || CAST(tf AS VARCHAR))), ' ') AS sparse_vec
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feature_hashing" -> featureHashing,
     "q_domain_cap" -> domainCap,
     "q_stratified_sample" -> stratifiedSample,
     "q_repetition_filter" -> repetitionFilter,
@@ -204,6 +245,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_feature_hashing" -> featureHashingSql,
     "q_domain_cap" -> domainCapSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_repetition_filter" -> repetitionFilterSql,
