@@ -165,12 +165,19 @@ object SetGroupOps {
     */
   def percentiles: Q = (s, d) => {
     // array-form percentile: ONE sort of l_quantity serves all three
-    // quartiles (three scalar calls would sort the group three times)
+    // quartiles (three scalar calls would sort the group three times).
+    // The price median interpolates over integer CENTS: with exact-integer
+    // inputs and power-of-two quantile fractions every interpolation
+    // intermediate is exactly representable, so the result is identical
+    // regardless of how an engine associates `a + (b-a)f` vs
+    // `a(1-f) + bf` — interpolating the raw price doubles is not (it
+    // diverged from the oracle at tiny group sizes).
     Tables.lineitem(s, d)
+      .withColumn("price_cents", Num.cents(col("l_extendedprice")))
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))
+        (expr("percentile(price_cents, 0.5)") / 100.0).as("median_price"))
       .select(col("l_returnflag"),
         round(element_at(col("qs"), 1), 4).as("q25"),
         round(element_at(col("qs"), 2), 4).as("q50"),
@@ -184,7 +191,8 @@ object SetGroupOps {
       |  round(quantile_cont(l_quantity, 0.25), 4) AS q25,
       |  round(quantile_cont(l_quantity, 0.5), 4) AS q50,
       |  round(quantile_cont(l_quantity, 0.75), 4) AS q75,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100.0
+      |    AS median_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Unpivot (melt): wide per-flag lineitem metrics to long (metric, value)

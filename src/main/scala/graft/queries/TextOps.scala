@@ -18,6 +18,15 @@ object TextOps {
 
   private val toksSql = TA.tokensSql("text")
 
+  /** Explicit half-up rounding as arithmetic (`floor(x·10⁴ + 0.5)/10⁴`),
+    * emitted identically on both engines: `round()` builtins disagree at
+    * exact .xxxx5 boundaries (Spark rounds the double's shortest decimal
+    * string via BigDecimal, DuckDB rounds the IEEE value — q_text_stats
+    * diverged on 2/5000 docs at sf0.1). Positive inputs only.
+    */
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  private def r4Sql(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
+
   /** Quality scoring: length/stopword/vocabulary/punctuation signals. */
   def textStats: Q = (s, d) => {
     withToks(Tables.documents(s, d))
@@ -25,11 +34,11 @@ object TextOps {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         length(col("text")).as("n_chars_calc"),
-        round(TA.avgTokenLen(col("toks")), 4).as("avg_token_len"),
-        round(TA.typeTokenRatio(col("toks")), 4).as("type_token_ratio"),
-        round(TA.stopwordRatio(col("toks")), 4).as("stopword_ratio"),
-        round(TA.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TA.qualityScore(col("text"), col("toks")), 4).as("quality_score"))
+        r4(TA.avgTokenLen(col("toks"))).as("avg_token_len"),
+        r4(TA.typeTokenRatio(col("toks"))).as("type_token_ratio"),
+        r4(TA.stopwordRatio(col("toks"))).as("stopword_ratio"),
+        r4(TA.punctRatio(col("text"))).as("punct_ratio"),
+        r4(TA.qualityScore(col("text"), col("toks"))).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -44,12 +53,11 @@ object TextOps {
       |SELECT doc_id,
       |  CAST(len(toks) AS INTEGER) AS n_tokens,
       |  CAST(length(text) AS INTEGER) AS n_chars_calc,
-      |  round(list_sum(list_transform(toks, t -> length(t))) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS avg_token_len,
-      |  round($ttr, 4) AS type_token_ratio,
-      |  round(len(list_filter(toks, t -> list_contains($swList, t))) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS stopword_ratio,
-      |  round($punct, 4) AS punct_ratio,
-      |  round(($lenScore * 0.3 + $swScore * 0.2 + $ttr * 0.3) * greatest(1.0 - $punct * 10.0, 0.0)
-      |        + greatest(1.0 - $punct * 10.0, 0.0) * 0.2, 4) AS quality_score
+      |  ${r4Sql("list_sum(list_transform(toks, t -> length(t))) / CAST(greatest(len(toks), 1) AS DOUBLE)")} AS avg_token_len,
+      |  ${r4Sql(ttr)} AS type_token_ratio,
+      |  ${r4Sql(s"len(list_filter(toks, t -> list_contains($swList, t))) / CAST(greatest(len(toks), 1) AS DOUBLE)")} AS stopword_ratio,
+      |  ${r4Sql(punct)} AS punct_ratio,
+      |  ${r4Sql(s"($lenScore * 0.3 + $swScore * 0.2 + $ttr * 0.3) * greatest(1.0 - $punct * 10.0, 0.0) + greatest(1.0 - $punct * 10.0, 0.0) * 0.2")} AS quality_score
       |FROM tok ORDER BY doc_id""".stripMargin
   }
 
