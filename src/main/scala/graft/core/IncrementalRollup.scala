@@ -233,7 +233,7 @@ object IncrementalRollup {
     val withDerived = state
       .withColumn("sum_value", col("sum_cents").cast("double") / 100.0)
       .withColumn("avg_value",
-        round((col("sum_cents").cast("double") / col("cnt")) / 100.0, 6))
+        floor((col("sum_cents").cast("double") / col("cnt")) / 100.0 * 1000000 + 0.5) / 1000000)
       .withColumn("min_value", col("min_cents").cast("double") / 100.0)
       .withColumn("max_value", col("max_cents").cast("double") / 100.0)
       .drop("sum_cents", "min_cents", "max_cents")

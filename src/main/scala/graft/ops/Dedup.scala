@@ -130,7 +130,7 @@ object Dedup {
     }
     lshCandidatePairs(sigs, idCol, numPerm, bandRows)
       .withColumn("est_jaccard",
-        round(estimatedJaccard(col("sigs_a"), col("sigs_b"), numPerm), 4))
+        floor(estimatedJaccard(col("sigs_a"), col("sigs_b"), numPerm) * 10000 + 0.5) / 10000)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
@@ -218,8 +218,8 @@ object Dedup {
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 4))
+        floor(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")) * 10000 + 0.5) / 10000)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -320,8 +320,8 @@ object Dedup {
         col("n_sh").as("n_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 4))
+        floor(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")) * 10000 + 0.5) / 10000)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -25,13 +25,13 @@ object Analytics {
     orders.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
       .withColumn("pct_of_total",
-        round(col("n_orders") * 100.0 / total, 2))
+        Num.roundAt(2)(col("n_orders") * 100.0 / total))
       .orderBy(col("o_orderpriority"))
   }
 
   val pctOfTotalSql: String =
-    """SELECT o_orderpriority, count(*) AS n_orders,
-      |  round(CAST(count(*) AS DOUBLE) * 100.0 / (SELECT count(*) FROM orders), 2) AS pct_of_total
+    s"""SELECT o_orderpriority, count(*) AS n_orders,
+      |  ${Num.roundAtSql(2, "CAST(count(*) AS DOUBLE) * 100.0 / (SELECT count(*) FROM orders)")} AS pct_of_total
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** A7: single global summary row (9-aggregate pattern,
@@ -85,17 +85,17 @@ object Analytics {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(sum((col("l_quantity") > 25).cast("int")).cast("double") / count(lit(1)), 4)
+        Num.roundAt(4)(sum((col("l_quantity") > 25).cast("int")).cast("double") / count(lit(1)))
           .as("big_qty_rate"),
-        round(sum((col("l_discount") > 0.05).cast("int")).cast("double") / count(lit(1)), 4)
+        Num.roundAt(4)(sum((col("l_discount") > 0.05).cast("int")).cast("double") / count(lit(1)))
           .as("discounted_rate"))
       .orderBy(col("l_returnflag"))
   }
 
   val boolRateSql: String =
-    """SELECT l_returnflag,
-      |  round(CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS big_qty_rate,
-      |  round(CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS discounted_rate
+    s"""SELECT l_returnflag,
+      |  ${Num.roundAtSql(4, "CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS big_qty_rate,
+      |  ${Num.roundAtSql(4, "CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS discounted_rate
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** A8: min/max aggregates per group (dim_date.py:224-225 pattern). */

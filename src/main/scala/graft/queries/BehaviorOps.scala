@@ -73,9 +73,9 @@ object BehaviorOps {
       |SELECT 1 AS stage, 'view' AS event_type,
       |    (SELECT count(*) FROM s1) AS n_users, 100.0 AS pct_of_prev
       |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
-      |    round((SELECT count(*) FROM s2) * 100.0 / (SELECT count(*) FROM s1), 2)
+      |    floor((SELECT count(*) FROM s2) * 10000.0 / (SELECT count(*) FROM s1) + 0.5) / 100.0
       |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
-      |    round((SELECT count(*) FROM s3) * 100.0 / (SELECT count(*) FROM s2), 2)
+      |    floor((SELECT count(*) FROM s3) * 10000.0 / (SELECT count(*) FROM s2) + 0.5) / 100.0
       |ORDER BY stage""".stripMargin
 
   /** Cohort retention: users cohorted by first-ever event day; one row

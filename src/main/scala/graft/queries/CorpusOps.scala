@@ -175,7 +175,7 @@ object CorpusOps {
       .select(col("lang"), col("n_train"),
         coalesce(col("hits"), lit(0L)).as("n_contaminated"))
       .withColumn("pct_contaminated",
-        round(col("n_contaminated") * lit(100.0) / col("n_train"), 2))
+        Num.roundAt(2)(col("n_contaminated") * lit(100.0) / col("n_train")))
       .orderBy(col("lang"))
   }
 
@@ -190,8 +190,7 @@ object CorpusOps {
       |SELECT lang, count(*) AS n_train,
       |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-      |  round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
-      |    THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct_contaminated
+      |  ${Num.roundAtSql(2, "sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) * 100.0 / count(*)")} AS pct_contaminated
       |FROM documents WHERE doc_id % $BenchMod <> 0
       |GROUP BY lang ORDER BY lang""".stripMargin
   }

@@ -90,8 +90,8 @@ object DedupOps {
       |    a.sigs AS sa, b.sigs AS sb
       |  FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
       |est AS (SELECT id_a, id_b,
-      |    round(CAST(list_sum(list_transform(generate_series(1, $NumPerm),
-      |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumPerm, 4) AS est_jaccard
+      |    floor(CAST(list_sum(list_transform(generate_series(1, $NumPerm),
+      |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumPerm * 10000 + 0.5) / 10000 AS est_jaccard
       |  FROM pairs)
       |SELECT id_a, id_b, est_jaccard FROM est
       |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin
@@ -159,7 +159,7 @@ object DedupOps {
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |j AS (SELECT id_a, id_b,
-      |    round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+      |    floor(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) * 10000 + 0.5) / 10000 AS jaccard
       |  FROM inter
       |  JOIN sz na ON na.doc_id = id_a
       |  JOIN sz nb ON nb.doc_id = id_b)
@@ -256,7 +256,7 @@ object DedupOps {
       |  GROUP BY 1, 2),
       |pairs AS (SELECT id_a, id_b
       |  FROM (SELECT id_a, id_b,
-      |      round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+      |      floor(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) * 10000 + 0.5) / 10000 AS jaccard
       |    FROM inter
       |    JOIN sz na ON na.doc_id = id_a
       |    JOIN sz nb ON nb.doc_id = id_b)

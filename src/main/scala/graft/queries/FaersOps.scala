@@ -61,12 +61,12 @@ object FaersOps {
     Transforms.calculateAgeGroups(raw)
       .groupBy(col("age_group"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("age")), 4).as("avg_age"))
+        Num.roundAt(4)(avg(col("age"))).as("avg_age"))
       .orderBy(col("age_group"))
   }
 
   val ageGroupsSql: String =
-    """WITH raw AS (
+    s"""WITH raw AS (
       |  SELECT c_custkey,
       |    CASE WHEN c_custkey % 13 = 0 THEN NULL
       |         ELSE CAST(c_custkey % 107 AS DOUBLE) END AS age
@@ -77,7 +77,7 @@ object FaersOps {
       |         WHEN age >= 65 THEN 'Elderly (65+)'
       |         ELSE 'Unknown' END AS age_group
       |  FROM raw)
-      |SELECT age_group, count(*) AS n, round(avg(age), 4) AS avg_age
+      |SELECT age_group, count(*) AS n, ${Num.roundAtSql(4, "avg(age)")} AS avg_age
       |FROM g GROUP BY age_group ORDER BY age_group""".stripMargin
 
   /** Drug-name standardization (silver_transformations.py:119-131) over

@@ -24,4 +24,23 @@ object Num {
   /** SQL (DuckDB) equivalent of [[moneySum]] for the oracle side. */
   def moneySumSql(expr: String): String =
     s"CAST(sum(CAST(round(($expr) * 100) AS BIGINT)) AS DOUBLE) / 100.0"
+
+  /** Half-up rounding as pure arithmetic — `floor(x·10ᵈ + 0.5)/10ᵈ` —
+    * emitted with the SAME expression on both engines. The `round()`
+    * builtins disagree at exact .5 boundaries (Spark rounds the double's
+    * shortest decimal string via BigDecimal; DuckDB rounds the IEEE
+    * value), and RATIONAL-valued outputs (percentages, rates, exact
+    * averages) land on those boundaries with real probability — two docs
+    * in 5000 flipped q_text_stats' last digit at sf0.1. NON-NEGATIVE
+    * inputs only (for negatives this is round-half-toward-+inf).
+    */
+  def roundAt(digits: Int)(c: Column): Column = {
+    val f = math.pow(10, digits)
+    floor(c * f + 0.5) / f
+  }
+
+  def roundAtSql(digits: Int, e: String): String = {
+    val f = math.pow(10, digits).toLong
+    s"floor(($e) * $f + 0.5) / $f"
+  }
 }

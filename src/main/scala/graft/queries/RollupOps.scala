@@ -59,7 +59,7 @@ object RollupOps {
       |  FROM rk GROUP BY o_orderpriority)
       |SELECT s.o_orderpriority, s.cnt,
       |  CAST(s.sum_cents AS DOUBLE) / 100.0 AS sum_value,
-      |  round((CAST(s.sum_cents AS DOUBLE) / s.cnt) / 100.0, 6) AS avg_value,
+      |  floor((CAST(s.sum_cents AS DOUBLE) / s.cnt) / 100.0 * 1000000 + 0.5) / 1000000 AS avg_value,
       |  CAST(s.min_cents AS DOUBLE) / 100.0 AS min_value,
       |  CAST(s.max_cents AS DOUBLE) / 100.0 AS max_value,
       |  ${Sketches.kmvEstimateSql("t.nd", "t.hk", k)} AS approx_distinct

@@ -69,7 +69,7 @@ object TextOps {
       .withColumn("pred_lang", TA.predictedLang(col("toks")))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(TA.langScore(col("toks"), "en")), 4).as("avg_en_score"))
+        r4(avg(TA.langScore(col("toks"), "en"))).as("avg_en_score"))
       .orderBy(col("lang"), col("pred_lang"))
   }
 
@@ -85,7 +85,7 @@ object TextOps {
       |sc AS (SELECT doc_id, lang, ${langs.map(l => s"${mk(l)} AS s_$l").mkString(", ")} FROM tok),
       |b AS (SELECT *, $best AS best FROM sc),
       |p AS (SELECT doc_id, lang, s_en, CASE $cases ELSE 'und' END AS pred_lang FROM b)
-      |SELECT lang, pred_lang, count(*) AS n_docs, round(avg(s_en), 4) AS avg_en_score
+      |SELECT lang, pred_lang, count(*) AS n_docs, ${r4Sql("avg(s_en)")} AS avg_en_score
       |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
 

@@ -181,13 +181,13 @@ object TrainPrepOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(abs(col("z")) > 2.0, 1).otherwise(0)).as("n_outliers"),
-        round(max(col("mean")), 4).as("mean_chars"),
-        round(max(col("std")), 4).as("std_chars"))
+        Num.roundAt(4)(max(col("mean"))).as("mean_chars"),
+        Num.roundAt(4)(max(col("std"))).as("std_chars"))
       .orderBy(col("lang"))
   }
 
   val outlierZscoreSql: String =
-    """WITH base AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+    s"""WITH base AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
       |st AS (SELECT lang,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
       |    CAST(count(*) AS BIGINT) AS n
@@ -198,8 +198,8 @@ object TrainPrepOps {
       |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(CASE WHEN abs((CAST(x AS DOUBLE) - mean) / std) > 2.0
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      |  round(max(mean), 4) AS mean_chars,
-      |  round(max(std), 4) AS std_chars
+      |  ${Num.roundAtSql(4, "max(mean)")} AS mean_chars,
+      |  ${Num.roundAtSql(4, "max(std)")} AS std_chars
       |FROM base b JOIN s2 USING (lang)
       |GROUP BY b.lang ORDER BY b.lang""".stripMargin
 

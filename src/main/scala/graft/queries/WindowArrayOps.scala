@@ -59,19 +59,18 @@ object WindowArrayOps {
       .withColumn("ma_cents", avg(col("day_cents")).over(w))
       .select(col("day").cast("string").as("day"),
         (col("day_cents").cast("double") / 100.0).as("day_revenue"),
-        round(col("ma_cents") / 100.0, 4).as("ma7_revenue"))
+        Num.roundAt(4)(col("ma_cents") / 100.0).as("ma7_revenue"))
       .orderBy(col("day"))
   }
 
   val windowMovingAvgSql: String =
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day,
       |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_cents
       |  FROM orders GROUP BY 1)
       |SELECT CAST(day AS VARCHAR) AS day,
       |  CAST(day_cents AS DOUBLE) / 100.0 AS day_revenue,
-      |  round(avg(CAST(day_cents AS DOUBLE)) OVER (ORDER BY day
-      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4) AS ma7_revenue
+      |  ${Num.roundAtSql(4, "avg(CAST(day_cents AS DOUBLE)) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0")} AS ma7_revenue
       |FROM daily ORDER BY day""".stripMargin
 
   /** Ranking family over one shared window spec: rank / dense_rank / ntile /
@@ -89,7 +88,7 @@ object WindowArrayOps {
       .select(col("c_nationkey"), col("c_custkey"), col("spend_cents"))
       .withColumn("rnk", rank().over(w))
       .withColumn("quartile", ntile(4).over(w))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("cume", Num.roundAt(6)(cume_dist().over(w)))
       .filter(col("rnk") <= 5)
       .select(col("c_nationkey"), col("rnk").cast("long").as("rnk"),
         col("c_custkey"), (col("spend_cents").cast("double") / 100.0).as("spend"),
@@ -98,14 +97,14 @@ object WindowArrayOps {
   }
 
   val windowRankSql: String =
-    """WITH spend AS (
+    s"""WITH spend AS (
       |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
       |  FROM orders GROUP BY 1),
       |ranked AS (
       |  SELECT c_nationkey, c_custkey, spend_cents,
       |    rank() OVER w AS rnk,
       |    ntile(4) OVER w AS quartile,
-      |    round(cume_dist() OVER w, 6) AS cume
+      |    ${Num.roundAtSql(6, "cume_dist() OVER w")} AS cume
       |  FROM customer JOIN spend ON c_custkey = o_custkey
       |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend_cents DESC, c_custkey ASC))
       |SELECT c_nationkey, CAST(rnk AS BIGINT) AS rnk, c_custkey,
@@ -123,7 +122,7 @@ object WindowArrayOps {
       .select(col("vec_id"),
         round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 4).as("l2_norm"),
         size(filter(v, _ > 0)).as("n_pos"),
-        round(array_max(v), 6).as("max_dim"))
+        Num.roundAt(6)(array_max(v)).as("max_dim"))
       .orderBy(col("vec_id"))
   }
 
@@ -131,7 +130,7 @@ object WindowArrayOps {
     """SELECT vec_id,
       |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm,
       |  CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER) AS n_pos,
-      |  round(list_max(embedding::DOUBLE[]), 6) AS max_dim
+      |  floor(list_max(embedding::DOUBLE[]) * 1000000 + 0.5) / 1000000 AS max_dim
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** posexplode → per-dimension stats for the first 8 embedding dimensions
@@ -147,14 +146,14 @@ object WindowArrayOps {
         (sum(round(col("col") * 1000000).cast("long")).cast("double") / 1000000.0)
           .as("sum_val"))
       .select(col("label"), col("dim").cast("int").as("dim"), col("n"),
-        round(col("sum_val"), 4).as("sum_val"))
+        Num.roundAt(4)(col("sum_val")).as("sum_val"))
       .orderBy(col("label"), col("dim"))
   }
 
   val dimStatsSql: String =
     """SELECT label, CAST(k AS INTEGER) AS dim, count(*) AS n,
-      |  round(CAST(sum(CAST(round(embedding[k]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
-      |    / 1000000.0, 4) AS sum_val
+      |  floor(CAST(sum(CAST(round(embedding[k]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0 * 10000 + 0.5) / 10000 AS sum_val
       |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS k)
       |GROUP BY label, k ORDER BY label, dim""".stripMargin
 
