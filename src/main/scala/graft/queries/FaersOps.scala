@@ -53,6 +53,45 @@ object FaersOps {
   /** Age bucketing incl. null → Unknown (silver_transformations.py:93-107)
     * over synthetic ages, rolled up to the bucket distribution.
     */
+  /** The reference's numeric-standardization gate
+    * (silver_transformations.py:83-85): strings matching
+    * `^[0-9]+\.?[0-9]*$` cast to double, everything else nulls — the
+    * regex deliberately REJECTS negatives, exponents, and leading dots
+    * (reference fidelity). Synthesizes a dirty string column from
+    * l_quantity (every 7th row suffixed, every 11th negated — both must
+    * null out), repairs it, and rolls up survivors/nulls per flag.
+    */
+  def numericRepair: Q = (s, d) => {
+    val dirty = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      when(col("l_orderkey") % 7 === 0,
+          concat(col("l_quantity").cast("string"), lit("x")))
+        .when(col("l_orderkey") % 11 === 0,
+          concat(lit("-"), col("l_quantity").cast("string")))
+        .otherwise(col("l_quantity").cast("string")).as("qty_raw"))
+    Transforms.standardizeNumericFields(dirty, Seq("qty_raw"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("qty_raw").isNull, 1).otherwise(0)).cast("long").as("n_rejected"),
+        sum(col("qty_raw").cast("long")).as("sum_repaired"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val numericRepairSql: String =
+    """WITH dirty AS (SELECT l_returnflag,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN CAST(l_quantity AS VARCHAR) || 'x'
+      |         WHEN l_orderkey % 11 = 0 THEN '-' || CAST(l_quantity AS VARCHAR)
+      |         ELSE CAST(l_quantity AS VARCHAR) END AS qty_raw
+      |  FROM lineitem),
+      |fixed AS (SELECT l_returnflag,
+      |    CASE WHEN regexp_matches(qty_raw, '^[0-9]+\.?[0-9]*$')
+      |         THEN CAST(qty_raw AS DOUBLE) END AS qty
+      |  FROM dirty)
+      |SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+      |  CAST(sum(CAST(qty AS BIGINT)) AS BIGINT) AS sum_repaired
+      |FROM fixed GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def ageGroups: Q = (s, d) => {
     val raw = Tables.customer(s, d).select(
       col("c_custkey"),
@@ -146,6 +185,7 @@ object FaersOps {
       |FROM spine ORDER BY date_string""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_numeric_repair" -> numericRepair,
     "q_dose_parse" -> doseParse,
     "q_age_groups" -> ageGroups,
     "q_drug_clean" -> drugClean,
@@ -153,6 +193,7 @@ object FaersOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_numeric_repair" -> numericRepairSql,
     "q_dose_parse" -> doseParseSql,
     "q_age_groups" -> ageGroupsSql,
     "q_drug_clean" -> drugCleanSql,
