@@ -180,7 +180,9 @@ object Analytics {
     * executors. One scan, one partial-aggregated exchange; the float math
     * happens once per GROUP on the six exact sums, identically on both
     * engines. Quantities are integral by data contract; prices round to
-    * whole dollars so Σy² stays within long range at any SF.
+    * whole dollars, and the square/cross moments accumulate in
+    * DecimalType(38,0) (Spark) / HUGEINT (DuckDB) — a long Σy² wraps
+    * silently past ~SF 1500, which is inside this engine's design scale.
     */
   def corrMoments: Q = (s, d) => {
     val x = col("l_quantity").cast("long")
@@ -190,9 +192,9 @@ object Analytics {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         // cross-products exceed Long range (n·Σy² ~ 4e20 at sf0.1), so the
         // exact long sums are cast to double FIRST; the products then round
@@ -213,8 +215,7 @@ object Analytics {
       |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
       |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
       |  FROM b GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -

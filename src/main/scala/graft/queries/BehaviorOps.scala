@@ -30,11 +30,8 @@ object BehaviorOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def microSum(c: org.apache.spark.sql.Column) =
-    (sum(round(c * 1000000).cast("long")).cast("double") / 1000000.0)
-
-  private val microSumSql =
-    (e: String) => s"CAST(sum(CAST(round(($e) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0"
+  private def microSum(c: org.apache.spark.sql.Column) = Num.microSum(c)
+  private val microSumSql = (e: String) => Num.microSumSql(e)
 
   /** Strict-order funnel view → click → purchase: a user converts a stage
     * only with an event strictly AFTER their previous stage's first
@@ -43,20 +40,29 @@ object BehaviorOps {
     */
   def funnel: Q = (s, d) => {
     val ev = Tables.events(s, d)
+    // each stage feeds both the next stage's join and its own count():
+    // checkpoint so the three counts don't re-run the whole chain
+    // (uncached, stage 1 would execute three times)
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .localCheckpoint()
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      .localCheckpoint()
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
     val Seq(n1, n2, n3) = Seq(s1, s2, s3).map(_.count())
+    // empty-stage guard: 0/0 is NaN, and the engines disagree on rounding
+    // NaN — an empty previous stage reports 0.0 conversion on both sides
+    def pct(n: Long, prev: Long): Double =
+      if (prev == 0) 0.0 else math.round(n * 10000.0 / prev) / 100.0
     import s.implicits._
     Seq(
       (1, "view", n1, 100.0),
-      (2, "click", n2, math.round(n2 * 10000.0 / n1) / 100.0),
-      (3, "purchase", n3, math.round(n3 * 10000.0 / n2) / 100.0))
+      (2, "click", n2, pct(n2, n1)),
+      (3, "purchase", n3, pct(n3, n2)))
       .toDF("stage", "event_type", "n_users", "pct_of_prev")
       .orderBy(col("stage"))
   }
@@ -73,9 +79,11 @@ object BehaviorOps {
       |SELECT 1 AS stage, 'view' AS event_type,
       |    (SELECT count(*) FROM s1) AS n_users, 100.0 AS pct_of_prev
       |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
-      |    floor((SELECT count(*) FROM s2) * 10000.0 / (SELECT count(*) FROM s1) + 0.5) / 100.0
+      |    CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0.0 ELSE
+      |      floor((SELECT count(*) FROM s2) * 10000.0 / (SELECT count(*) FROM s1) + 0.5) / 100.0 END
       |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
-      |    floor((SELECT count(*) FROM s3) * 10000.0 / (SELECT count(*) FROM s2) + 0.5) / 100.0
+      |    CASE WHEN (SELECT count(*) FROM s2) = 0 THEN 0.0 ELSE
+      |      floor((SELECT count(*) FROM s3) * 10000.0 / (SELECT count(*) FROM s2) + 0.5) / 100.0 END
       |ORDER BY stage""".stripMargin
 
   /** Cohort retention: users cohorted by first-ever event day; one row
@@ -85,7 +93,11 @@ object BehaviorOps {
   def cohortRetention: Q = (s, d) => {
     val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
     val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    ev.join(broadcast(cohorts), "user_id")
+    // no broadcast hint: the cohort map is O(total users), and a forced
+    // broadcast would OOM the driver at 10^9 users; both sides already
+    // hash by user_id, so AQE picks broadcast at small SF and a
+    // co-partitioned shuffle join at scale
+    ev.join(cohorts, "user_id")
       .select(col("user_id"), col("cohort_day"),
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .distinct()

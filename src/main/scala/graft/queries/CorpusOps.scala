@@ -115,12 +115,19 @@ object CorpusOps {
     val perDoc = perTok.groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).as("n"), max(col("c")).as("mx"),
         count(lit(1)).as("nd"))
+    // zero-token docs produce no explode rows and would silently escape
+    // every verdict bucket (breaking "verdicts partition the corpus");
+    // re-anchor on the full document set and give them their own verdict
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id", "lang"), "left")
       .withColumn("verdict",
-        when(col("mx") * 1000 > col("n") * 120, "drop:top_token")
+        when(col("n").isNull, "drop:empty")
+          .when(col("mx") * 1000 > col("n") * 120, "drop:top_token")
           .when(col("nd") * 1000 < col("n") * 350, "drop:low_diversity")
           .otherwise("keep"))
-    perDoc.groupBy(col("lang"), col("verdict"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n"), lit(0L))).as("sum_tokens"))
       .orderBy(col("lang"), col("verdict"))
   }
 
@@ -131,11 +138,14 @@ object CorpusOps {
       |pd AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
       |    CAST(max(c) AS BIGINT) AS mx, CAST(count(*) AS BIGINT) AS nd
       |  FROM pt GROUP BY 1, 2),
-      |v AS (SELECT lang, n,
-      |    CASE WHEN mx * 1000 > n * 120 THEN 'drop:top_token'
-      |         WHEN nd * 1000 < n * 350 THEN 'drop:low_diversity'
+      |v AS (SELECT d.lang,
+      |    coalesce(pd.n, 0) AS n,
+      |    CASE WHEN pd.n IS NULL THEN 'drop:empty'
+      |         WHEN mx * 1000 > pd.n * 120 THEN 'drop:top_token'
+      |         WHEN nd * 1000 < pd.n * 350 THEN 'drop:low_diversity'
       |         ELSE 'keep' END AS verdict
-      |  FROM pd)
+      |  FROM documents d LEFT JOIN pd
+      |    ON d.doc_id = pd.doc_id AND d.lang = pd.lang)
       |SELECT lang, verdict, count(*) AS n_docs,
       |  CAST(sum(n) AS BIGINT) AS sum_tokens
       |FROM v GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin

@@ -18,11 +18,8 @@ object EventOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def microSum(c: org.apache.spark.sql.Column) =
-    (sum(round(c * 1000000).cast("long")).cast("double") / 1000000.0)
-
-  private val microSumSql =
-    (e: String) => s"CAST(sum(CAST(round(($e) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0"
+  private def microSum(c: org.apache.spark.sql.Column) = Num.microSum(c)
+  private val microSumSql = (e: String) => Num.microSumSql(e)
 
   /** Tumbling 1-hour windows per event type (batch `window()` — identical
     * semantics to the streaming groupBy(window(...)) path).

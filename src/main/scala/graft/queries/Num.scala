@@ -31,8 +31,10 @@ object Num {
     * shortest decimal string via BigDecimal; DuckDB rounds the IEEE
     * value), and RATIONAL-valued outputs (percentages, rates, exact
     * averages) land on those boundaries with real probability — two docs
-    * in 5000 flipped q_text_stats' last digit at sf0.1. NON-NEGATIVE
-    * inputs only (for negatives this is round-half-toward-+inf).
+    * in 5000 flipped q_text_stats' last digit at sf0.1. For negative
+    * inputs this is round-half-toward-+infinity rather than half-away —
+    * still cross-engine consistent (both sides emit the same arithmetic),
+    * just a different tie direction than `round()` would give.
     */
   def roundAt(digits: Int)(c: Column): Column = {
     val f = math.pow(10, digits)
@@ -43,4 +45,15 @@ object Num {
     val f = math.pow(10, digits).toLong
     s"floor(($e) * $f + 0.5) / $f"
   }
+
+  /** Order-independent exact sum of a fractional metric in integer
+    * MICRO-units, surfaced back as a double — the 6-decimal sibling of
+    * [[moneySum]] (event values, scores). One canonical copy: EventOps,
+    * BehaviorOps, and WindowArrayOps all aggregate through this.
+    */
+  def microSum(c: Column): Column =
+    sum(round(c * 1000000).cast("long")).cast("double") / 1000000.0
+
+  def microSumSql(e: String): String =
+    s"CAST(sum(CAST(round(($e) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0"
 }

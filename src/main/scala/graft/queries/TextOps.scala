@@ -18,14 +18,10 @@ object TextOps {
 
   private val toksSql = TA.tokensSql("text")
 
-  /** Explicit half-up rounding as arithmetic (`floor(x·10⁴ + 0.5)/10⁴`),
-    * emitted identically on both engines: `round()` builtins disagree at
-    * exact .xxxx5 boundaries (Spark rounds the double's shortest decimal
-    * string via BigDecimal, DuckDB rounds the IEEE value — q_text_stats
-    * diverged on 2/5000 docs at sf0.1). Positive inputs only.
-    */
-  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-  private def r4Sql(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
+  // see Num.roundAt: q_text_stats diverged on 2/5000 docs at sf0.1 with
+  // builtin round; these queries' scores are exact rationals
+  private def r4(c: Column): Column = Num.roundAt(4)(c)
+  private def r4Sql(e: String): String = Num.roundAtSql(4, e)
 
   /** Quality scoring: length/stopword/vocabulary/punctuation signals. */
   def textStats: Q = (s, d) => {

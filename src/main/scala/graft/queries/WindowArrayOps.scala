@@ -143,8 +143,7 @@ object WindowArrayOps {
       .filter(col("pos") < 8)
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
       .agg(count(lit(1)).as("n"),
-        (sum(round(col("col") * 1000000).cast("long")).cast("double") / 1000000.0)
-          .as("sum_val"))
+        Num.microSum(col("col")).as("sum_val"))
       .select(col("label"), col("dim").cast("int").as("dim"), col("n"),
         Num.roundAt(4)(col("sum_val")).as("sum_val"))
       .orderBy(col("label"), col("dim"))
