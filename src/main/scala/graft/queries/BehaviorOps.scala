@@ -172,13 +172,48 @@ object BehaviorOps {
       |    ROWS UNBOUNDED PRECEDING), 0.0) AS locf_value
       |FROM joined ORDER BY event_type, day""".stripMargin
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: lag(event_type) per user in time order → (prev, cur)
+    * transition counts and per-prev probabilities. The sequence-mining
+    * primitive behind next-action prediction and bot detection. One
+    * window shuffle on user_id + one partial-aggregated rollup — the
+    * per-user sort is bounded by the busiest single user, not the table.
+    */
+  def transitionMatrix: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("prev"))
+    pairs
+      .withColumn("pct",
+        Num.roundAt(4)(col("n").cast("double") / sum(col("n")).over(totals)))
+      .orderBy(col("prev"), col("cur"))
+  }
+
+  val transitionMatrixSql: String =
+    s"""WITH seq AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |pairs AS (SELECT prev, event_type AS cur, count(*) AS n
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev, cur, n,
+      |  ${Num.roundAtSql(4, "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev)")} AS pct
+      |FROM pairs ORDER BY prev, cur""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_transition_matrix" -> transitionMatrix,
     "q_funnel" -> funnel,
     "q_cohort_retention" -> cohortRetention,
     "q_gap_fill" -> gapFill,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_transition_matrix" -> transitionMatrixSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_gap_fill" -> gapFillSql,
