@@ -289,7 +289,40 @@ object SourceOps {
       |FROM afterdel JOIN tip USING (o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Dynamic partition overwrite — the backfill idiom every partitioned
+    * lake relies on: rewrite ONLY the partitions present in the incoming
+    * batch, leave the rest untouched. Writes orders hive-partitioned by
+    * status, then "backfills" just the F partition with corrected prices
+    * under `partitionOverwriteMode=dynamic`; the final rollup proves O/P
+    * partitions survived byte-identical while F was replaced. (Static
+    * mode — the default — would have dropped ALL partitions first.)
+    */
+  def dynamicOverwrite: Q = (s, d) => {
+    val tmp = Scratch.dir("graft_dynpart")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val dynamicOverwriteSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+      |  ${Num.moneySumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END")} AS revenue
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dynamic_overwrite" -> dynamicOverwrite,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_table_log" -> tableLog,
@@ -301,6 +334,7 @@ object SourceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dynamic_overwrite" -> dynamicOverwriteSql,
     "q_json_roundtrip" -> jsonRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_table_log" -> tableLogSql,

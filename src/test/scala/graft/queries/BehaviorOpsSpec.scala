@@ -47,4 +47,17 @@ class BehaviorOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("transition matrix: probabilities sum to 1 per prev state; counts cover all non-first events") {
+    val rows = BehaviorOps.transitionMatrix(spark, sf).collect()
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (prev, rs) =>
+      val pctSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pctSum - 1.0) < 0.01, s"$prev pct sum $pctSum")
+    }
+    val nTransitions = rows.map(_.getLong(2)).sum
+    val ev = graft.core.Tables.events(spark, sf)
+    val nUsers = ev.select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(nTransitions == ev.count() - nUsers, "each user contributes (events-1) transitions")
+  }
 }
