@@ -80,6 +80,56 @@ object ScdOps {
       |FROM rows0
       |ORDER BY c_custkey, effective_date, is_current""".stripMargin
 
-  val queries: Map[String, Q] = Map("q_scd2_merge" -> scd2Merge)
-  val oracles: Map[String, String] = Map("q_scd2_merge" -> scd2MergeSql)
+  /** The dimension READ API over the merged dim (the reference imports
+    * `get_current_records` / `get_change_history` without defining them —
+    * dim_patient.py:162-184; here they are real and gated): current-view
+    * rollup per segment plus each key's version count. Proves the
+    * current-row filter and the per-key version cardinality both see
+    * exactly the two-phase merge's output. (`changeHistory` itself is a
+    * single-key point lookup — spec-covered in Scd2Spec.)
+    */
+  def scd2Current: Q = (s, d) => {
+    val initial = Scd2.applyScdType2Merge(
+      None, snapshot0(s, d), BK, Tracked, ScdClock.fixed(T0))
+    val merged = Scd2.applyScdType2Merge(
+      Some(initial), snapshot1(s, d), BK, Tracked, ScdClock.fixed(T1))
+    val versions = merged
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_versions"))
+    Scd2.currentRecords(merged)
+      .join(versions, "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_current"),
+        sum(col("n_versions")).as("sum_versions"),
+        min(col("effective_date")).cast("string").as("first_effective"),
+        max(col("effective_date")).cast("string").as("last_effective"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val scd2CurrentSql: String =
+    s"""WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+      |rows0 AS (
+      |  SELECT c_custkey, c_mktsegment, DATE '$T0' AS effective_date,
+      |    c_custkey % 10 <> 0 AS is_current
+      |  FROM base
+      |  UNION ALL
+      |  SELECT c_custkey, 'MIGRATED', DATE '$T1', true
+      |  FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWSEG', DATE '$T1', true
+      |  FROM base WHERE c_custkey % 13 = 0),
+      |versions AS (SELECT c_custkey, count(*) AS n_versions
+      |  FROM rows0 GROUP BY c_custkey)
+      |SELECT c_mktsegment, count(*) AS n_current,
+      |  CAST(sum(n_versions) AS BIGINT) AS sum_versions,
+      |  CAST(min(effective_date) AS VARCHAR) AS first_effective,
+      |  CAST(max(effective_date) AS VARCHAR) AS last_effective
+      |FROM rows0 JOIN versions USING (c_custkey)
+      |WHERE is_current GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_scd2_merge" -> scd2Merge,
+    "q_scd2_current" -> scd2Current)
+  val oracles: Map[String, String] = Map(
+    "q_scd2_merge" -> scd2MergeSql,
+    "q_scd2_current" -> scd2CurrentSql)
 }
