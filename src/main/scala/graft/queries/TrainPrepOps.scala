@@ -229,7 +229,86 @@ object TrainPrepOps {
       |WHERE ${hashBucketSql("doc_id", 10000)} < (least(n_chars, 4000) * 10000) // 4000
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Class-rebalancing upsample: every language is replicated toward the
+    * majority class with an integer factor `n_max div n_c` — the
+    * deterministic oversampling a skewed fine-tuning set gets before
+    * training. Replication is `explode(sequence(1, factor))`: scan-side
+    * fan-out, no shuffle until the accounting rollup, and the factor
+    * table is a 5-row broadcast. (Bernoulli-style fractional balance
+    * composes via [[weightedSample]]; exact integer factors keep the gate
+    * hash-exact.)
+    */
+  def classUpsample: Q = (s, d) => {
+    val counts = Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"))
+    val factors = counts.crossJoin(
+        broadcast(counts.agg(max(col("n_before")).as("n_max"))))
+      .withColumn("factor", expr("n_max div n_before"))
+      .select(col("lang"), col("n_before"), col("factor"))
+    Tables.documents(s, d)
+      .join(broadcast(factors), "lang")
+      .select(col("lang"), col("n_before"), col("factor"), col("n_chars"),
+        explode(sequence(lit(1), col("factor"))).as("rep"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_before")).as("n_before"),
+        max(col("factor")).as("factor"),
+        count(lit(1)).as("n_after"),
+        sum(col("n_chars")).as("sum_chars_after"))
+      .orderBy(col("lang"))
+  }
+
+  val classUpsampleSql: String =
+    """WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+      |f AS (SELECT lang, n_before,
+      |    (SELECT max(n_before) FROM counts) // n_before AS factor
+      |  FROM counts),
+      |rep AS (SELECT d.lang, f.n_before, f.factor, d.n_chars
+      |  FROM documents d JOIN f USING (lang)
+      |  CROSS JOIN unnest(generate_series(1, 1000)) AS t(i)
+      |  WHERE t.i <= f.factor)
+      |SELECT lang, CAST(max(n_before) AS BIGINT) AS n_before,
+      |  CAST(max(factor) AS BIGINT) AS factor,
+      |  count(*) AS n_after,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars_after
+      |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Leave-one-out target encoding of `source` against document length:
+    * each document's feature is the mean n_chars of the OTHER docs in its
+    * category — `(Σ - x) / (n - 1)` from exact integer moments, so the
+    * encoding is bit-stable at any partitioning and cannot leak the row's
+    * own target. Category stats are a tiny broadcast back onto the scan;
+    * the gate rolls the per-doc encodings up per category.
+    */
+  def targetEncode: Q = (s, d) => {
+    val stats = Tables.documents(s, d).groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("sx"), count(lit(1)).as("n"))
+    Tables.documents(s, d)
+      .join(broadcast(stats), "source")
+      .filter(col("n") > 1)
+      .withColumn("enc",
+        (col("sx") - col("n_chars")).cast("double") / (col("n") - 1))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Num.roundAt(4)(min(col("enc"))).as("enc_min"),
+        Num.roundAt(4)(max(col("enc"))).as("enc_max"))
+      .orderBy(col("source"))
+  }
+
+  val targetEncodeSql: String =
+    s"""WITH st AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sx,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source),
+      |enc AS (SELECT d.source,
+      |    CAST(st.sx - d.n_chars AS DOUBLE) / (st.n - 1) AS enc
+      |  FROM documents d JOIN st USING (source) WHERE st.n > 1)
+      |SELECT source, count(*) AS n_docs,
+      |  ${Num.roundAtSql(4, "min(enc)")} AS enc_min,
+      |  ${Num.roundAtSql(4, "max(enc)")} AS enc_max
+      |FROM enc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_class_upsample" -> classUpsample,
+    "q_target_encode" -> targetEncode,
     "q_data_mixture" -> dataMixture,
     "q_weighted_sample" -> weightedSample,
     "q_hash_split" -> hashSplit,
@@ -239,6 +318,8 @@ object TrainPrepOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_class_upsample" -> classUpsampleSql,
+    "q_target_encode" -> targetEncodeSql,
     "q_data_mixture" -> dataMixtureSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_hash_split" -> hashSplitSql,
