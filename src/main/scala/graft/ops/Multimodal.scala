@@ -72,4 +72,20 @@ object Multimodal {
     */
   def framePositions(nBytes: Column, stride: Int, maxFrames: Int): Column =
     slice(sequence(lit(1), greatest(nBytes, lit(1)), lit(stride)), 1, maxFrames)
+
+  /** Aspect-preserving fit-into-`target` resize dims — integer arithmetic
+    * (`div` on the long edge) so the plan stays codegen'd and the result
+    * hash-exact; the pixel resample itself belongs to the stubbed decode
+    * kernel, this is the metadata path every image pipeline plans with.
+    * Never upscales: payloads already inside the box keep their dims.
+    */
+  def resizeDims(w: Column, h: Column, target: Int): (Column, Column) = {
+    val longEdge = greatest(w, h)
+    // floor(double-div) is exact here: for ints a < 2^20, b < 2^12 a
+    // non-integer a/b sits >= 2^-12 from any integer, far beyond one ulp
+    def fit(c: Column): Column =
+      when(longEdge <= target, c)
+        .otherwise(floor(c.cast("long") * target / longEdge).cast("int"))
+    (fit(w), fit(h))
+  }
 }

@@ -71,11 +71,53 @@ object MultimodalOps {
       |  FROM documents WHERE doc_id % 25 = 0)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Aspect-preserving resize planning over the stub-decoded dims: fit
+    * every payload into 224x224 without upscaling, integer math end to
+    * end. Rolls up the resize decisions per bucket (downscaled vs kept)
+    * with exact pixel accounting.
+    */
+  def imageResize: Q = (s, d) => {
+    val dims = multimodalMeta(s, d)
+      .select(col("doc_id"), col("width"), col("height"))
+    val (tw, th) = Multimodal.resizeDims(col("width"), col("height"), 224)
+    dims
+      .withColumn("target_w", tw).withColumn("target_h", th)
+      .withColumn("action",
+        when(col("target_w") === col("width") && col("target_h") === col("height"), "keep")
+          .otherwise("downscale"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("width").cast("long") * col("height")).as("pixels_in"),
+        sum(col("target_w").cast("long") * col("target_h")).as("pixels_out"),
+        max(col("target_w")).as("max_w"), max(col("target_h")).as("max_h"))
+      .orderBy(col("action"))
+  }
+
+  val imageResizeSql: String =
+    """WITH dims AS (SELECT doc_id,
+      |    CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1984 AS INTEGER) AS w,
+      |    CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1984 AS INTEGER) AS h
+      |  FROM documents),
+      |rs AS (SELECT doc_id, w, h,
+      |    CASE WHEN greatest(w, h) <= 224 THEN w
+      |         ELSE CAST(CAST(w AS BIGINT) * 224 // greatest(w, h) AS INTEGER) END AS tw,
+      |    CASE WHEN greatest(w, h) <= 224 THEN h
+      |         ELSE CAST(CAST(h AS BIGINT) * 224 // greatest(w, h) AS INTEGER) END AS th
+      |  FROM dims)
+      |SELECT CASE WHEN tw = w AND th = h THEN 'keep' ELSE 'downscale' END AS action,
+      |  count(*) AS n_images,
+      |  CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS pixels_in,
+      |  CAST(sum(CAST(tw AS BIGINT) * th) AS BIGINT) AS pixels_out,
+      |  CAST(max(tw) AS INTEGER) AS max_w, CAST(max(th) AS INTEGER) AS max_h
+      |FROM rs GROUP BY 1 ORDER BY action""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_image_resize" -> imageResize,
     "q_multimodal_meta" -> multimodalMeta,
     "q_frame_sample" -> frameSample,
   )
   val oracles: Map[String, String] = Map(
+    "q_image_resize" -> imageResizeSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_frame_sample" -> frameSampleSql,
   )
