@@ -30,7 +30,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout through a bounded tail buffer, which
+    // truncated round 2's 117-query line; the file copy is authoritative.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH.out.json"), json + "\n")
     spark.stop()
   }
 }

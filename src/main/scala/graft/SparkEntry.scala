@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.ScdOps.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.FaersOps.queries ++
+      graft.queries.FaersAnalyticsOps.queries ++
       graft.queries.MultimodalOps.queries ++
       graft.queries.EventOps.queries ++
       graft.queries.ScaleOps.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.queries.ScdOps.oracles ++
       graft.queries.Analytics.oracles ++
       graft.queries.FaersOps.oracles ++
+      graft.queries.FaersAnalyticsOps.oracles ++
       graft.queries.MultimodalOps.oracles ++
       graft.queries.EventOps.oracles ++
       graft.queries.ScaleOps.oracles ++

@@ -2,7 +2,7 @@ package graft.faers
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Scd2, ScdClock}
-import graft.faers.gold.{DimDate, Dims, FactAdverseEvents}
+import graft.faers.gold.{DimDate, Dims, FactAdverseEvents, FactAnalytics}
 
 /** In-process medallion pipeline runner replacing the reference's external
   * Databricks job DAG (resources/jobs/faers_pipeline.yml:24-203): bronze
@@ -110,6 +110,14 @@ object Pipeline {
       .saveAsTable("gold.fact_adverse_events")
     spark.sql("ANALYZE TABLE gold.fact_adverse_events COMPUTE STATISTICS")
   }
+
+  /** The reference's analytics job (`generate_adverse_events_analytics`,
+    * src/gold/analytics/fact_analytics.py:19-255): run all 10 reports over
+    * the gold fact table. Returned (not shown) so callers can assert,
+    * persist, or display; each report is a single agg over the fact scan.
+    */
+  def runAnalytics(spark: SparkSession): Seq[(String, DataFrame)] =
+    FactAnalytics.all(spark.table("gold.fact_adverse_events"))
 
   /** Full medallion run for one landing quarter. */
   def run(spark: SparkSession, landingDir: String, yy: Int = 25, q: Int = 1,

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   * All are single groupBy-agg shuffles with top-k sinks
   * (`TakeOrderedAndProject`); partial aggregation keeps the shuffle
   * proportional to group cardinality, not fact rows.
+  *
+  * Every top-k sort carries the group key as a tie-breaker: the reference
+  * leaves tie order unspecified (nondeterministic under Spark), which makes
+  * the SELECTED SET at the limit boundary change run to run — unacceptable
+  * for a hash-gated report and for regression-diffing 100 TB runs.
   */
 object FactAnalytics {
 
@@ -22,7 +27,7 @@ object FactAnalytics {
         avg(col("clinical_risk_score")).as("avg_risk_score"),
         sum(col("is_life_threatening_reaction").cast("int")).as("life_threatening_count"),
         sum(col("is_fatal_outcome").cast("int")).as("fatal_count"))
-      .orderBy(desc("total_events"))
+      .orderBy(desc("total_events"), col("drug_name"))
       .limit(limit)
 
   /** fact_analytics.py:65-75. */
@@ -33,7 +38,7 @@ object FactAnalytics {
         avg(col("clinical_risk_score")).as("avg_risk_score"),
         max(col("clinical_risk_score")).as("max_risk_score"))
       .filter(col("total_events") >= minEvents)
-      .orderBy(desc("avg_risk_score"))
+      .orderBy(desc("avg_risk_score"), col("drug_name"))
       .limit(limit)
 
   /** fact_analytics.py:84-96. */
@@ -44,7 +49,7 @@ object FactAnalytics {
         countDistinct(col("drug_name")).as("drugs_associated"),
         avg(col("reaction_severity_score")).as("avg_severity"),
         sum(col("is_life_threatening_reaction").cast("int")).as("life_threatening_cases"))
-      .orderBy(desc("total_occurrences"))
+      .orderBy(desc("total_occurrences"), col("reaction_preferred_term"), col("reaction_category"))
       .limit(limit)
 
   /** fact_analytics.py:105-115. */
@@ -56,7 +61,7 @@ object FactAnalytics {
         avg(col("clinical_risk_score")).as("avg_risk_score"),
         avg(col("patient_age")).as("avg_age"),
         sum(col("is_fatal_outcome").cast("int")).as("fatal_outcomes"))
-      .orderBy(desc("total_events"))
+      .orderBy(desc("total_events"), col("patient_age_group"))
 
   /** fact_analytics.py:121-129. */
   def genderAnalysis(fact: DataFrame): DataFrame =
@@ -67,6 +72,7 @@ object FactAnalytics {
         avg(col("clinical_risk_score")).as("avg_risk_score"),
         sum(col("is_life_threatening_reaction").cast("int")).as("life_threatening_count"),
         sum(col("is_fatal_outcome").cast("int")).as("fatal_count"))
+      .orderBy(col("is_female_patient"))
 
   /** fact_analytics.py:137-145. */
   def reportingAnalysis(fact: DataFrame): DataFrame =
@@ -75,18 +81,22 @@ object FactAnalytics {
         count(lit(1)).as("total_events"),
         avg(col("reporter_reliability_score")).as("avg_reliability"),
         avg(col("clinical_risk_score")).as("avg_risk_score"))
-      .orderBy(desc("total_events"))
+      .orderBy(desc("total_events"), col("is_healthcare_professional_report"),
+        col("regulatory_priority"))
 
   /** fact_analytics.py:153-159 — percentage-of-total with a pre-computed
-    * driver scalar (the reference's two-query pattern).
+    * driver scalar (the reference's two-query pattern). Rounding is the
+    * repo-wide arithmetic half-up ([[graft.queries.Num.roundAt]]) rather
+    * than builtin `round`: percentages are rational-valued and land on
+    * exact .5 boundaries, where engine builtins disagree.
     */
   def dataQualityMetrics(fact: DataFrame): DataFrame = {
     val totalEvents = fact.count()
     fact.groupBy("data_quality_tier")
       .agg(
         count(lit(1)).as("record_count"),
-        round(count(lit(1)) * 100.0 / totalEvents, 2).as("percentage"))
-      .orderBy(desc("record_count"))
+        graft.queries.Num.roundAt(2)(count(lit(1)) * 100.0 / totalEvents).as("percentage"))
+      .orderBy(desc("record_count"), col("data_quality_tier"))
   }
 
   /** fact_analytics.py:166-172. */
@@ -98,6 +108,7 @@ object FactAnalytics {
         sum(col("has_indication_data").cast("int")).as("has_indication"),
         sum(col("has_therapy_duration").cast("int")).as("has_duration"),
         sum(col("has_outcome_data").cast("int")).as("has_outcome"))
+      .orderBy(col("case_complexity"))
 
   /** fact_analytics.py:180-190. */
   def temporalTrends(fact: DataFrame): DataFrame =
@@ -122,4 +133,21 @@ object FactAnalytics {
       sum(col("is_pediatric_case").cast("int")).as("pediatric"),
       sum(col("is_elderly_case").cast("int")).as("elderly"),
       sum(col("is_healthcare_professional_report").cast("int")).as("hcp_reports"))
+
+  /** All 10 reports keyed by the reference's section names — the
+    * `generate_adverse_events_analytics` driver surface
+    * (fact_analytics.py:19-255) minus the `show()` side effects: callers
+    * (pipeline runner, tests, notebooks) decide how to materialize.
+    */
+  def all(fact: DataFrame): Seq[(String, DataFrame)] = Seq(
+    "top_drugs" -> topDrugsByEvents(fact),
+    "high_risk_drugs" -> highRiskDrugs(fact),
+    "reaction_patterns" -> reactionPatterns(fact),
+    "age_demographics" -> ageDemographics(fact),
+    "gender_analysis" -> genderAnalysis(fact),
+    "reporting_analysis" -> reportingAnalysis(fact),
+    "data_quality" -> dataQualityMetrics(fact),
+    "complexity" -> complexityAnalysis(fact),
+    "temporal_trends" -> temporalTrends(fact),
+    "summary_insights" -> summaryInsights(fact))
 }
