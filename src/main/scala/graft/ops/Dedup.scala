@@ -96,7 +96,7 @@ object Dedup {
     // signature pipeline, and no optimizer rule can push inferred
     // null-checks below this point and duplicate the hash expressions.
     // (At warehouse scale this is "write the signature table, then join".)
-    val sigsOnly = sigDf.select(col(idCol), col("sigs")).localCheckpoint()
+    val sigsOnly = sigDf.select(col(idCol), col("sigs")).transform(graft.core.Checkpoint.apply)
     val exploded = sigsOnly
       .select(col(idCol), col("sigs"), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("sigs"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -175,7 +175,7 @@ object Dedup {
     }
     val withSim = df.withColumn("simhash", simCol)
       .select((idCol +: "simhash" +: blockCols).map(col): _*)
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     val a = withSim.alias("a")
     val b = withSim.alias("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -203,7 +203,7 @@ object Dedup {
       (col(idCol) +: blockCols.map(col)) :+
         array_distinct(
           call_function("graft_shingles", col(textCol), lit(shingleN))).as("sh"): _*)
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     val exploded = base.select(
       (col(idCol) +: blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
     val sizes = base.select(col(idCol), size(col("sh")).as("n_sh"))
@@ -243,10 +243,10 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -261,7 +261,7 @@ object Dedup {
         .join(labels, "node")
         .select(col("node"), least(col("label"), col("nbr_min")).as("new_label"),
           col("label"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoint.apply)
       converged = next.filter(col("new_label") =!= col("label")).isEmpty
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
@@ -294,7 +294,7 @@ object Dedup {
         array_distinct(
           call_function("graft_shingles", col(textCol), lit(shingleN))).as("sh"): _*)
       .withColumn("n_sh", size(col("sh")))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     val exploded = base.select(
       (col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+ explode(col("sh")).as("s"): _*)
     // rarity within the block = rarity among possible partners

@@ -48,18 +48,24 @@ object Similarity {
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))"
 
-  /** Sign-bit bucket from the first `bits` dimensions — axis-aligned
-    * random-hyperplane LSH (deterministic, no stored hyperplanes).
+  /** Sign-bit bucket from `bits` dimensions starting at 0-based `startDim`
+    * — axis-aligned random-hyperplane LSH (deterministic, no stored
+    * hyperplanes). Distinct `startDim`s give the independent bands of an
+    * OR-construction.
     */
-  def signBucket(vec: Column, bits: Int): Column =
+  def signBucketAt(vec: Column, startDim: Int, bits: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(vec, i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(element_at(vec, startDim + i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def signBucketSql(vec: String, bits: Int): String =
+  def signBucket(vec: Column, bits: Int): Column = signBucketAt(vec, 0, bits)
+
+  def signBucketAtSql(vec: String, startDim: Int, bits: Int): String =
     (0 until bits)
-      .map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .map(i => s"(CASE WHEN $vec[${startDim + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  def signBucketSql(vec: String, bits: Int): String = signBucketAtSql(vec, 0, bits)
 
   /** Adds `v` (double vector) and `nrm` columns. */
   def withNorm(df: DataFrame, vecCol: String): DataFrame =
@@ -159,7 +165,7 @@ object Similarity {
         .select(col(s"${role}_id"), col(s"${role}v"), col(s"${role}n"),
           col("cent_id").as("cluster_id"))
     }
-    val corpusAssigned = assign(corpus, "nbr", 1).localCheckpoint()
+    val corpusAssigned = assign(corpus, "nbr", 1).transform(graft.core.Checkpoint.apply)
     val queriesAssigned = assign(queries, "query", nProbe)
     val scored = corpusAssigned.join(broadcast(queriesAssigned), Seq("cluster_id"))
       .filter(col("query_id") =!= col("nbr_id"))
@@ -188,13 +194,13 @@ object Similarity {
                       k: Int, iters: Int = 3): DataFrame = {
     val base = withNorm(df, vecCol)
       .select(col(idCol).as("row_id"), col("v"), col("nrm"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     var cents = base
       .withColumn("h", xxhash64(col("row_id")))
       .orderBy(col("h").asc, col("row_id").asc).limit(k)
       .select(monotonically_increasing_id().as("cent_id"),
         col("v").as("centv"), col("nrm").as("centn"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("row_id"))
         .orderBy(col("cent_cos").desc, col("cent_id").asc)
@@ -215,7 +221,7 @@ object Similarity {
       // empty clusters (no assigned vectors this round) keep their previous
       // centroid instead of silently vanishing — callers get exactly k back
       val kept = cents.join(recomputed.select("cent_id"), Seq("cent_id"), "left_anti")
-      cents = recomputed.unionByName(kept).localCheckpoint()
+      cents = recomputed.unionByName(kept).transform(graft.core.Checkpoint.apply)
     }
     cents.select(col("cent_id"), col("centv").as("centroid"))
   }
@@ -238,7 +244,12 @@ object Similarity {
       .first.getDouble(0)
   }
 
-  /** Embedding near-duplicate pairs within blocks at cosine ≥ `minCos`. */
+  /** Embedding near-duplicate pairs within blocks at cosine ≥ `minCos` —
+    * NAIVE all-pairs-within-block form. Block-quadratic: a 10⁷-row block
+    * is 10¹⁴ candidate pairs, so this is the small-block/spec-reference
+    * formulation only; the production path is [[embeddingNearDupsLsh]]
+    * (SimilaritySpec asserts the two agree on the gate corpus).
+    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCols: Seq[String], minCos: Double,
                         roundTo: Int = 6): DataFrame = {
@@ -253,6 +264,52 @@ object Similarity {
         round(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), roundTo))
       .filter(col("cos_sim") >= minCos)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos_sim"))
+  }
+
+  /** Scale-safe embedding near-dup: banded sign-LSH candidate generation +
+    * exact cosine verification (the candidate-verify pattern of the MinHash
+    * path, applied to dense vectors).
+    *
+    * Candidates = pairs sharing ≥ 1 of `bands` sign-bit band buckets (an
+    * OR-construction over disjoint dimension ranges; requires
+    * `bands·bandBits ≤ dim`). Each band shards a block into 2^bandBits
+    * buckets, so per-band candidate volume is ~block²/2^bandBits instead
+    * of block² — the equi-join on (band, bucket, block) shuffles by key and
+    * never materializes a block-cartesian. Verification recomputes the
+    * EXACT rounded cosine on candidates only, so precision is 1; recall is
+    * the standard LSH dial (a true pair is missed only if every band
+    * differs — for near-identical vectors, localized perturbations leave
+    * untouched bands colliding, which is exactly the near-dup regime).
+    */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+                           blockCols: Seq[String], minCos: Double,
+                           bandBits: Int = 8, bands: Int = 4,
+                           roundTo: Int = 6): DataFrame = {
+    val base = withNorm(df, vecCol)
+      .select((col(idCol) +: col("v") +: col("nrm") +: blockCols.map(col)): _*)
+    // all band buckets in ONE projection over the scan (no per-band rescan)
+    val buckets = array((0 until bands).map(b =>
+      signBucketAt(col("v"), b * bandBits, bandBits)): _*)
+    val banded = base.select(
+      (col(idCol) +: blockCols.map(col) :+ posexplode(buckets).as(Seq("band", "bucket"))): _*)
+    val ca = banded.alias("ca")
+    val cb = banded.alias("cb")
+    val cond = blockCols.map(c => col(s"ca.$c") === col(s"cb.$c"))
+      .foldLeft(col("ca.band") === col("cb.band") &&
+        col("ca.bucket") === col("cb.bucket") &&
+        col(s"ca.$idCol") < col(s"cb.$idCol"))(_ && _)
+    // distinct BEFORE fetching vectors: multi-band collisions dedup on
+    // (id, id) longs, not on 64-double payloads
+    val cand = ca.join(cb, cond)
+      .select(col(s"ca.$idCol").as("id_a"), col(s"cb.$idCol").as("id_b"))
+      .distinct()
+    val va = base.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = base.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos_sim",
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), roundTo))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
   /** Product-quantization ANN (Jégou et al., PAMI'11): split each vector
@@ -284,7 +341,7 @@ object Similarity {
         .select(col(idAs), posexplode(array(
           (0 until m).map(i => slice(col("_v"), i * dsub + 1, dsub)): _*))
           .as(Seq("m", vAs)))
-    val cb = subs(codebookSrc, "cent_id", "cv").localCheckpoint()
+    val cb = subs(codebookSrc, "cent_id", "cv").transform(graft.core.Checkpoint.apply)
     val d2 = round(dot(col("xv"), col("xv")) - lit(2.0) * dot(col("xv"), col("cv"))
       + dot(col("cv"), col("cv")), roundTo)
     val byDist = Window.partitionBy(col("vec_id"), col("m"))

@@ -45,11 +45,11 @@ object BehaviorOps {
     // (uncached, stage 1 would execute three times)
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))

@@ -170,6 +170,14 @@ object DedupOps {
 
   /** Embedding-cosine near-dup pairs: embeddings ∪ perturbed copies
     * (+0.5 on dim 1) of vec_id % 9 == 0, blocked by label, cosine ≥ 0.8.
+    *
+    * Routed through the banded-LSH candidate path
+    * ([[Similarity.embeddingNearDupsLsh]]) — candidate generation by
+    * (band, bucket) equi-join + exact cosine verify — NOT the
+    * block-quadratic all-pairs form, which at a 10⁷-row block would be
+    * 10¹⁴ pairs. DedupSpec asserts the two forms agree on this corpus;
+    * PlanSpec asserts the plan joins on bucket keys, not a block
+    * cartesian.
     */
   def dedupEmbedding: Q = (s, d) => {
     val base = Tables.embeddings(s, d)
@@ -177,8 +185,9 @@ object DedupOps {
     val perturbed = base.filter(col("vec_id") % 9 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("label"),
         concat(array(element_at(col("v"), 1) + lit(0.5)), slice(col("v"), 2, 63)).as("v"))
-    Similarity.embeddingNearDups(base.unionByName(perturbed),
-        "vec_id", "v", blockCols = Seq("label"), minCos = 0.8)
+    Similarity.embeddingNearDupsLsh(base.unionByName(perturbed),
+        "vec_id", "v", blockCols = Seq("label"), minCos = 0.8,
+        bandBits = 8, bands = 4)
       .orderBy(col("id_a"), col("id_b"))
   }
 

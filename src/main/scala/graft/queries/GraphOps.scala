@@ -56,8 +56,8 @@ object GraphOps {
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
     // edge list materialized once; degrees are O(nodes) and reused each round
-    val e = edges.localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val e = edges.transform(graft.core.Checkpoint.apply)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).transform(graft.core.Checkpoint.apply)
     (e, deg)
   }
 
@@ -95,7 +95,7 @@ object GraphOps {
     var rank = initialRank(deg)
     var i = 0
     while (i < Iters) {
-      rank = iterate(e, deg, rank).localCheckpoint()
+      rank = iterate(e, deg, rank).transform(graft.core.Checkpoint.apply)
       i += 1
     }
     rank.select(render(col("node")).as("node"), col("r"))

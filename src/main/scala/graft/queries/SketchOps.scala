@@ -71,7 +71,7 @@ object SketchOps {
     // (same shared-input pattern as Dedup.ngramJaccardPairs)
     val toks = Tables.documents(s, d)
       .select(explode(TA.tokens(col("text"))).as("tok"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     val mask = (c: org.apache.spark.sql.Column) =>
       Hashing.md5Long(c).bitwiseAND(lit(Dedup.HashMask))
     val sk = toks.agg(Sketches.cms(mask(col("tok")), CmsDepth, CmsWidth).as("sk"))
@@ -128,7 +128,7 @@ object SketchOps {
     val cents = Num.cents(col("l_extendedprice"))
     // consumed twice (range scan, bucket counts) — materialize once
     val li = Tables.lineitem(s, d).select(col("l_returnflag"), cents.as("c"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     val r = li.agg(min(col("c")), max(col("c"))).first()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val span = hi - lo + 1

@@ -155,7 +155,7 @@ object TextOps {
     val toksDf = Tables.documents(s, d)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoint.apply)
     val st = toksDf.agg(
       sum(col("dl")).cast("double").as("s"),
       count(lit(1)).cast("double").as("n")).first()

@@ -111,6 +111,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup joins on LSH bucket keys, never a block cartesian") {
+    // the 100 TB guarantee for q_dedup_embedding: candidate generation is a
+    // (band, bucket, block) equi-join — a same-label cartesian (the naive
+    // form's plan) would be 10¹⁴ pairs on a 10⁷-row block
+    val plan = executed(graft.queries.DedupOps.dedupEmbedding(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "cartesian in plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+    // the candidate join's key set includes the bucket columns
+    assert(plan.contains("band") && plan.contains("bucket"), "no bucket keys in plan")
+  }
+
   test("histogram-quantile bucketing partially aggregates before its one exchange") {
     // the sketch's scale claim: ONE shuffle of ≤ groups×buckets rows; the
     // bucket counting must combine map-side

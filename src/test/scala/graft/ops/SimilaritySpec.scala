@@ -40,6 +40,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("banded-LSH near-dup path agrees with the naive all-pairs form") {
+    // real 64-dim embeddings + perturbed copies — the q_dedup_embedding shape
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"label", Similarity.asDouble($"embedding").as("v"))
+    val perturbed = emb.filter($"vec_id" % 9 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"label",
+        concat(array(element_at($"v", 1) + lit(0.5)), slice($"v", 2, 63)).as("v"))
+    val corpus = emb.unionByName(perturbed)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val naive = pairs(Similarity.embeddingNearDups(
+      corpus, "vec_id", "v", Seq("label"), minCos = 0.8))
+    val lsh = pairs(Similarity.embeddingNearDupsLsh(
+      corpus, "vec_id", "v", Seq("label"), minCos = 0.8, bandBits = 8, bands = 4))
+    assert(naive.nonEmpty)
+    // precision is exact by construction (candidates re-verified); recall
+    // is 100% here because perturbations touch dim 1 only — bands 2-4 match
+    assert(lsh == naive, s"lsh=${lsh.size} naive=${naive.size}")
+  }
+
   test("k-means keeps empty clusters' centroids — always returns exactly k") {
     // 3 distinct vectors but k=5: at least 2 clusters get no assignments
     val tiny = Seq(
