@@ -42,7 +42,9 @@ object SparkEntry {
       graft.queries.GraphOps.queries ++
       graft.queries.CorpusOps.queries ++
       graft.queries.BehaviorOps.queries ++
-      graft.queries.QualityOps.queries
+      graft.queries.QualityOps.queries ++
+      graft.queries.PrivacyOps.queries ++
+      graft.queries.LmOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -72,5 +74,7 @@ object SparkEntry {
       graft.queries.GraphOps.oracles ++
       graft.queries.CorpusOps.oracles ++
       graft.queries.BehaviorOps.oracles ++
-      graft.queries.QualityOps.oracles
+      graft.queries.QualityOps.oracles ++
+      graft.queries.PrivacyOps.oracles ++
+      graft.queries.LmOps.oracles
 }

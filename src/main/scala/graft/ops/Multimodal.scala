@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * pipelines: media travels as an opaque `binary` column plus typed
   * metadata; decode/feature-extract runs batched per partition.
   *
-  * The decode step is a clearly-marked STUB — no codec libraries exist in
-  * this environment — producing deterministic fake features from the bytes.
-  * Everything around it is the real distributed plumbing: schema, batch
-  * iteration, partition sizing, and a typed output contract, so swapping in
-  * an actual decoder (JNI/FFmpeg/ImageIO) is a one-function change.
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/JPEG/BMP/GIF/WBMP via `javax.imageio` — no external libraries):
+  * actual pixel dimensions and grayscale quadrant-mean features. Payloads
+  * ImageIO cannot read (audio, video, unknown) fall back to the
+  * clearly-marked deterministic STUB, so the batch contract covers every
+  * row; swapping in FFmpeg/JNI for those is a one-function change.
   *
   * Scale notes: binary payloads make rows wide — size
   * `spark.sql.files.maxPartitionBytes` so a partition of blobs fits executor
@@ -40,8 +41,9 @@ object Multimodal {
       .withColumn("header_hex", hex(substring(col(binCol), 1, 8)))
 
   /** STUB decode: deterministic pseudo-dimensions from the content hash.
-    * ??? in spirit — a real build replaces the body with an image decoder;
-    * the signature (bytes in, typed meta out) is the stable contract.
+    * The fallback for payloads `javax.imageio` has no codec for (audio,
+    * video, unknown formats — this container has no FFmpeg); the signature
+    * (bytes in, typed meta out) is the stable contract either way.
     */
   def decodeStub(mediaId: Long, bytes: Array[Byte]): Row = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -53,16 +55,57 @@ object Multimodal {
       width, height, features)
   }
 
+  /** REAL image decode via the JDK's bundled codecs (PNG/JPEG/BMP/GIF/WBMP):
+    * actual pixel dimensions plus 4 grayscale quadrant means scaled to
+    * [-1, 1] — a deterministic feature summary (integer pixel sums, no
+    * float accumulation order to drift). Returns None when no installed
+    * reader recognizes the bytes.
+    */
+  def decodeImage(mediaId: Long, bytes: Array[Byte]): Option[Row] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val sums = new Array[Long](4)
+      val counts = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          // integer luminance (ITU-R 601 weights scaled by 1000)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          sums(q) += lum; counts(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val features = Array.tabulate(4)(q =>
+        if (counts(q) == 0) 0f
+        else ((sums(q).toDouble / counts(q)) / 255.0 * 2.0 - 1.0).toFloat)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      Row(mediaId, bytes.length, md.map("%02x".format(_)).mkString, w, h, features)
+    }
+  }
+
   /** Batched decode over partitions: the real distributed shape for codec
     * work (one partition = one sequential batch, no per-row task overhead,
-    * decoder state reusable across a partition).
+    * decoder state reusable across a partition). Real ImageIO decode where
+    * a codec exists, [[decodeStub]] otherwise.
     */
   def decodeAll(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaMetaSchema)
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      rows.map { r => decodeStub(r.getLong(idIdx), r.getAs[Array[Byte]](binIdx)) }
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        decodeImage(id, bytes).getOrElse(decodeStub(id, bytes))
+      }
     }(enc)
   }
 

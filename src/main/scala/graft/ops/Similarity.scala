@@ -191,7 +191,9 @@ object Similarity {
     * the IVF QUERY path stays oracle-gated with fixed centroids.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 3): DataFrame = {
+                      k: Int, iters: Int = 3,
+                      metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
     val base = withNorm(df, vecCol)
       .select(col(idCol).as("row_id"), col("v"), col("nrm"))
       .transform(graft.core.Checkpoint.apply)
@@ -201,12 +203,18 @@ object Similarity {
       .select(monotonically_increasing_id().as("cent_id"),
         col("v").as("centv"), col("nrm").as("centn"))
       .transform(graft.core.Checkpoint.apply)
+    // nearest = max cosine, or min L2 (||x||² − 2x·c + ||c||²). L2 is what
+    // PQ/ADC codebooks need — cosine training normalizes away the magnitude
+    // structure ADC distances depend on.
+    val score =
+      if (metric == "cosine") cosine(col("v"), col("centv"), col("nrm"), col("centn"))
+      else -(col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("centv"))
+        + col("centn") * col("centn"))
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("row_id"))
         .orderBy(col("cent_cos").desc, col("cent_id").asc)
       val assigned = base.join(broadcast(cents), lit(true))
-        .withColumn("cent_cos",
-          cosine(col("v"), col("centv"), col("nrm"), col("centn")))
+        .withColumn("cent_cos", score)
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") === 1)
         .select(col("cent_id"), col("v"))
@@ -331,17 +339,60 @@ object Similarity {
     * subspace order (conditional-max pivot), so results are bit-identical
     * across engines and parallelism.
     */
+  /** Per-subspace subvector rows: (id, m, subvector) for all `m` slices. */
+  private def pqSubs(df: DataFrame, idCol: String, vecCol: String,
+                     m: Int, dsub: Int, idAs: String, vAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("_v"))
+      .select(col(idAs), posexplode(array(
+        (0 until m).map(i => slice(col("_v"), i * dsub + 1, dsub)): _*))
+        .as(Seq("m", vAs)))
+
+  /** Train per-subspace PQ codebooks with [[kmeansCentroids]] (Lloyd's on
+    * each dimension slice) instead of sampling corpus rows — the training
+    * step of Jégou PQ. Returns (m, cent_id, cv) rows that slot into
+    * [[pqKnnWithCodebooks]]. m small jobs of iters·2 shuffles each; at
+    * 100 TB train on a sample — codebooks are distributions, not indexes.
+    *
+    * Same float caveat as k-means: trained codebooks are deterministic per
+    * session but not bit-portable across engines, so the TRAINED path is
+    * spec-gated (recall regression) while the oracle gate keeps fixed
+    * sample codebooks.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, dim: Int = 64, codebookK: Int = 16,
+                       iters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    (0 until m).map { i =>
+      val sub = corpus.select(col(idCol).as("row_id"),
+        slice(asDouble(col(vecCol)), i * dsub + 1, dsub).as("subv"))
+      kmeansCentroids(sub, "row_id", "subv", codebookK, iters, metric = "l2")
+        .select(lit(i).as("m"), col("cent_id"), col("centroid").as("cv"))
+    }.reduce(_ unionByName _)
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, codebookSrc: DataFrame,
             idCol: String, vecCol: String, k: Int,
             m: Int = 8, dim: Int = 64, roundTo: Int = 6): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    pqKnnWithCodebooks(corpus, queries,
+      pqSubs(codebookSrc, idCol, vecCol, m, dim / m, "cent_id", "cv"),
+      idCol, vecCol, k, m, dim, roundTo)
+  }
+
+  /** [[pqKnn]] body over prebuilt (m, cent_id, cv) subspace codebooks —
+    * shared by the fixed-sample (oracle) and [[pqTrainCodebooks]] paths.
+    */
+  def pqKnnWithCodebooks(corpus: DataFrame, queries: DataFrame,
+                         codebooks: DataFrame, idCol: String, vecCol: String,
+                         k: Int, m: Int = 8, dim: Int = 64,
+                         roundTo: Int = 6): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     def subs(df: DataFrame, idAs: String, vAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("_v"))
-        .select(col(idAs), posexplode(array(
-          (0 until m).map(i => slice(col("_v"), i * dsub + 1, dsub)): _*))
-          .as(Seq("m", vAs)))
-    val cb = subs(codebookSrc, "cent_id", "cv").transform(graft.core.Checkpoint.apply)
+      pqSubs(df, idCol, vecCol, m, dsub, idAs, vAs)
+    val cb = codebooks.select(col("m"), col("cent_id"), col("cv"))
+      .transform(graft.core.Checkpoint.apply)
     val d2 = round(dot(col("xv"), col("xv")) - lit(2.0) * dot(col("xv"), col("cv"))
       + dot(col("cv"), col("cv")), roundTo)
     val byDist = Window.partitionBy(col("vec_id"), col("m"))

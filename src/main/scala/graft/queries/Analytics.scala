@@ -198,32 +198,35 @@ object Analytics {
       .select(col("l_returnflag"), col("n"),
         // cross-products exceed Long range (n·Σy² ~ 4e20 at sf0.1), so the
         // exact long sums are cast to double FIRST; the products then round
-        // per IEEE-754, identically on both engines
-        round(
+        // per IEEE-754, identically on both engines. Presentation rounding
+        // is the repo-wide arithmetic half-up (Num.roundAt) — builtin
+        // round() disagrees across engines at exact .5 boundaries
+        Num.roundAt(6)(
           (col("n").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
             (sqrt(col("n").cast("double") * col("sxx").cast("double") -
               col("sx").cast("double") * col("sx").cast("double")) *
               sqrt(col("n").cast("double") * col("syy").cast("double") -
-                col("sy").cast("double") * col("sy").cast("double"))),
-          6).as("corr_qty_price"))
+                col("sy").cast("double") * col("sy").cast("double")))
+        ).as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
 
   val corrMomentsSql: String =
-    """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+    s"""WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
       |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
       |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
       |  FROM b GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |  ${Num.roundAtSql(6,
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
       |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
       |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
       |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""")} AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -44,14 +44,15 @@ object QualityOps {
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     val wide = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
-    val longForm = cols.map { c =>
-      wide.select(lit(c).as("column_name"),
-        col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
-        col(s"${c}__min").as("min_str"),
-        col(s"${c}__max").as("max_str"))
-    }.reduce(_.unionByName(_))
-    longForm.orderBy(col("column_name"))
+    // long form via stack() over the single wide row — a per-column
+    // union of selects would re-evaluate the aggregate once per column
+    // (6 scans of orders at 100 TB); stack is a generator over the one
+    // aggregated row, so the table is scanned exactly once
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_str, max_str)")
+      .orderBy(col("column_name"))
   }
 
   val dataProfileSql: String = {

@@ -10,14 +10,24 @@ package graft.queries
   * round-trip fidelity), and paying rotational/virtio IO to prove them
   * just adds noise to the bench. In production the same writes target
   * object storage; locally, RAM is the honest stand-in.
+  *
+  * `-Dgraft.scratch.dir=...` overrides the choice outright, and tmpfs is
+  * only auto-picked with ≥ 4 GiB free — tmpfs defaults to half of RAM, so
+  * a large-SF run could otherwise fill /dev/shm and die mid-write with no
+  * fallback.
   */
 object Scratch {
-  private val base: String = {
-    val shm = java.nio.file.Path.of("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      shm.toString
-    else sys.props.getOrElse("java.io.tmpdir", "/tmp")
-  }
+  private val base: String = sys.props.get("graft.scratch.dir")
+    .filter(_.nonEmpty)
+    .getOrElse {
+      val shm = java.nio.file.Path.of("/dev/shm")
+      val shmUsable = java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm) &&
+        (try shm.toFile.getUsableSpace >= 4L * 1024 * 1024 * 1024
+         catch { case _: Exception => false })
+      if (shmUsable) shm.toString
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    }
 
   def dir(name: String): String = {
     val p = java.nio.file.Path.of(base, s"graft_scratch_$name")

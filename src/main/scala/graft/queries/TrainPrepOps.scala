@@ -264,7 +264,7 @@ object TrainPrepOps {
       |  FROM counts),
       |rep AS (SELECT d.lang, f.n_before, f.factor, d.n_chars
       |  FROM documents d JOIN f USING (lang)
-      |  CROSS JOIN unnest(generate_series(1, 1000)) AS t(i)
+      |  CROSS JOIN unnest(generate_series(1, (SELECT max(factor) FROM f))) AS t(i)
       |  WHERE t.i <= f.factor)
       |SELECT lang, CAST(max(n_before) AS BIGINT) AS n_before,
       |  CAST(max(factor) AS BIGINT) AS factor,

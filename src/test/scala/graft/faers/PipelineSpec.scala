@@ -128,12 +128,22 @@ class PipelineSpec extends SparkSpec {
       .select($"clinical_risk_score".cast("double")).as[Double].head()
     assert(math.abs(risk - 7.2) < 1e-9)
 
-    // analytics layer returns data
+    // analytics layer: the full 10-report runner over the gold fact
+    // (each report is also hash-gated as q_faers_* over a synthetic fact)
     import graft.faers.gold.FactAnalytics
     assert(FactAnalytics.topDrugsByEvents(fact).count() == 3)
     assert(FactAnalytics.summaryInsights(fact).count() == 1)
     assert(FactAnalytics.temporalTrends(fact)
       .select("event_year").as[Int].collect().sameElements(Array(2024)))
+    val reports = Pipeline.runAnalytics(spark)
+    assert(reports.map(_._1).toSet.size == 10)
+    reports.foreach { case (name, df) =>
+      // high_risk_drugs filters total_events >= 10 — legitimately empty on
+      // this 9-row fixture; every other report must return rows
+      if (name != "high_risk_drugs")
+        assert(df.count() > 0, s"empty analytics report: $name")
+      else assert(df.columns.contains("avg_risk_score"))
+    }
   }
 
   test("second epoch: changed demographics close dim_patient versions") {

@@ -71,6 +71,17 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 9)
   }
 
+  test("pointer doubling: 1000-node path converges in O(log diameter) rounds") {
+    // plain min-label propagation needs ~999 rounds here; doubling halves
+    // the distance to the component min each round -> ~log2(1000)
+    val path = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (cc, rounds) = Dedup.ccWithRounds(path, "id_a", "id_b", maxIter = 50)
+    val labels = cc.as[(Long, Long)].collect()
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 1L), labels.filter(_._2 != 1L).take(5).toSeq)
+    assert(rounds <= 12, s"took $rounds rounds")
+  }
+
   test("prefix-filtered jaccard join returns exactly the naive join's pairs") {
     // real corpus slice so prefix pruning actually has frequency skew to use
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")

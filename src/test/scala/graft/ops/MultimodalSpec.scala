@@ -36,6 +36,31 @@ class MultimodalSpec extends SparkSpec {
     assert(again.head == r)
   }
 
+  test("decodeAll decodes a real PNG: true dimensions + quadrant features") {
+    // 8x4 PNG: left half black, right half white -> quadrant luminance
+    // means are exactly {-1, +1, -1, +1} after [-1,1] scaling
+    val im = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      im.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val png = bos.toByteArray
+
+    val df = Seq((42L, png)).toDF("media_id", "blob")
+    val r = Multimodal.decodeAll(df, "media_id", "blob").collect().head
+    assert(r.getInt(3) == 8 && r.getInt(4) == 4, s"dims ${r.getInt(3)}x${r.getInt(4)}")
+    assert(r.getInt(1) == png.length)
+    val f = r.getSeq[Float](5)
+    assert(f(0) == -1f && f(1) == 1f && f(2) == -1f && f(3) == 1f, f)
+
+    // non-image bytes fall back to the stub, same schema
+    val mixed = media.select($"media_id", $"blob")
+      .unionByName(df)
+    val rows = Multimodal.decodeAll(mixed, "media_id", "blob").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getSeq[Float](5).length == 4))
+  }
+
   test("framePositions: stride sampling capped at maxFrames") {
     val out = media.select(
         size(Multimodal.framePositions(lit(200), 64, 8)).as("n"))

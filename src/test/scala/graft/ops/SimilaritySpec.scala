@@ -137,4 +137,24 @@ class SimilaritySpec extends SparkSpec {
       f"IVF recall nProbe=1: $ivfRecall%.3f, nProbe=2: $ivf2Recall%.3f, " +
       f"PQ by codebook-mod: $pqRecallAt over ${truth.size} pairs")
   }
+
+  test("trained PQ codebooks beat sampled-row codebooks on recall") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" % 37 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 5))
+    val sampled = pairs(Similarity.pqKnn(emb, queries,
+      emb.filter($"vec_id" % 11 === 3), "vec_id", "embedding", k = 5))
+    val trained = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, dim = 64, codebookK = 16, iters = 3)
+    val trainedPairs = pairs(Similarity.pqKnnWithCodebooks(
+      emb, queries, trained, "vec_id", "embedding", k = 5))
+    val rSampled = (truth & sampled).size.toDouble / truth.size
+    val rTrained = (truth & trainedPairs).size.toDouble / truth.size
+    info(f"PQ recall sampled=$rSampled%.3f trained=$rTrained%.3f over ${truth.size} pairs")
+    // Lloyd's-fit codebooks quantize subspaces with lower distortion than
+    // ~4 arbitrary corpus rows -> recall must improve
+    assert(rTrained > rSampled, f"trained $rTrained%.3f <= sampled $rSampled%.3f")
+  }
 }

@@ -102,13 +102,13 @@ class QueryShapeSpec extends SparkSpec {
   }
 
   test("data profile is one pass: a single aggregate scan feeds every column's stats") {
-    // the wide agg row scans orders ONCE; the long-form union must not
-    // multiply the scan (one FileScan of orders per profile, not per column)
+    // the wide agg row scans orders ONCE; the stack() unpivot is a
+    // generator over that one aggregated row — exactly one scan of orders
+    // in the whole profile plan (the old union-of-selects form evaluated
+    // the aggregate once per column: 6 scans at 100 TB)
     val plan = QualityOps.dataProfile(spark, sf).queryExecution.optimizedPlan.toString
     val scans = plan.linesIterator.count(_.contains("Relation"))
-    // 6 profiled columns -> 6 union branches over the SAME 1-row aggregate;
-    // Spark reuses the agg subtree, so at most one scan per branch appears
-    assert(scans <= 6, s"profile re-scans orders per column:\n$plan")
+    assert(scans == 1, s"profile re-scans orders per column:\n$plan")
   }
 
   test("funnel stage chain reuses the user_id partitioning between stages") {
