@@ -18,8 +18,15 @@ object Bench {
     // codegen cache, parquet footers), and the min also discards whatever
     // GC / catalog-cache churn a previous query leaves behind (observed 3x
     // inflation on the first alphabetical query in single-pass timing).
+    // SPARK_GRAFT_ONLY=q_a,q_b: time a subset for fast local iteration
+    // (the driver never sets it; also skips the pipeline bench)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     def timedPass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink materializes every row (count() would let Catalyst prune
         // the whole projection and under-measure scan+compute cost).
@@ -34,11 +41,16 @@ object Bench {
     // a deterministic ~100k-case synthetic quarter (~300k fact rows).
     // Timed once (write-path heavy; min-of-2 would just measure the page
     // cache), generation excluded from the timing.
-    val pipelineSec = try {
+    val pipelineSec = if (only.isDefined) -1.0 else try {
       val landing = graft.queries.Scratch.dir("bench_faers_landing")
       graft.faers.SyntheticQuarter.write(landing, nCases = 100000)
-      Seq("bronze", "silver", "gold").foreach(db =>
-        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
+      Seq("bronze", "silver", "gold").foreach { db =>
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        // a fresh JVM's catalog doesn't know the previous run's tables —
+        // clear their lingering warehouse dirs too
+        graft.queries.Scratch.wipe(
+          graft.queries.Scratch.dir("bench_warehouse") + s"/$db.db")
+      }
       val t0 = System.nanoTime()
       graft.faers.Pipeline.run(spark, landing,
         fixedClock = Some(java.time.Instant.parse("2025-01-15T00:00:00Z")),
@@ -47,8 +59,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pipeline_faers failed: ${e.getMessage}"); -1.0
     }
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) } +
-      ("pipeline_faers" -> pipelineSec)
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) } ++
+      (if (only.isDefined) Map.empty else Map("pipeline_faers" -> pipelineSec))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler for the `pipeline_faers` bench entry: per-stage wall times
+  * (bronze / silver / gold) over the synthetic quarter, to direct
+  * optimization at the dominant stage instead of guessing.
+  * Run: `tools/run.sh graft.BenchPipeline [nCases]`.
+  */
+object BenchPipeline {
+  def main(args: Array[String]): Unit = {
+    val nCases = args.headOption.map(_.toInt).getOrElse(100000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.queries.Scratch.dir("bench_warehouse"))
+      .getOrCreate()
+    graft.core.Session.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val landing = graft.queries.Scratch.dir("bench_faers_landing")
+    graft.faers.SyntheticQuarter.write(landing, nCases)
+    Seq("bronze", "silver", "gold").foreach { db =>
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      graft.queries.Scratch.wipe(
+        graft.queries.Scratch.dir("bench_warehouse") + s"/$db.db")
+    }
+    val clock = Some(java.time.Instant.parse("2025-01-15T00:00:00Z"))
+    val scd = graft.core.ScdClock.fixed("2025-01-15")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stage] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    graft.faers.Pipeline.initDatabases(spark)
+    timed("bronze")(graft.faers.Pipeline.runBronze(spark, landing, 25, 1, clock))
+    timed("silver")(graft.faers.Pipeline.runSilver(spark, clock))
+    timed("gold")(graft.faers.Pipeline.runGold(spark, scd, Some(scd.today)))
+    spark.stop()
+  }
+}

@@ -102,6 +102,11 @@ object Maintenance {
     if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(_._2).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // already-compact layout: rewriting can't reduce the file count, so
+    // OPTIMIZE is a no-op (Delta's bin-packing skip). Clustering requests
+    // always rewrite — they prescribe an ORDER, not just a size.
+    if (clusterBy.isEmpty && zorderBy.isEmpty && before.size <= nFiles)
+      return (before.size, before.size)
     val df = spark.read.parquet(dir)
     val arranged: DataFrame = zorderBy match {
       case Some((xc, yc)) =>
@@ -149,5 +154,27 @@ object Maintenance {
     fs.delete(tmp, true)
     fs.delete(marker, false)
     (before.size, dataFiles(spark, dir).size)
+  }
+
+  /** OPTIMIZE for a hive-partitioned table directory: compact every leaf
+    * partition independently (Delta's OPTIMIZE does exactly this — bins
+    * never span partitions). Leaves are found by walking `key=value`
+    * subdirectories; each leaf gets the same crash-safe staged rewrite,
+    * so an interruption affects at most one partition. Partitions
+    * parallelize trivially on a cluster; sequential here.
+    * Returns (filesBefore, filesAfter) summed over leaves.
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = fsOf(spark, dir)
+    def leaves(p: Path): Seq[Path] = {
+      val subdirs = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(s => leaves(s.getPath))
+    }
+    if (!fs.exists(new Path(dir))) return (0, 0)
+    leaves(new Path(dir))
+      .map(leaf => compact(spark, leaf.toString, targetBytes))
+      .foldLeft((0, 0)) { case ((b, a), (lb, la)) => (b + lb, a + la) }
   }
 }

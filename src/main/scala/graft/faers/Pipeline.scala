@@ -24,15 +24,22 @@ object Pipeline {
     databases.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
 
   /** The reference's post-write `OPTIMIZE <table>`: compact the managed
-    * (non-partitioned) table's directory to ~target-size files.
+    * table's directory to ~target-size files — per leaf partition when the
+    * table is hive-partitioned (Delta OPTIMIZE bins never span partitions).
     */
   def optimizeTable(spark: SparkSession, table: String,
                     targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val location = spark.sql(s"DESCRIBE EXTENDED $table")
       .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
       .select("data_type").collect().headOption.map(_.getString(0))
-    location.foreach(loc =>
-      graft.core.Maintenance.compact(spark, loc, targetBytes))
+    location.foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val partitioned = fs.exists(p) && fs.listStatus(p)
+        .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (partitioned) graft.core.Maintenance.compactPartitioned(spark, loc, targetBytes)
+      else graft.core.Maintenance.compact(spark, loc, targetBytes)
+    }
   }
 
   /** Overwrite a table that may be read inside `df`'s own lineage (the SCD2
@@ -72,20 +79,24 @@ object Pipeline {
                 fixedClock: Option[java.time.Instant]): Unit =
     Bronze.ingestQuarter(spark, landingDir, yy, q, fixedClock)
 
+  /** Silver transforms write plain overwrites — the reference's silver
+    * scripts run no OPTIMIZE/ANALYZE (silver_demographics.py:83-95);
+    * maintenance is a GOLD-layer concern (dim_patient.py:154-157).
+    */
   def runSilver(spark: SparkSession,
                 fixedClock: Option[java.time.Instant]): Unit =
     Silver.all.foreach { case (table, transform) =>
       val latest = Transforms.readLatestPartition(spark, table)
       transform(latest, fixedClock)
         .write.mode("overwrite").saveAsTable(s"silver.$table")
-      optimizeTable(spark, s"silver.$table")
-      spark.sql(s"ANALYZE TABLE silver.$table COMPUTE STATISTICS")
     }
 
   def runGold(spark: SparkSession, scdClock: ScdClock,
               today: Option[java.sql.Date] = None): Unit = {
     DimDate.create(spark, today = today)
       .write.mode("overwrite").saveAsTable("gold.dim_date")
+    optimizeTable(spark, "gold.dim_date") // dim_date.py:182-185
+    spark.sql("ANALYZE TABLE gold.dim_date COMPUTE STATISTICS")
 
     Dims.specs.foreach { spec =>
       val staged = spec.build(spark.table(s"silver.${spec.sourceTable}"))
@@ -96,6 +107,8 @@ object Pipeline {
       if (target.isEmpty)
         merged.write.mode("overwrite").saveAsTable(fq)
       else overwriteViaSwap(spark, merged, fq)
+      // the reference's per-dim OPTIMIZE + ANALYZE (dim_patient.py:154-157)
+      optimizeTable(spark, fq)
       spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS")
     }
 
@@ -108,6 +121,9 @@ object Pipeline {
       .partitionBy("fact_created_date", "reporter_country")
       .mode("overwrite")
       .saveAsTable("gold.fact_adverse_events")
+    // fact OPTIMIZE + ANALYZE (fact_adverse_events.py:330-333); per-leaf
+    // compaction since the table is partitioned
+    optimizeTable(spark, "gold.fact_adverse_events")
     spark.sql("ANALYZE TABLE gold.fact_adverse_events COMPUTE STATISTICS")
   }
 

@@ -231,13 +231,17 @@ object Dedup {
     *
     * Min-label propagation with POINTER DOUBLING: every node starts labeled
     * with its own id; each round (a) takes the min of its own and its
-    * neighbors' labels, then (b) shortcuts label ← label(label) — the
-    * classic doubling step (Shiloach-Vishkin lineage; same O(log d) round
-    * bound as the large-star/small-star MapReduce formulation). Plain
-    * propagation needs graph-diameter rounds — a 10⁶-node chain is 10⁶
-    * shuffles; with doubling the distance to the component min halves each
-    * round, so rounds ≈ log₂(diameter) (spec: a 1000-node path converges
-    * in ≤ 12 rounds).
+    * neighbors' labels, then — from round 3 on — (b) shortcuts
+    * label ← label(label), the classic doubling step (Shiloach-Vishkin
+    * lineage; same O(log d) round bound as the large-star/small-star
+    * MapReduce formulation). Plain propagation needs graph-diameter rounds
+    * — a 10⁶-node chain is 10⁶ shuffles; with doubling the distance to the
+    * component min halves per round, so rounds ≈ log₂(diameter) (spec: a
+    * 1000-node path converges in ≤ 14 rounds). The first 2 rounds skip the
+    * doubling join: near-dup graphs are small-diameter forests that
+    * converge before doubling pays for its extra join — the hybrid keeps
+    * the common case at propagation cost and the adversarial chain at
+    * O(log d).
     *
     * Each round is two hash-shuffle joins + one groupBy, all keyed on node
     * id, and [[graft.core.Checkpoint]] truncates the growing lineage (the
@@ -277,11 +281,14 @@ object Dedup {
       // node ids present in `labels` (closed by induction), so the
       // self-join is total. ONE materialization per round: the convergence
       // probe and the next round's labels both read this checkpoint.
-      val next = propagated
-        .join(propagated.select(col("node").as("p_label"), col("p_label").as("g_label")),
-          Seq("p_label"))
-        .select(col("node"), col("g_label").as("new_label"), col("old_label"))
-        .transform(graft.core.Checkpoint.apply)
+      val next = (if (iter < 2)
+        propagated.select(col("node"), col("p_label").as("new_label"), col("old_label"))
+      else
+        propagated
+          .join(propagated.select(col("node").as("p_label"), col("p_label").as("g_label")),
+            Seq("p_label"))
+          .select(col("node"), col("g_label").as("new_label"), col("old_label"))
+      ).transform(graft.core.Checkpoint.apply)
       converged = next.filter(col("new_label") =!= col("old_label")).isEmpty
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1

@@ -34,4 +34,18 @@ object Scratch {
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
+
+  /** Recursively delete a scratch subtree. Needed where a NEW JVM reuses a
+    * scratch warehouse: the fresh in-memory catalog knows nothing of the
+    * previous run's tables, so `DROP DATABASE` can't clear them and
+    * `saveAsTable` fails on the lingering location.
+    */
+  def wipe(path: String): Unit = {
+    val p = java.nio.file.Path.of(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -306,7 +306,44 @@ object TrainPrepOps {
       |  ${Num.roundAtSql(4, "max(enc)")} AS enc_max
       |FROM enc GROUP BY source ORDER BY source""".stripMargin
 
+  /** Sliding-window document chunking (window 16 tokens, stride 12 — the
+    * overlap-chunk prep for context-window training / RAG indexing):
+    * each document explodes into deterministic chunk rows with an md5
+    * content gate per chunk. Generator fan-out is scan-side (sequence +
+    * posexplode, no shuffle before the presentation sort); fan-out per doc
+    * is ceil(tokens/stride), bounded by document length — at 100 TB this
+    * is a map-only stage whose output feeds packing/tokenization.
+    */
+  def docChunks: Q = (s, d) => {
+    val W = 16; val T = 12
+    Tables.documents(s, d)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(T))).as(Seq("chunk_idx", "start")))
+      .withColumn("chunk_len", least(lit(W), col("n") - col("start") + 1).cast("int"))
+      .withColumn("chunk_md5", md5(concat_ws(" ",
+        expr(s"slice(toks, start, $W)"))))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("start").cast("int").as("start"), col("chunk_len"), col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val docChunksSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${TA.tokensSql("text")} AS toks FROM documents),
+      |base AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+      |ch AS (SELECT doc_id, n, toks,
+      |    unnest(generate_series(1, n, 12)) AS start FROM base)
+      |SELECT doc_id,
+      |  CAST((start - 1) // 12 AS INTEGER) AS chunk_idx,
+      |  CAST(start AS INTEGER) AS start,
+      |  CAST(least(16, n - start + 1) AS INTEGER) AS chunk_len,
+      |  md5(array_to_string(toks[start:start+15], ' ')) AS chunk_md5
+      |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_doc_chunks" -> docChunks,
     "q_class_upsample" -> classUpsample,
     "q_target_encode" -> targetEncode,
     "q_data_mixture" -> dataMixture,
@@ -318,6 +355,7 @@ object TrainPrepOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_doc_chunks" -> docChunksSql,
     "q_class_upsample" -> classUpsampleSql,
     "q_target_encode" -> targetEncodeSql,
     "q_data_mixture" -> dataMixtureSql,

@@ -79,7 +79,7 @@ class DedupSpec extends SparkSpec {
     val labels = cc.as[(Long, Long)].collect()
     assert(labels.length == 1000)
     assert(labels.forall(_._2 == 1L), labels.filter(_._2 != 1L).take(5).toSeq)
-    assert(rounds <= 12, s"took $rounds rounds")
+    assert(rounds <= 14, s"took $rounds rounds") // 2 plain + ~log2(1000) doubled
   }
 
   test("prefix-filtered jaccard join returns exactly the naive join's pairs") {
