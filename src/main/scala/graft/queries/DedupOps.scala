@@ -207,6 +207,57 @@ object DedupOps {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------- common substrings (winnowing join)
+
+  /** Cross-document repeated-substring detection — the winnowing-granular
+    * version of exact-substring dedup (Lee et al.'s "Deduplicating Training
+    * Data Makes Language Models Better" signal): documents sharing ≥ 3
+    * winnowing fingerprints (k=3-word shingles, window 4) share verbatim
+    * text regions, even when the documents as wholes are dissimilar.
+    *
+    * SCALE: fingerprints whose document frequency exceeds `maxDf` (corpus
+    * boilerplate — headers, license blocks) are dropped BEFORE the
+    * self-join, exactly the stop-fingerprint screen real pipelines use:
+    * the join blowup is Σ df², so capping df caps the quadratic term while
+    * genuinely-shared rare substrings always survive. One explode + one
+    * df-aggregation + one equi-join on the fingerprint value, all keyed
+    * shuffles.
+    */
+  def commonSubstrings: Q = (s, d) => {
+    val fp = TA.withWinnowFingerprintsNative(corpusNear(s, d, 7),
+        "text", k = 3, w = 4, out = "fps")
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+    val pruned = fp.join(rare.select(col("fp")), Seq("fp"))
+    val a = pruned.alias("a")
+    val b = pruned.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val commonSubstringsSql: String = {
+    val sh = TA.shinglesSql("toks", 3)
+    val h = Hashing.md5LongSql("s")
+    s"""WITH ${corpusNearSql(7)},
+      |tok AS (SELECT doc_id, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |hs AS (SELECT doc_id, list_transform($sh, s -> $h) AS hashes FROM tok),
+      |win AS (SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, greatest(len(hashes) - 3, 1)),
+      |   i -> list_min(hashes[i:i+3]))) AS fps FROM hs),
+      |fp AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+      |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+      |  WHERE df <= 20),
+      |pr AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------- clusters (transitive dedup)
 
   /** documents ∪ half-truncated copies (id+100000) ∪ quarter-truncated
@@ -282,6 +333,7 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "q_dup_clusters" -> dupClusters,
+    "q_common_substrings" -> commonSubstrings,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -291,6 +343,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q_dup_clusters" -> dupClustersSql,
+    "q_common_substrings" -> commonSubstringsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

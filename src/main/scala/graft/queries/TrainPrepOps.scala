@@ -154,6 +154,48 @@ object TrainPrepOps {
       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Temperature-resampled mixture weights (w_c ∝ n_c^0.7, the
+    * multilingual-pretraining rebalancing rule): per language, the natural
+    * token share, the temperature share, and the upweight factor a sampler
+    * would apply. Two tiny aggregations + two driver scalars (the
+    * pct-of-total shape) — group cardinality work only, never corpus-sized.
+    *
+    * Determinism: weights go through integer MICRO-units immediately after
+    * the one `pow` call (exact long sums, exact divisions), so shares are
+    * independent of aggregation order; shares round at 6dp on both engines.
+    */
+  def mixtureTemperature: Q = (s, d) => {
+    val counts = Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_tokens"))
+      .withColumn("wm",
+        round(pow(col("n_tokens").cast("double"), lit(0.7)) * 1000000).cast("long"))
+      .transform(graft.core.Checkpoint.apply)
+    val t = counts.agg(sum(col("n_tokens")), sum(col("wm"))).first()
+    val tot = t.getLong(0); val sw = t.getLong(1)
+    counts.select(col("lang"), col("n_docs"), col("n_tokens"),
+      Num.roundAt(6)(col("n_tokens").cast("double") / tot).as("p_natural"),
+      Num.roundAt(6)(col("wm").cast("double") / sw).as("p_temperature"),
+      Num.roundAt(6)((col("wm").cast("double") / sw) /
+        (col("n_tokens").cast("double") / tot)).as("upweight"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureTemperatureSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_docs, n_tokens,
+      |    CAST(round(power(CAST(n_tokens AS DOUBLE), 0.7) * 1000000) AS BIGINT) AS wm
+      |  FROM c),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+      |    CAST(sum(wm) AS BIGINT) AS sw FROM w)
+      |SELECT lang, n_docs, n_tokens,
+      |  ${Num.roundAtSql(6, "CAST(n_tokens AS DOUBLE) / tot")} AS p_natural,
+      |  ${Num.roundAtSql(6, "CAST(wm AS DOUBLE) / sw")} AS p_temperature,
+      |  ${Num.roundAtSql(6, "(CAST(wm AS DOUBLE) / sw) / (CAST(n_tokens AS DOUBLE) / tot)")} AS upweight
+      |FROM w CROSS JOIN t ORDER BY lang""".stripMargin
+
   /** Per-language z-score outlier screen on document length — the
     * statistical quality gate that catches boilerplate floods and
     * truncated scraps a fixed threshold misses.
@@ -344,6 +386,7 @@ object TrainPrepOps {
 
   val queries: Map[String, Q] = Map(
     "q_doc_chunks" -> docChunks,
+    "q_mixture_temperature" -> mixtureTemperature,
     "q_class_upsample" -> classUpsample,
     "q_target_encode" -> targetEncode,
     "q_data_mixture" -> dataMixture,
@@ -356,6 +399,7 @@ object TrainPrepOps {
 
   val oracles: Map[String, String] = Map(
     "q_doc_chunks" -> docChunksSql,
+    "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_class_upsample" -> classUpsampleSql,
     "q_target_encode" -> targetEncodeSql,
     "q_data_mixture" -> dataMixtureSql,
