@@ -218,17 +218,20 @@ object DedupOps {
     * SCALE: fingerprints whose document frequency exceeds `maxDf` (corpus
     * boilerplate — headers, license blocks) are dropped BEFORE the
     * self-join, exactly the stop-fingerprint screen real pipelines use:
-    * the join blowup is Σ df², so capping df caps the quadratic term while
-    * genuinely-shared rare substrings always survive. One explode + one
-    * df-aggregation + one equi-join on the fingerprint value, all keyed
-    * shuffles.
+    * the join blowup is Σ df², so capping df (≤ 10) caps the quadratic
+    * term while genuinely-shared rare substrings always survive. One
+    * explode + one df-aggregation + one equi-join on the fingerprint
+    * value, all keyed shuffles.
     */
   def commonSubstrings: Q = (s, d) => {
+    // materialized once: the fingerprint stream feeds the df table AND both
+    // join sides — without the checkpoint the winnowing recomputes 4x
     val fp = TA.withWinnowFingerprintsNative(corpusNear(s, d, 7),
         "text", k = 3, w = 4, out = "fps")
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .transform(graft.core.Checkpoint.apply)
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20)
+      .filter(col("df") <= 10)
     val pruned = fp.join(rare.select(col("fp")), Seq("fp"))
     val a = pruned.alias("a")
     val b = pruned.alias("b")
@@ -250,7 +253,7 @@ object DedupOps {
       |   i -> list_min(hashes[i:i+3]))) AS fps FROM hs),
       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM win),
       |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
-      |  WHERE df <= 20),
+      |  WHERE df <= 10),
       |pr AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
       |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
