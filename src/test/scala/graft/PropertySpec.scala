@@ -146,4 +146,78 @@ class PropertySpec extends SparkSpec {
       .filter(not($"a" <=> $"b"))
     assert(mh.isEmpty, mh.take(5).mkString("; "))
   }
+
+  test("doc chunking: chunks tile every token with exact stride/overlap") {
+    // random token counts; chunk rows must (a) start at 1 + idx*stride,
+    // (b) cover every token index exactly once per window-start offset,
+    // (c) have full window length except possibly the tail chunks
+    val W = 16; val T = 12
+    val ns = Gen.listOfN(50, Gen.choose(1, 200)).sample.get
+    val df = ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "text").localCheckpoint()
+    val toks = TA.tokens($"text")
+    val chunks = df.select($"doc_id", size(toks).as("n"),
+        posexplode(sequence(lit(1), size(toks), lit(T))).as(Seq("idx", "start")))
+      .withColumn("len", least(lit(W), $"n" - $"start" + 1))
+      .as[(Long, Int, Int, Int, Int)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    ns.zipWithIndex.foreach { case (n, i) =>
+      val cs = byDoc(i.toLong).sortBy(_._3)
+      assert(cs.length == math.ceil(n.toDouble / T).toInt, s"doc $i chunk count")
+      cs.foreach { case (_, _, idx, start, len) =>
+        assert(start == 1 + idx * T)
+        assert(len == math.min(W, n - start + 1))
+      }
+      // tiling: union of [start, start+len) covers 1..n
+      val covered = cs.flatMap { case (_, _, _, start, len) => start until (start + len) }.toSet
+      assert(covered == (1 to n).toSet, s"doc $i coverage hole")
+    }
+  }
+
+  test("PII redaction removes every detected span; counts match Java regex") {
+    import graft.queries.PrivacyOps
+    val genPii = Gen.oneOf(
+      "reach me at bob.smith+x@corp.example.org now",
+      "call 212-555-0187 or 646.555.0100",
+      "ssn is 078-05-1120 ok",
+      "server 10.22.0.19 responded",
+      "no pii here at all",
+      "mixed a@b.co 1.2.3.4 999-11-2222")
+    val texts = Gen.listOfN(40, genPii).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = df.select($"doc_id", $"text",
+        regexp_count($"text", lit(PrivacyOps.EmailRe)).as("e"),
+        regexp_count($"text", lit(PrivacyOps.PhoneRe)).as("p"),
+        regexp_count($"text", lit(PrivacyOps.SsnRe)).as("s"),
+        regexp_count($"text", lit(PrivacyOps.IpRe)).as("ip"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace($"text",
+          PrivacyOps.EmailRe, "[EMAIL]"), PrivacyOps.SsnRe, "[SSN]"),
+          PrivacyOps.PhoneRe, "[PHONE]"), PrivacyOps.IpRe, "[IP]").as("red"))
+      .collect()
+    out.foreach { r =>
+      val (text, red) = (r.getString(1), r.getString(6))
+      // counts agree with plain Java regex on the same pattern
+      def jCount(re: String) = re.r.findAllMatchIn(text).length
+      assert(r.getInt(2) == jCount(PrivacyOps.EmailRe), s"email count: $text")
+      assert(r.getInt(3) == jCount(PrivacyOps.PhoneRe), s"phone count: $text")
+      assert(r.getInt(4) == jCount(PrivacyOps.SsnRe), s"ssn count: $text")
+      assert(r.getInt(5) == jCount(PrivacyOps.IpRe), s"ip count: $text")
+      // nothing PII-shaped survives redaction
+      Seq(PrivacyOps.EmailRe, PrivacyOps.SsnRe, PrivacyOps.PhoneRe, PrivacyOps.IpRe)
+        .foreach(re => assert(re.r.findFirstIn(red).isEmpty, s"survived: $red"))
+    }
+  }
+
+  test("temperature mixture: shares sum to 1 and compress the natural skew") {
+    val out = graft.queries.TrainPrepOps.mixtureTemperature(
+      spark, "/root/testdata/sf0.001").collect()
+    val pNat = out.map(_.getDouble(3))
+    val pTemp = out.map(_.getDouble(4))
+    assert(math.abs(pNat.sum - 1.0) < 1e-4, s"natural sums to ${pNat.sum}")
+    assert(math.abs(pTemp.sum - 1.0) < 1e-4, s"temperature sums to ${pTemp.sum}")
+    // temperature sampling compresses: max share shrinks, min share grows
+    assert(pTemp.max <= pNat.max + 1e-9)
+    assert(pTemp.min >= pNat.min - 1e-9)
+  }
 }
