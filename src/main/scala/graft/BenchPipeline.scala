@@ -38,6 +38,27 @@ object BenchPipeline {
     timed("bronze")(graft.faers.Pipeline.runBronze(spark, landing, 25, 1, clock))
     timed("silver")(graft.faers.Pipeline.runSilver(spark, clock))
     timed("gold")(graft.faers.Pipeline.runGold(spark, scd, Some(scd.today)))
+    // epoch 2: the reference's REAL quarterly pattern — a follow-up quarter
+    // whose re-reported cases carry changed tracked columns, so every SCD2
+    // merge closes versions against the existing dims instead of
+    // initial-loading. This is the write path a production quarter pays.
+    val landing2 = graft.queries.Scratch.dir("bench_faers_landing_q2")
+    graft.faers.SyntheticQuarter.write(landing2, nCases, yy = 25, q = 2, salt = 17)
+    val clock2 = Some(java.time.Instant.parse("2025-04-15T00:00:00Z"))
+    val scd2 = graft.core.ScdClock.fixed("2025-04-15")
+    timed("epoch2 (incremental quarter)") {
+      graft.faers.Pipeline.runBronze(spark, landing2, 25, 2, clock2)
+      graft.faers.Pipeline.runSilver(spark, clock2)
+      graft.faers.Pipeline.runGold(spark, scd2, Some(scd2.today))
+    }
+    val versions = spark.table("gold.dim_patient")
+      .groupBy().agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("is_current"), 0).otherwise(1)))
+      .first()
+    println(s"[stage] dim_patient rows=${versions.getLong(0)} closed=${versions.getLong(1)}")
     spark.stop()
   }
 }

@@ -35,7 +35,13 @@ object SyntheticQuarter {
 
   private val countries = Vector("US", "DE", "FR", "JP", "GB", "CA")
 
-  def write(dir: String, nCases: Int, yy: Int = 25, q: Int = 1): Unit = {
+  /** `salt` perturbs a slice of attributes (weights, one drug per case)
+    * so a later quarter re-reports some cases with CHANGED values — the
+    * input that makes SCD2 merges close versions instead of no-oping.
+    * salt=0 reproduces the original quarter exactly.
+    */
+  def write(dir: String, nCases: Int, yy: Int = 25, q: Int = 1,
+            salt: Int = 0): Unit = {
     val d = Path.of(dir)
     Files.createDirectories(d)
     def writer(prefix: String, header: String): java.io.PrintWriter = {
@@ -64,7 +70,11 @@ object SyntheticQuarter {
                       else f"2024$month%02d$day%02d"
         val age = if (i % 17 == 0) "" else (i % 95).toString
         val sex = (i % 3) match { case 0 => "F"; case 1 => "M"; case _ => "" }
-        val wt = if (i % 7 == 0) "" else (50 + i % 80).toString
+        // with salt != 0, every 5th case reports a changed weight (the
+        // SCD2 tracked-column delta a follow-up quarter carries)
+        val wt = if (i % 7 == 0) ""
+          else if (salt != 0 && i % 5 == 0) (50 + (i + salt) % 80).toString
+          else (50 + i % 80).toString
         val cc = countries(i % countries.size)
         demo.println(
           s"$pid$$$pid$$1$$I$$$eventDt$$$$2024${"%02d".format(month)}15$$2024${"%02d".format(month)}20$$" +

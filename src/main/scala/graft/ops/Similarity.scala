@@ -249,7 +249,7 @@ object Similarity {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .agg(sum(lit(1.0) - col("cent_cos")))
-      .first.getDouble(0)
+      .first().getDouble(0)
   }
 
   /** Embedding near-duplicate pairs within blocks at cosine ≥ `minCos` —
