@@ -68,6 +68,76 @@ object QualityOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** The 100 TB profile: null counts stay exact (a cheap conditional sum)
+    * but distinct counts come from the mergeable KMV sketch
+    * ([[graft.functions.KmvAgg]], 256 hashes/column) instead of the exact
+    * Expand rewrite — the swap [[dataProfile]]'s docs promise at scale,
+    * here as its own hash-gated operator (the md5-based sketch is
+    * deterministic, so even the approximation is oracle-checked
+    * bit-for-bit). ONE aggregation pass; per-column state is k longs.
+    *
+    * Non-string columns are canonicalized before hashing (bigint as-is,
+    * money → integer cents, timestamp → yyyy-MM-dd) because double/
+    * timestamp-to-string rendering differs across engines; each map is
+    * injective on its domain, so distinct counts are unchanged.
+    */
+  def dataProfileApprox: Q = (s, d) => {
+    import graft.ops.{Hashing, Sketches}
+    val K = 256
+    val canon: Map[String, org.apache.spark.sql.Column] = Map(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> Num.cents(col("o_totalprice")),
+      "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val cols = canon.keys.toSeq.sorted
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
+        Sketches.kmv(Hashing.md5Long(canon(c)), K).as(s"${c}__kmv"))
+    }
+    val wide = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(lit(1).as("_one") +: cols.flatMap(c => Seq(
+        col(s"${c}__nulls"),
+        Sketches.kmvEstimate(col(s"${c}__kmv"), K).as(s"${c}__approx"))): _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__approx").mkString(", ")
+    wide.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_approx_distinct)")
+      .orderBy(col("column_name"))
+  }
+
+  val dataProfileApproxSql: String = {
+    import graft.ops.{Hashing, Sketches}
+    val K = 256
+    val canonSql = Map(
+      "o_orderkey" -> "o_orderkey",
+      "o_custkey" -> "o_custkey",
+      "o_orderstatus" -> "o_orderstatus",
+      "o_totalprice" -> "CAST(round(o_totalprice * 100) AS BIGINT)",
+      "o_orderdate" -> "strftime(o_orderdate, '%Y-%m-%d')",
+      "o_orderpriority" -> "o_orderpriority")
+    val blocks = canonSql.keys.toSeq.sorted.map { c =>
+      val h = Hashing.md5LongSql(canonSql(c))
+      s"""SELECT '$c' AS column_name,
+        |  (SELECT CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM orders) AS n_nulls,
+        |  (SELECT ${Sketchify.estimate(K)}
+        |   FROM (SELECT max(nd) AS nd, max(CASE WHEN rn = $K THEN h END) AS hk
+        |     FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+        |         count(*) OVER () AS nd
+        |       FROM (SELECT DISTINCT $h AS h FROM orders)))) AS n_approx_distinct"""
+        .stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  /** DuckDB estimator fragment shared by the per-column blocks. */
+  private object Sketchify {
+    def estimate(k: Int): String = graft.ops.Sketches.kmvEstimateSql("nd", "hk", k)
+  }
+
   /** Declarative constraint suite over the star schema, one row per named
     * check with its violation count and verdict:
     *  - `pk_unique`: o_orderkey has no duplicates
@@ -120,11 +190,13 @@ object QualityOps {
 
   val queries: Map[String, Q] = Map(
     "q_data_profile" -> dataProfile,
+    "q_data_profile_approx" -> dataProfileApprox,
     "q_dq_checks" -> dqChecks,
   )
 
   val oracles: Map[String, String] = Map(
     "q_data_profile" -> dataProfileSql,
+    "q_data_profile_approx" -> dataProfileApproxSql,
     "q_dq_checks" -> dqChecksSql,
   )
 }

@@ -82,6 +82,26 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 14, s"took $rounds rounds") // 2 plain + ~log2(1000) doubled
   }
 
+  test("common-substring pairs find planted truncated copies (recall >= 0.9)") {
+    // the q_common_substrings fixture plants doc+100000 as a truncated
+    // copy of every doc_id % 7 == 0; each pair shares a verbatim prefix.
+    // Recall is bounded by doc length (very short docs carry < 3 rare
+    // fingerprints) and by the df <= 10 boilerplate screen — measured
+    // 0.958 at sf0.01 on the deterministic corpus; assert the floor.
+    // (sf0.001's 50-doc corpus is too small for df <= 10 to be selective
+    // over its ~30-word vocabulary, so the spec pins the gate's SF.)
+    val out = graft.queries.DedupOps.commonSubstrings(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long)].collect()
+    val planted = out.filter { case (a, b, _) => b == a + 100000 }.map(_._1).toSet
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id").as[Long].collect()
+    val expected = docs.filter(_ % 7 == 0).toSet
+    val recall = (planted & expected).size.toDouble / expected.size
+    assert(recall >= 0.9, f"planted recall $recall%.3f")
+    // every reported pair really shares >= 3 fingerprints
+    assert(out.forall(_._3 >= 3))
+  }
+
   test("prefix-filtered jaccard join returns exactly the naive join's pairs") {
     // real corpus slice so prefix pruning actually has frequency skew to use
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
