@@ -224,6 +224,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs (Broder): |A∩B| / min(|A|,|B|) —
+    * the asymmetric overlap that catches EMBEDDED duplication (one
+    * document wholly inside another), where symmetric Jaccard stays low
+    * because the union is dominated by the larger document. The standard
+    * companion threshold to Jaccard in dedup pipelines; same join
+    * asymptotics as [[ngramJaccardPairs]] (one shingle equi-join + two
+    * size lookups), different denominator.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCols: Seq[String], shingleN: Int = 3,
+                            minContainment: Double = 0.8): DataFrame = {
+    val base = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        array_distinct(
+          call_function("graft_shingles", col(textCol), lit(shingleN))).as("sh"): _*)
+      .transform(graft.core.Checkpoint.apply)
+    val exploded = base.select(
+      (col(idCol) +: blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
+    val sizes = base.select(col(idCol), size(col("sh")).as("n_sh"))
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    val inter = a.join(b, blockCond)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("containment",
+        floor(col("n_inter").cast("double") / least(col("n_a"), col("n_b"))
+          * 10000 + 0.5) / 10000)
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C} even
     * when A~C alone misses the threshold), so each cluster keeps one

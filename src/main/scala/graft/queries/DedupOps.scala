@@ -207,6 +207,35 @@ object DedupOps {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // -------------------------------------------------- containment (Broder)
+
+  /** Asymmetric containment pairs at C ≥ 0.8: the truncated copies are
+    * SUBSETS of their originals (containment 1.0) even where Jaccard
+    * drops with the length gap — the embedded-duplication screen.
+    */
+  def dedupContainment: Q = (s, d) =>
+    Dedup.ngramContainmentPairs(corpusNear(s, d, 7), "doc_id", "text",
+        blockCols = Seq("lang"), shingleN = 3, minContainment = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupContainmentSql: String =
+    s"""WITH ${corpusNearSql(7)},
+      |tok AS (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |shs AS (SELECT doc_id, lang,
+      |    list_distinct(${TA.shinglesSql("toks", 3)}) AS sh FROM tok),
+      |sh AS (SELECT doc_id, lang, unnest(sh) AS s FROM shs),
+      |sz AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |c AS (SELECT id_a, id_b,
+      |    floor(CAST(n_inter AS DOUBLE) / least(na.n_sh, nb.n_sh) * 10000 + 0.5) / 10000 AS containment
+      |  FROM inter
+      |  JOIN sz na ON na.doc_id = id_a
+      |  JOIN sz nb ON nb.doc_id = id_b)
+      |SELECT id_a, id_b, containment FROM c WHERE containment >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------- common substrings (winnowing join)
 
   /** Cross-document repeated-substring detection — the winnowing-granular
@@ -337,6 +366,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "q_dup_clusters" -> dupClusters,
     "q_common_substrings" -> commonSubstrings,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -347,6 +377,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q_dup_clusters" -> dupClustersSql,
     "q_common_substrings" -> commonSubstringsSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

@@ -82,6 +82,24 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 14, s"took $rounds rounds") // 2 plain + ~log2(1000) doubled
   }
 
+  test("containment catches embedded duplication that Jaccard misses") {
+    // doc 2 = doc 1 embedded in 3x more text: containment(1 in 2) = 1.0
+    // while Jaccard ~ 0.33 — the asymmetric screen's whole point
+    val core = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val padded = core + " " + (100 to 160).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, "en", core), (2L, "en", padded), (3L, "en",
+      (200 to 240).map(i => s"other$i").mkString(" "))).toDF("doc_id", "lang", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        Seq("lang"), shingleN = 3, minContainment = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), cont.toSeq)
+    assert(cont.head._3 == 1.0)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq("lang"), shingleN = 3, minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, s"jaccard should miss the embedded pair: ${jac.toSeq}")
+  }
+
   test("common-substring pairs find planted truncated copies (recall >= 0.9)") {
     // the q_common_substrings fixture plants doc+100000 as a truncated
     // copy of every doc_id % 7 == 0; each pair shares a verbatim prefix.
