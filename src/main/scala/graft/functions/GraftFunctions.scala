@@ -44,7 +44,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => Shingles(cs.head, litInt(cs(1), "n"))),
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
-      (cs: Seq[Expression]) => ShingleHashes(cs.head, litInt(cs(1), "n"))))
+      (cs: Seq[Expression]) => ShingleHashes(cs.head, litInt(cs(1), "n"))),
+    (FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyMicro].getName, "graft_char_entropy"),
+      (cs: Seq[Expression]) => CharEntropyMicro(cs.head)))
 
   /** Static int parameters arrive as foldable literals (`lit(8)`). */
   private def litInt(e: Expression, name: String): Int = e match {

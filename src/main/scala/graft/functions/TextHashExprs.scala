@@ -97,6 +97,33 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Shannon character entropy in integer micro-bits: counts UNICODE
+    * CODEPOINTS (matching Spark `length`/`substring` and DuckDB
+    * `len`/`substring` character semantics), rounds each −p·log₂(p) term
+    * to micro-bits, sums as longs — term rounding first makes the sum
+    * independent of map iteration order. Empty text → 0.
+    */
+  def charEntropyMicro(text: UTF8String): Long = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+    }
+    if (n == 0L) return 0L
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      sum += Math.round(-p * (Math.log(p) / Math.log(2.0)) * 1000000.0)
+    }
+    sum
+  }
+
   /** Unmasked 60-bit md5 hash of each n-token shingle (winnowing input). */
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
     val toks = tokenize(text)
@@ -238,6 +265,30 @@ case class Shingles(child: Expression, n: Int) extends TextHashExpr {
       s"${ev.value} = graft.functions.TextHash.shingles($t, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** `graft_char_entropy(text)` → long: Shannon character entropy in integer
+  * MICRO-bits — Σ over distinct codepoints of round(−p·log₂(p)·10⁶). The
+  * per-term micro-rounding makes the long sum independent of iteration
+  * order (the [[graft.queries.Num]] policy applied inside a kernel), so
+  * the value is reproducible by the DuckDB oracle's unnest formulation.
+  * One fused call per document — the unnest/two-aggregation form fans out
+  * one row per CHARACTER, which at corpus scale multiplies shuffle input
+  * by average document length.
+  */
+case class CharEntropyMicro(child: Expression) extends TextHashExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_entropy"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHash.charEntropyMicro(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextHash.charEntropyMicro($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyMicro =
     copy(child = newChild)
 }
 

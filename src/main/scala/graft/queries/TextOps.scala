@@ -132,6 +132,55 @@ object TextOps {
       |FROM win ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------- character entropy
+
+  /** Shannon character entropy per document — the gibberish/repetition
+    * screen (low entropy = character-level boilerplate like padded runs,
+    * mojibake floods; normal prose sits near 4 bits/char). Docs with
+    * doc_id % 11 == 0 get a 400-char `z` run appended so the fixture
+    * contains true positives.
+    *
+    * SCALE: one fused native call per document (`graft_char_entropy`,
+    * codegen'd, integer micro-bit output) — a pure scan-side projection.
+    * The unnest formulation the oracle replays fans out one row per
+    * CHARACTER (~avg-doc-length × corpus multiplier through two
+    * aggregations); the kernel keeps that entirely inside the row.
+    */
+  def charEntropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" "), repeat(lit("z"), 400)))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        call_function("graft_char_entropy", col("text")).as("entropy_micro"))
+      .select(col("doc_id"), col("n_chars"), col("entropy_micro"),
+        Num.roundAt(4)(col("entropy_micro").cast("double") / 1000000.0)
+          .as("entropy_bits"),
+        (col("entropy_micro") < 3000000L).as("is_gibberish"))
+      .orderBy(col("doc_id"))
+
+  val charEntropySql: String =
+    s"""WITH base AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' ' || repeat('z', 400)
+      |         ELSE text END AS text
+      |  FROM documents),
+      |ch AS (SELECT doc_id, len(text) AS n, text,
+      |    unnest(generate_series(1, len(text))) AS i FROM base),
+      |cc AS (SELECT doc_id, n, substring(text, CAST(i AS INTEGER), 1) AS c
+      |  FROM ch),
+      |cnt AS (SELECT doc_id, n, c, count(*) AS k FROM cc GROUP BY 1, 2, 3),
+      |term AS (SELECT doc_id, n,
+      |    CAST(round(-(CAST(k AS DOUBLE) / n)
+      |      * (ln(CAST(k AS DOUBLE) / n) / ln(2)) * 1000000) AS BIGINT) AS tm
+      |  FROM cnt)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+      |  CAST(sum(tm) AS BIGINT) AS entropy_micro,
+      |  ${Num.roundAtSql(4, "CAST(sum(tm) AS DOUBLE) / 1000000.0")} AS entropy_bits,
+      |  sum(tm) < 3000000 AS is_gibberish
+      |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- BM25 relevance
 
   private val BmTerms = Seq("hash", "join", "vector")
@@ -289,6 +338,7 @@ object TextOps {
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
     "q_doc_fingerprint" -> docFingerprint,
+    "q_char_entropy" -> charEntropy,
     "q_bm25" -> bm25,
     "q_inverted_index" -> invertedIndex,
     "q_tfidf_topk" -> tfidfTopk,
@@ -299,6 +349,7 @@ object TextOps {
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
     "q_doc_fingerprint" -> docFingerprintSql,
+    "q_char_entropy" -> charEntropySql,
     "q_bm25" -> bm25Sql,
     "q_inverted_index" -> invertedIndexSql,
     "q_tfidf_topk" -> tfidfTopkSql,

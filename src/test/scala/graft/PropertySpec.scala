@@ -209,6 +209,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native char entropy equals the explode formulation on arbitrary text") {
+    val genText = Gen.listOfN(40, Gen.oneOf(
+      "abcabcabc", "zzzzzzzzzz", "The quick brown fox", "aabbccddeeff",
+      "tökens ünïcode 文字 naïve", "x", "ab", "🙂 emoji 🙂 text",
+      "mixed 123 !@# whitespace\t\nhere")).sample.get
+    val df = genText.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").localCheckpoint()
+    val native = df.select($"doc_id",
+      call_function("graft_char_entropy", $"text").as("em"))
+    val exploded = df
+      .select($"doc_id", length($"text").as("n"), $"text")
+      .select($"doc_id", $"n", explode(sequence(lit(1), $"n")).as("i"), $"text")
+      .selectExpr("doc_id", "n", "substring(text, i, 1) AS c")
+      .groupBy($"doc_id", $"n", $"c").agg(count(lit(1)).as("k"))
+      .withColumn("tm",
+        round(-($"k" / $"n") * log2($"k" / $"n") * 1000000).cast("long"))
+      .groupBy($"doc_id").agg(sum($"tm").as("em2"))
+    val diffs = native.join(exploded, Seq("doc_id"))
+      .filter($"em" =!= $"em2")
+    assert(diffs.isEmpty, diffs.take(5).mkString("; "))
+  }
+
   test("temperature mixture: shares sum to 1 and compress the natural skew") {
     val out = graft.queries.TrainPrepOps.mixtureTemperature(
       spark, "/root/testdata/sf0.001").collect()
