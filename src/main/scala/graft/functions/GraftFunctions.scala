@@ -47,7 +47,13 @@ object GraftFunctions {
       (cs: Seq[Expression]) => ShingleHashes(cs.head, litInt(cs(1), "n"))),
     (FunctionIdentifier("graft_char_entropy"),
       new ExpressionInfo(classOf[CharEntropyMicro].getName, "graft_char_entropy"),
-      (cs: Seq[Expression]) => CharEntropyMicro(cs.head)))
+      (cs: Seq[Expression]) => CharEntropyMicro(cs.head)),
+    (FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+      (cs: Seq[Expression]) => BloomAgg(cs.head, cs(1), cs(2))),
+    (FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(classOf[BloomProbe].getName, "graft_bloom_probe"),
+      (cs: Seq[Expression]) => BloomProbe(cs.head, cs(1), litInt(cs(2), "k"))))
 
   /** Static int parameters arrive as foldable literals (`lit(8)`). */
   private def litInt(e: Expression, name: String): Int = e match {

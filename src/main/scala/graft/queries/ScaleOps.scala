@@ -93,13 +93,76 @@ object ScaleOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------- bloom-filter join pruning
+
+  private val BloomM = 1 << 17 // 131072 bits = 2048 words = 16 KB
+  private val BloomK = 5
+  private val BloomThresh = 450000.0
+
+  /** Semi join reduced by an explicit Bloom filter: revenue of lineitems
+    * belonging to high-value orders (~10% of orders). The filter is built
+    * over the selective side's keys in one partial-aggregated pass
+    * ([[graft.functions.BloomAgg]] — per-partition filters OR-merge), the
+    * 16 KB bit array broadcasts, and `graft_bloom_probe` drops ~90% of
+    * fact rows INSIDE the scan's codegen stage, before any exchange. The
+    * exact semi join then removes the filter's false positives, so the
+    * result is exactly the plain semi join — which is what the oracle
+    * runs; hash-equality proves the rewrite changes nothing but where
+    * rows die.
+    *
+    * SCALE: locally the 1.5k-key build side broadcasts anyway, but at
+    * 100 TB the build side of a selective join is routinely too big to
+    * broadcast-JOIN while its Bloom filter is still KBs — the filter
+    * crosses the cluster even when the hash table can't, and the
+    * sort-merge join that remains shuffles only surviving rows. Unlike
+    * Spark's opportunistic runtime-filter injection, the aggregate is an
+    * explicit mergeable value: it can persist in rollup state or table
+    * metadata and prune tomorrow's scan.
+    */
+  def bloomSemiJoin: Q = (s, d) => {
+    import graft.ops.Hashing
+    val hi = Tables.orders(s, d)
+      .filter(col("o_totalprice") > BloomThresh)
+      .select(col("o_orderkey"))
+    // the filter reaches the fact scan as a SCALAR SUBQUERY — the same
+    // planning shape as Spark's own injected runtime filters: the bloom
+    // build runs once as a subquery stage, and the probe is an ordinary
+    // Filter on scan columns, which the optimizer keeps below the join.
+    // (A crossJoin(broadcast(bloom)) formulation instead becomes a
+    // BroadcastNestedLoopJoin CONDITION that Catalyst hoists above the
+    // semi join — pruning after the join it was meant to protect.)
+    hi.agg(call_function("graft_bloom",
+        Hashing.fastLong(col("o_orderkey")), lit(BloomM), lit(BloomK)).as("bits"))
+      .createOrReplaceTempView("graft_bloom_build")
+    val pruned = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .filter(expr("graft_bloom_probe((SELECT bits FROM graft_bloom_build), " +
+        s"xxhash64(l_orderkey), $BloomK)"))
+    pruned
+      .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        Num.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomSemiJoinSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_lines,
+      |  ${Num.moneySumSql("l_extendedprice")} AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey IN
+      |  (SELECT o_orderkey FROM orders WHERE o_totalprice > $BloomThresh)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_salted_join" -> saltedJoin,
     "q_bucketed_join" -> bucketedJoin,
+    "q_bloom_semi_join" -> bloomSemiJoin,
   )
 
   val oracles: Map[String, String] = Map(
     "q_salted_join" -> saltedJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,
+    "q_bloom_semi_join" -> bloomSemiJoinSql,
   )
 }
