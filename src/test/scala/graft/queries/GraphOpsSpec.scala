@@ -35,4 +35,45 @@ class GraphOpsSpec extends SparkSpec {
     // on this bipartite graph must contain supplier nodes
     assert(base.take(5).exists(_.getString(0).startsWith("s")))
   }
+
+  test("triangle census: exact counts on known graphs") {
+    import spark.implicits._
+    // K4: 6 edges, 4 triangles, 12 wedges, clustering = 1.0
+    val k4 = (for { u <- 1 to 4; v <- 1 to 4 if u < v } yield (u.toLong, v.toLong))
+      .toDF("u", "v")
+    val r = GraphOps.triangleCensus(k4).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 6L, 12L, 4L, 1000000L)))
+    // a 6-node path: wedges but zero triangles
+    val path = (1 to 5).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    val p = GraphOps.triangleCensus(path).collect().head
+    assert(p.getLong(3) == 0L && p.getLong(2) == 4L)
+  }
+
+  test("triangle census matches the naive closed-wedge count on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph over 60 nodes
+    val edges = (for { u <- 1 to 60; v <- 1 to 60 if u < v }
+      yield (u.toLong, v.toLong))
+      .filter { case (u, v) => (u * 7919 + v * 104729) % 7 == 0 }
+      .toDF("u", "v")
+    val census = GraphOps.triangleCensus(edges).collect().head.getLong(3)
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).toSeq.sorted
+    var naive = 0L
+    for { a <- nodes; b <- nodes if a < b && e((a, b))
+          c <- nodes if b < c && e((b, c)) && e((a, c)) } naive += 1
+    assert(census == naive, s"census=$census naive=$naive")
+  }
+
+  test("triangle wedge join is bounded: hubs never enumerate neighbor pairs") {
+    import spark.implicits._
+    // star graph: hub 0 joined to 1..50 plus one closing edge (1,2).
+    // With degree orientation the hub has out-degree 0 (every neighbor has
+    // lower degree), so wedges come only from the leaves - 50 leaves of
+    // out-degree at most 2 - instead of the hub's C(50,2) = 1225 pairs.
+    val star = ((1 to 50).map(i => (0L, i.toLong)) :+ (1L, 2L)).toDF("u", "v")
+    val r = GraphOps.triangleCensus(star).collect().head
+    assert(r.getLong(3) == 1L) // exactly the 0-1-2 triangle
+  }
 }
