@@ -181,6 +181,54 @@ object TextOps {
       |  sum(tm) < 3000000 AS is_gibberish
       |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- vocabulary / OOV rate
+
+  private val VocabSize = 200
+
+  /** Tokenizer-coverage audit: the top-[[VocabSize]] corpus vocabulary by
+    * frequency (tie-broken by token — any top-k the gate hashes needs a
+    * total order), then each document's out-of-vocabulary token count and
+    * rate. The pre-training use: estimate how much of a candidate corpus
+    * a fixed vocab/tokenizer covers before committing GPU-hours to it.
+    *
+    * SCALE: vocab building is a partial-aggregated token count + a
+    * TakeOrderedAndProject top-k — never a global sort. The vocab
+    * (KB-sized by construction) then BROADCASTS into a left-anti join
+    * against the exploded token stream, so the membership test rides the
+    * scan; per-doc rollup is one partial-agged shuffle on doc_id. The
+    * corpus-sized token stream is never joined against anything
+    * non-broadcast.
+    */
+  def oovRate: Q = (s, d) => {
+    val docs = withToks(Tables.documents(s, d))
+      .select(col("doc_id"), col("toks"))
+    val toksE = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val vocab = toksE.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(VocabSize)
+      .select(col("tok"))
+    val oov = toksE.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left").na.fill(0L, Seq("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        r4(col("n_oov") / greatest(col("n_tokens"), lit(1)).cast("double"))
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |t AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+      |vocab AS (SELECT tok FROM
+      |  (SELECT tok, count(*) AS n FROM t GROUP BY tok
+      |   ORDER BY n DESC, tok LIMIT $VocabSize)),
+      |oov AS (SELECT doc_id, count(*) AS n_oov FROM t
+      |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id)
+      |SELECT k.doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+      |  ${r4Sql("coalesce(n_oov, 0) / CAST(greatest(len(toks), 1) AS DOUBLE)")} AS oov_rate
+      |FROM tok k LEFT JOIN oov USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- BM25 relevance
 
   private val BmTerms = Seq("hash", "join", "vector")
@@ -339,6 +387,7 @@ object TextOps {
     "q_token_count" -> tokenCount,
     "q_doc_fingerprint" -> docFingerprint,
     "q_char_entropy" -> charEntropy,
+    "q_oov_rate" -> oovRate,
     "q_bm25" -> bm25,
     "q_inverted_index" -> invertedIndex,
     "q_tfidf_topk" -> tfidfTopk,
@@ -350,6 +399,7 @@ object TextOps {
     "q_token_count" -> tokenCountSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_char_entropy" -> charEntropySql,
+    "q_oov_rate" -> oovRateSql,
     "q_bm25" -> bm25Sql,
     "q_inverted_index" -> invertedIndexSql,
     "q_tfidf_topk" -> tfidfTopkSql,

@@ -384,7 +384,42 @@ object TrainPrepOps {
       |  md5(array_to_string(toks[start:start+15], ' ')) AS chunk_md5
       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------- rank-quantile normalization
+
+  /** Rank-based quantile normalization of a numeric feature WITHIN each
+    * group — the distribution-free feature map (percent-rank to uniform
+    * [0,1], plus the decile bucket) that robust-scales skewed features
+    * before training, per segment so segments with different base rates
+    * normalize independently.
+    *
+    * SCALE: one shuffle on the group key, one in-partition sort — the
+    * window-function shape shared by the whole Temporal family; both
+    * window functions share a single Window node. The ORDER BY carries
+    * the entity key as a tie-break so ranks (and therefore ntile edges)
+    * are total-order deterministic — percent_rank alone is tie-stable,
+    * but ntile without a unique order key assigns tied rows to buckets
+    * by partition arrival order, which no hash gate would survive.
+    */
+  def rankNormalize: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("pct_rank", Num.roundAt(6)(percent_rank().over(w)))
+      .withColumn("decile", ntile(10).over(w))
+      .orderBy(col("c_custkey"))
+  }
+
+  val rankNormalizeSql: String =
+    s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  ${Num.roundAtSql(6, "percent_rank() OVER w")} AS pct_rank,
+      |  ntile(10) OVER w AS decile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rank_normalize" -> rankNormalize,
     "q_doc_chunks" -> docChunks,
     "q_mixture_temperature" -> mixtureTemperature,
     "q_class_upsample" -> classUpsample,
@@ -398,6 +433,7 @@ object TrainPrepOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rank_normalize" -> rankNormalizeSql,
     "q_doc_chunks" -> docChunksSql,
     "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_class_upsample" -> classUpsampleSql,

@@ -141,4 +141,14 @@ class PlanSpec extends SparkSpec {
       .first.getDouble(0)
     assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
   }
+
+  test("oov vocabulary is a broadcast top-k; the token stream never shuffle-joins") {
+    val plan = executed(graft.queries.TextOps.oovRate(spark, sf))
+    // vocab selection: two-phase top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(5).mkString("\n"))
+    // membership probe: KB-sized vocab broadcasts into the anti join;
+    // a SortMergeJoin here would shuffle the corpus-sized token stream
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), "token stream shuffle-joined")
+  }
 }
