@@ -212,7 +212,78 @@ object SimilarityOps {
       |SELECT cent_id, n_points, sum_ids, centroid_checksum
       |FROM sizes JOIN chk USING (cent_id) ORDER BY cent_id""".stripMargin
 
+  // ------------------------------------------------ hybrid retrieval (RRF)
+
+  private val RrfK = 60
+  private val RrfDepth = 100
+  private val RrfTop = 20
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of a
+    * LEXICAL ranking (BM25 over the fixed query terms, [[TextOps.bm25]])
+    * and a DENSE ranking (cosine of corpus vectors against query vector 0
+    * — documents and embeddings are id-aligned). Each list contributes
+    * `1e6 div (60 + rank)` micro-points for its top-100; absent → 0. The
+    * RAG-stack shape: two retrievers that fail differently, fused without
+    * score calibration because RRF only consumes RANKS.
+    *
+    * SCALE: each ranking is its own top-k (the per-list depth bounds
+    * everything downstream); the fusion full-joins two ≤100-row lists —
+    * driver-trivial regardless of corpus size. Fused scores are integer
+    * micro-units (ranks are integers, so the fusion is exact) with doc_id
+    * tie-break at the cut. The global rank window runs over the ALREADY
+    * top-k'd lists, never the corpus.
+    */
+  def hybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextOps.bm25(s, d)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("doc_id"), col("lex_rank"))
+    val dense = Similarity.bruteForceKnn(corpus(s, d),
+        querySet(s, d).filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = RrfDepth)
+      .select(col("nbr_id").as("doc_id"), col("rank").as("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).cast("int").as("dense_rank"),
+        (coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + dense_rank)"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(RrfTop)
+  }
+
+  val hybridRrfSql: String = {
+    val dotQC = Similarity.dotSql("q.v", "c.v", 64)
+    val dotVV = Similarity.dotSql("v", "v", 64)
+    s"""WITH bm AS (SELECT * FROM (${TextOps.bm25Sql.replace("\n", "\n      |  ")}) bmq),
+      |lexr AS (SELECT doc_id, lex_rank FROM
+      |  (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      |   FROM bm) WHERE lex_rank <= $RrfDepth),
+      |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt($dotVV) AS nrm FROM base),
+      |scored AS (SELECT c.vec_id AS nbr_id,
+      |    round($dotQC / (q.nrm * c.nrm), 6) AS cos_sim
+      |  FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0),
+      |denser AS (SELECT doc_id, dense_rank FROM
+      |  (SELECT nbr_id AS doc_id, row_number() OVER
+      |     (ORDER BY cos_sim DESC, nbr_id) AS dense_rank FROM scored)
+      |  WHERE dense_rank <= $RrfDepth),
+      |f AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+      |    coalesce(l.lex_rank, 0) AS lex_rank,
+      |    coalesce(r.dense_rank, 0) AS dense_rank,
+      |    coalesce(1000000 // ($RrfK + l.lex_rank), 0) +
+      |      coalesce(1000000 // ($RrfK + r.dense_rank), 0) AS rrf
+      |  FROM lexr l FULL JOIN denser r ON l.doc_id = r.doc_id)
+      |SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+      |  CAST(dense_rank AS INTEGER) AS dense_rank,
+      |  CAST(rrf AS BIGINT) AS rrf_micro
+      |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT $RrfTop""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hybrid_rrf" -> hybridRrf,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
@@ -221,6 +292,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hybrid_rrf" -> hybridRrfSql,
     "q_knn_brute" -> knnBruteSql,
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,

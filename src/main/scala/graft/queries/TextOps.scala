@@ -229,6 +229,43 @@ object TextOps {
       |  ${r4Sql("coalesce(n_oov, 0) / CAST(greatest(len(toks), 1) AS DOUBLE)")} AS oov_rate
       |FROM tok k LEFT JOIN oov USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- frequency spectrum
+
+  /** Zipf frequency spectrum of the corpus vocabulary: how many distinct
+    * tokens occur ~2^b times (bucket = bit length of the count — integer
+    * arithmetic via `length(bin(n))` on BOTH engines, because
+    * `floor(log2(n))` computed as ln-ratio lands on exact powers of two
+    * with float error). The corpus-health diagnostic: a natural corpus is
+    * Zipfian (long singleton tail, few hot tokens); a bot-flooded or
+    * template-heavy crawl shows a bulge in the mid buckets.
+    *
+    * SCALE: two partial-aggregated shuffles — token counts (the exploded
+    * stream combines map-side) then bucket rollup over the vocabulary-
+    * sized result. Nothing corpus-sized crosses the wire twice.
+    */
+  def freqSpectrum: Q = (s, d) => {
+    // union a second text field (customer names — unique per row) so the
+    // fixture's spectrum spans all regimes: singleton tail AND hot head
+    val toks = withToks(Tables.documents(s, d))
+      .select(explode(col("toks")).as("tok"))
+      .unionByName(Tables.customer(s, d)
+        .select(explode(TA.tokens(col("c_name"))).as("tok")))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(length(bin(col("n"))).as("freq_bucket"), col("n"))
+      .groupBy(col("freq_bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n")).as("n_occurrences"))
+      .orderBy(col("freq_bucket"))
+  }
+
+  val freqSpectrumSql: String =
+    s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents
+      |  UNION ALL SELECT unnest(${TA.tokensSql("c_name")}) AS tok FROM customer),
+      |c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+      |SELECT CAST(length(bin(n)) AS INTEGER) AS freq_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n) AS BIGINT) AS n_occurrences
+      |FROM c GROUP BY 1 ORDER BY freq_bucket""".stripMargin
+
   // ------------------------------------------------------- BM25 relevance
 
   private val BmTerms = Seq("hash", "join", "vector")
@@ -388,6 +425,7 @@ object TextOps {
     "q_doc_fingerprint" -> docFingerprint,
     "q_char_entropy" -> charEntropy,
     "q_oov_rate" -> oovRate,
+    "q_freq_spectrum" -> freqSpectrum,
     "q_bm25" -> bm25,
     "q_inverted_index" -> invertedIndex,
     "q_tfidf_topk" -> tfidfTopk,
@@ -400,6 +438,7 @@ object TextOps {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_char_entropy" -> charEntropySql,
     "q_oov_rate" -> oovRateSql,
+    "q_freq_spectrum" -> freqSpectrumSql,
     "q_bm25" -> bm25Sql,
     "q_inverted_index" -> invertedIndexSql,
     "q_tfidf_topk" -> tfidfTopkSql,
