@@ -51,6 +51,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bloom"),
       new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
       (cs: Seq[Expression]) => BloomAgg(cs.head, cs(1), cs(2))),
+    (FunctionIdentifier("graft_unaccent"),
+      new ExpressionInfo(classOf[UnaccentExpr].getName, "graft_unaccent"),
+      (cs: Seq[Expression]) => UnaccentExpr(cs.head)),
     (FunctionIdentifier("graft_bloom_probe"),
       new ExpressionInfo(classOf[BloomProbe].getName, "graft_bloom_probe"),
       (cs: Seq[Expression]) => BloomProbe(cs.head, cs(1), litInt(cs(2), "k"))))

@@ -229,6 +229,55 @@ object TextOps {
       |  ${r4Sql("coalesce(n_oov, 0) / CAST(greatest(len(toks), 1) AS DOUBLE)")} AS oov_rate
       |FROM tok k LEFT JOIN oov USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- text canonicalization
+
+  /** Accented decoration appended to every 7th doc so the fixture (pure
+    * ASCII) actually exercises the diacritic path; ł/ß survive by design
+    * (no canonical decomposition).
+    */
+  private val AccentSuffix = " Café NAÏVE  São  Paulo żółć ÉCLAIR Straße"
+
+  /** Corpus text canonicalization — the normalize-before-everything step
+    * (dedup keys, vocab building, decontamination probes all assume it):
+    * strip diacritics (NFD → drop Mn marks → NFC, [[graft.functions.Unaccent]]),
+    * lowercase, collapse whitespace runs, trim. Emits the normalized
+    * text's md5/length plus a changed flag.
+    *
+    * SCALE: pure scan-side projection — the unaccent kernel is a
+    * codegen'd native expression (no UDF boundary), the rest is builtin
+    * string functions; zero shuffles before the presentation sort.
+    * Cross-engine note: Java's NFD+strip-Mn agrees with DuckDB's
+    * `strip_accents` on the shared domain (probed: ż→z but ł stays,
+    * ß stays, CJK passes through), which is what makes the gate possible.
+    */
+  def textNormalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(AccentSuffix)))
+          .otherwise(col("text")).as("raw"))
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          lower(call_function("graft_unaccent", col("raw"))),
+          "\\s+", " ")).as("norm"),
+        col("raw"))
+      .select(col("doc_id"),
+        length(col("norm")).as("norm_len"),
+        md5(col("norm")).as("norm_md5"),
+        (col("norm") =!= col("raw")).as("changed"))
+      .orderBy(col("doc_id"))
+
+  val textNormalizeSql: String =
+    s"""WITH raw AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || '$AccentSuffix' ELSE text END AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, raw,
+      |    trim(regexp_replace(lower(strip_accents(nfc_normalize(raw))),
+      |      '\\s+', ' ', 'g')) AS norm
+      |  FROM raw)
+      |SELECT doc_id, CAST(length(norm) AS INTEGER) AS norm_len,
+      |  md5(norm) AS norm_md5, norm <> raw AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- frequency spectrum
 
   /** Zipf frequency spectrum of the corpus vocabulary: how many distinct
@@ -426,6 +475,7 @@ object TextOps {
     "q_char_entropy" -> charEntropy,
     "q_oov_rate" -> oovRate,
     "q_freq_spectrum" -> freqSpectrum,
+    "q_text_normalize" -> textNormalize,
     "q_bm25" -> bm25,
     "q_inverted_index" -> invertedIndex,
     "q_tfidf_topk" -> tfidfTopk,
@@ -439,6 +489,7 @@ object TextOps {
     "q_char_entropy" -> charEntropySql,
     "q_oov_rate" -> oovRateSql,
     "q_freq_spectrum" -> freqSpectrumSql,
+    "q_text_normalize" -> textNormalizeSql,
     "q_bm25" -> bm25Sql,
     "q_inverted_index" -> invertedIndexSql,
     "q_tfidf_topk" -> tfidfTopkSql,

@@ -231,6 +231,20 @@ class PropertySpec extends SparkSpec {
     assert(diffs.isEmpty, diffs.take(5).mkString("; "))
   }
 
+  test("unaccent strips marks, keeps non-decomposable letters, handles NFD input") {
+    val cases = Seq(
+      "Caf\u00e9" -> "Cafe",                 // precomposed e-acute
+      "Cafe\u0301" -> "Cafe",                // decomposed e + combining acute
+      "na\u00efve" -> "naive",
+      "\u017c\u00f3\u0142\u0107" -> "zo\u0142c", // zolc: l-stroke has no decomposition
+      "Stra\u00dfe" -> "Stra\u00dfe",       // sharp s untouched
+      "\u6587\u5b57 ascii" -> "\u6587\u5b57 ascii")
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("i", "s")
+    val got = df.select($"i", call_function("graft_unaccent", $"s").as("u"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2), got.mkString("|"))
+  }
+
   test("temperature mixture: shares sum to 1 and compress the natural skew") {
     val out = graft.queries.TrainPrepOps.mixtureTemperature(
       spark, "/root/testdata/sf0.001").collect()
