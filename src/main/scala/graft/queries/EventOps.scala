@@ -41,6 +41,66 @@ object EventOps {
       |  ${microSumSql("value")} AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The STREAMING twin of [[tumblingWindow]], hash-gated against the same
+    * kind of batch oracle — the promote-batch-to-incremental guarantee
+    * made checkable: the events file is consumed through a real
+    * Structured Streaming file source (micro-batches, watermark, state
+    * store) into a memory sink, and the final result must hash-match the
+    * DuckDB batch aggregation. Complete output mode so every window
+    * surfaces (append would hold back windows the watermark hasn't
+    * closed); exact `countDistinct` is unsupported in streaming aggs, so
+    * the gated columns are count + integer-micro sum (order-independent,
+    * hence identical across micro-batch boundaries — a double sum would
+    * depend on file-split arrival order).
+    *
+    * SCALE: the state store keys on (window, event_type) — bounded by the
+    * watermark horizon; `maxFilesPerTrigger` bounds per-batch work. Same
+    * one-shuffle geometry as the batch plan, amortized over arrivals.
+    */
+  def streamWindow: Q = (s, d) =>
+    streamWindowOver(s, d, glob = "events.parquet",
+      sink = "graft_stream_window_sink")
+
+  /** The streaming pipeline itself, parameterized over source dir/glob so
+    * specs can feed a MULTI-FILE copy (several micro-batches) and assert
+    * the state-store merge reproduces the single-batch result —
+    * `maxFilesPerTrigger=1` forces one micro-batch per file there.
+    */
+  private[graft] def streamWindowOver(s: SparkSession, dir: String,
+                                        glob: String, sink: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), microSum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink).orderBy(col("window_start"), col("event_type"))
+  }
+
+  val streamWindowSql: String =
+    s"""SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  ${microSumSql("value")} AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity): lag → new-session
     * flag → running sum as session index — the batch formulation of
     * streaming session windows.
@@ -105,12 +165,14 @@ object EventOps {
 
   val queries: Map[String, Q] = Map(
     "q_tumbling_window" -> tumblingWindow,
+    "q_stream_window" -> streamWindow,
     "q_sessionize" -> sessionize,
     "q_sql_tempview" -> sqlTempView,
   )
 
   val oracles: Map[String, String] = Map(
     "q_tumbling_window" -> tumblingWindowSql,
+    "q_stream_window" -> streamWindowSql,
     "q_sessionize" -> sessionizeSql,
     "q_sql_tempview" -> sqlTempViewSql,
   )

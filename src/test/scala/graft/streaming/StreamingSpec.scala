@@ -218,4 +218,29 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(state == oneShot, s"state=$state oneShot=$oneShot")
   }
+
+  test("gated stream window: multi-micro-batch state merge equals the batch result") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // split the events table into 6 files -> 6 micro-batches
+    // (maxFilesPerTrigger=1 in the helper), so window state MERGES
+    // across batches instead of being computed in one pass
+    val dir = graft.queries.Scratch.dir("spec_stream_events")
+    graft.queries.Scratch.wipe(dir)
+    spark.read.parquet(sf + "/events.parquet")
+      .repartition(6).write.mode("overwrite").parquet(dir)
+    val streamed = graft.queries.EventOps.streamWindowOver(
+      spark, dir, glob = "*.parquet", sink = "spec_stream_sink")
+      .collect().toSeq
+    val batch = graft.core.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.Num.microSum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect().toSeq
+    assert(streamed.size > 10)
+    assert(streamed == batch)
+  }
 }
