@@ -210,13 +210,92 @@ object GraphOps {
       |    (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS BIGINT) AS clustering_micro
       |FROM tri""".stripMargin
 
+  // --------------------------------------------- label propagation (LPA)
+
+  private val LpaIters = 3
+  private val LpaTop = 15
+
+  /** Community detection by synchronous label propagation over the
+    * co-purchase graph ([[triangleCount]]'s edge set): every node adopts
+    * its neighbors' most frequent label each round, ties to the SMALLEST
+    * label — the deterministic variant (random tie-breaks make LPA
+    * non-reproducible, which no hash gate survives). Fixed 3 rounds,
+    * matching the oracle's unrolled CTEs (the [[pagerank]] pattern).
+    * Output: the 15 largest communities.
+    *
+    * SCALE per round: labels are O(nodes) — broadcast onto the
+    * checkpointed O(edges) list (same geometry as pagerank; same
+    * co-partition fallback if labels outgrow broadcast) — then ONE
+    * partial-aggregated shuffle for (node, label) counts and a
+    * node-partitioned window for the argmax. Label frequency counting is
+    * integer; the (count desc, label asc) argmax is a total order —
+    * bit-stable at any parallelism.
+    */
+  def labelPropagation: Q = (s, d) => {
+    val lp = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0 = lp.as("a").join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    lpaCommunities(e0).limit(LpaTop)
+  }
+
+  /** LPA over any canonical (u < v, distinct) edge list: community sizes,
+    * largest first (label tie-break). Reusable + directly testable.
+    */
+  private[queries] def lpaCommunities(e0: DataFrame): DataFrame = {
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .transform(graft.core.Checkpoint.apply)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label").asc)
+    var i = 0
+    while (i < LpaIters) {
+      labels = e.join(broadcast(labels), col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .transform(graft.core.Checkpoint.apply)
+      i += 1
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label").asc)
+      .select(col("label").as("community"), col("n_members"))
+  }
+
+  val labelPropagationSql: String = {
+    val iters = (1 to LpaIters).map { i =>
+      s"""c$i AS (SELECT ed.dst, l.label, count(*) AS cnt
+        |  FROM ed JOIN l${i - 1} l ON ed.src = l.node GROUP BY 1, 2),
+        |l$i AS (SELECT dst AS node, label FROM
+        |  (SELECT dst, label, row_number() OVER
+        |     (PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn FROM c$i)
+        |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+      |ed AS (SELECT u AS src, v AS dst FROM e0
+      |  UNION ALL SELECT v AS src, u AS dst FROM e0),
+      |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+      |$iters
+      |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+      |FROM l$LpaIters GROUP BY label
+      |ORDER BY n_members DESC, community ASC LIMIT $LpaTop""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
+    "q_label_propagation" -> labelPropagation,
   )
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
+    "q_label_propagation" -> labelPropagationSql,
   )
 }

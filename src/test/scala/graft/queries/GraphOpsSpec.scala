@@ -76,4 +76,15 @@ class GraphOpsSpec extends SparkSpec {
     val r = GraphOps.triangleCensus(star).collect().head
     assert(r.getLong(3) == 1L) // exactly the 0-1-2 triangle
   }
+
+  test("label propagation separates two bridged cliques deterministically") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} with one bridge edge (3,4): after 3
+    // synchronous min-tie-break rounds the cliques keep distinct labels
+    val edges = Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L))
+      .toDF("u", "v")
+    val got = GraphOps.lpaCommunities(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (3L, 3L)), got.mkString(","))
+  }
 }
