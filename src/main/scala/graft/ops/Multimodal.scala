@@ -109,6 +109,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic 8-bit grayscale PNG with `pixel(x,y) = f(x,y)`, written
+    * through the RASTER (never getRGB/setRGB, whose sRGB conversion is not
+    * value-preserving) so sample values round-trip bit-exactly through the
+    * codec — which is what lets a hash over DECODED pixels be gated
+    * against an oracle that recomputes it from the closed form.
+    */
+  def encodeGrayPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = im.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Schema of [[avgHash]] rows. */
+  val phashSchema: StructType = StructType(Seq(
+    StructField("img_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("hash_hi", LongType, nullable = false),
+    StructField("hash_lo", LongType, nullable = false)))
+
+  /** 64-bit perceptual average-hash of an encoded image, integer-exact:
+    * decode, partition into an 8×8 block grid (dims must be multiples of
+    * 8), bit(i,j) = "block mean > global mean" compared as
+    * `blockSum · 64 > totalSum` — pure integer arithmetic, so the hash is
+    * reproducible by any engine that can see the pixel values. Split into
+    * two 32-bit halves so no bit ever lands on a signed long's sign bit.
+    */
+  def avgHash(imgId: Long, bytes: Array[Byte]): Row = {
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val r = im.getRaster
+    val w = im.getWidth
+    val h = im.getHeight
+    require(w % 8 == 0 && h % 8 == 0, s"avgHash needs multiple-of-8 dims, got ${w}x$h")
+    val bw = w / 8
+    val bh = h / 8
+    val bs = Array.ofDim[Long](8, 8)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = r.getSample(x, y, 0).toLong
+        bs(y / bh)(x / bw) += p
+        total += p
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var idx = 0
+    while (idx < 64) {
+      if (bs(idx / 8)(idx % 8) * 64 > total) {
+        if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+      }
+      idx += 1
+    }
+    Row(imgId, w, h, hi, lo)
+  }
+
   /** Deterministic fake frame-sampling positions for a "video" payload:
     * every `stride`-th byte offset, up to `maxFrames` — the plumbing for
     * frame extraction without a codec.

@@ -111,14 +111,69 @@ object MultimodalOps {
       |  CAST(max(tw) AS INTEGER) AS max_w, CAST(max(th) AS INTEGER) AS max_h
       |FROM rs GROUP BY 1 ORDER BY action""".stripMargin
 
+  private val PhashN = 50
+
+  /** Perceptual average-hash through a REAL codec round trip: 50
+    * deterministic 16×16 grayscale PNGs are ENCODED (`ImageIO.write`),
+    * DECODED back (`ImageIO.read`), and average-hashed from the decoded
+    * raster — while the oracle recomputes the hash from the closed-form
+    * pixel pattern `(x(id+2) + y(id+5) + xy) mod 256` without ever seeing a PNG.
+    * Hash equality therefore gates the entire codec path bit-exactly
+    * (8-bit gray PNG is lossless; raster samples bypass sRGB conversion),
+    * not just the plumbing around it. Integer block-sum comparisons
+    * (`blockSum·64 > total`) keep the hash engine-portable; two 32-bit
+    * halves keep it off the sign bit.
+    *
+    * SCALE: codec work runs in `mapPartitions` batches (the decode
+    * contract of [[Multimodal.decodeAll]]) — one partition = one
+    * sequential batch, no per-row task overhead; at 100 TB the unit of
+    * parallelism is the file group, and the hash is a per-item
+    * projection with zero shuffles before the presentation sort.
+    */
+  def imagePhash: Q = (s, d) => {
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.phashSchema)
+    s.range(PhashN.toLong).toDF("img_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = Multimodal.encodeGrayPng(16, 16,
+            (x, y) => ((x * (id + 2) + y * (id + 5) + x * y) % 256).toInt)
+          Multimodal.avgHash(id, png)
+        }
+      }(enc)
+      .orderBy(col("img_id"))
+  }
+
+  val imagePhashSql: String =
+    s"""WITH img AS (SELECT unnest(generate_series(0, ${PhashN - 1})) AS img_id),
+      |px AS (SELECT img_id, x, y, (x * (img_id + 2) + y * (img_id + 5) + x * y) % 256 AS p
+      |  FROM img
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y)),
+      |blocks AS (SELECT img_id, y // 2 AS bi, x // 2 AS bj, sum(p) AS bs
+      |  FROM px GROUP BY 1, 2, 3),
+      |tot AS (SELECT img_id, sum(p) AS total FROM px GROUP BY 1),
+      |bits AS (SELECT b.img_id, bi * 8 + bj AS idx,
+      |    CASE WHEN bs * 64 > total THEN 1 ELSE 0 END AS bit
+      |  FROM blocks b JOIN tot USING (img_id))
+      |SELECT CAST(img_id AS BIGINT) AS img_id,
+      |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |  CAST(sum(CASE WHEN idx >= 32
+      |    THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN idx < 32
+      |    THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS hash_lo
+      |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_image_resize" -> imageResize,
     "q_multimodal_meta" -> multimodalMeta,
     "q_frame_sample" -> frameSample,
+    "q_image_phash" -> imagePhash,
   )
   val oracles: Map[String, String] = Map(
     "q_image_resize" -> imageResizeSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_frame_sample" -> frameSampleSql,
+    "q_image_phash" -> imagePhashSql,
   )
 }

@@ -67,4 +67,21 @@ class MultimodalSpec extends SparkSpec {
       .as[Int].head()
     assert(out == 4) // offsets 1,65,129,193
   }
+
+  test("average hash is perceptual: near-dup images land within a few bits") {
+    def hash(f: (Int, Int) => Int): (Long, Long) = {
+      val r = Multimodal.avgHash(0L, Multimodal.encodeGrayPng(16, 16, f))
+      (r.getLong(3), r.getLong(4))
+    }
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val base = hash((x, y) => (x * 9 + y * 13 + x * y) % 256)
+    // near-dup: small brightness jitter on a sparse pixel subset
+    val jitter = hash((x, y) =>
+      ((x * 9 + y * 13 + x * y) % 256 + (if ((x + y) % 7 == 0) 6 else 0)) % 256)
+    // different content entirely
+    val other = hash((x, y) => (255 - x * 16) % 256)
+    assert(hamming(base, jitter) <= 6, s"near-dup drifted ${hamming(base, jitter)} bits")
+    assert(hamming(base, other) >= 16, s"distinct images too close: ${hamming(base, other)}")
+  }
 }
