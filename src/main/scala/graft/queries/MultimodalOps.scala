@@ -164,16 +164,105 @@ object MultimodalOps {
       |    THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS hash_lo
       |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin
 
+  private val PhashDedupT = 6
+
+  /** Image NEAR-DUP detection over perceptual hashes — the dedup family
+    * extended to the multimodal column. Every odd image is a jittered
+    * variant of the even image below it (sparse +6 brightness), hashes
+    * come through the REAL codec round trip ([[imagePhash]]'s path), and
+    * candidate pairs are generated by HAMMING BANDING: the 64-bit hash
+    * splits into 4×16-bit bands, pairs sharing any band collide in a
+    * bucket join — identical shape to the SimHash text dedup, never
+    * all-pairs. Candidates are then verified with an exact popcount
+    * distance ≤ 6.
+    *
+    * SCALE: banding bounds the join to bucket-mates (4 shuffle rows per
+    * image); the all-pairs alternative is corpus-quadratic. Recall is the
+    * documented banding tradeoff (pairs ≤ 6 bits apart that share no
+    * clean band are missed — ~79% recall on this fixture); the oracle
+    * applies the SAME banding, so the gate pins the algorithm, not an
+    * idealized answer.
+    */
+  def imagePhashDedup: Q = (s, d) => {
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.phashSchema)
+    val hashes = s.range(PhashN.toLong).toDF("img_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val k = id / 2
+          val png = Multimodal.encodeGrayPng(16, 16, (x, y) =>
+            (((x * (k + 2) + y * (k + 5) + x * y)
+              + (if (id % 2 == 1 && (x + y) % 7 == 0) 6 else 0)) % 256).toInt)
+          Multimodal.avgHash(id, png)
+        }
+      }(enc)
+      .select(col("img_id"), col("hash_hi"), col("hash_lo"))
+    val banded = hashes.select(col("img_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(lit(65535L)),
+        shiftrightunsigned(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
+        col("hash_hi").bitwiseAND(lit(65535L)),
+        shiftrightunsigned(col("hash_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "band_val")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("id_a"), col("b.img_id").as("id_b"),
+        col("a.hash_hi").as("ha"), col("a.hash_lo").as("la"),
+        col("b.hash_hi").as("hb"), col("b.hash_lo").as("lb"))
+      .distinct()
+    cands
+      .withColumn("dist",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("dist") <= PhashDedupT)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val imagePhashDedupSql: String =
+    s"""WITH img AS (SELECT unnest(generate_series(0, ${PhashN - 1})) AS img_id),
+      |px AS (SELECT img_id, x, y,
+      |    ((x * (img_id // 2 + 2) + y * (img_id // 2 + 5) + x * y)
+      |     + CASE WHEN img_id % 2 = 1 AND (x + y) % 7 = 0 THEN 6 ELSE 0 END) % 256 AS p
+      |  FROM img
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y)),
+      |blocks AS (SELECT img_id, y // 2 AS bi, x // 2 AS bj, sum(p) AS bs
+      |  FROM px GROUP BY 1, 2, 3),
+      |tot AS (SELECT img_id, sum(p) AS total FROM px GROUP BY 1),
+      |bits AS (SELECT b.img_id, bi * 8 + bj AS idx,
+      |    CASE WHEN bs * 64 > total THEN 1 ELSE 0 END AS bit
+      |  FROM blocks b JOIN tot USING (img_id)),
+      |h AS (SELECT img_id,
+      |  CAST(sum(CASE WHEN idx >= 32
+      |    THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |  CAST(sum(CASE WHEN idx < 32
+      |    THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY img_id)
+      |SELECT a.img_id AS id_a, b.img_id AS id_b,
+      |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS dist
+      |FROM h a JOIN h b ON a.img_id < b.img_id
+      |WHERE ((a.lo & 65535) = (b.lo & 65535)
+      |    OR ((a.lo >> 16) & 65535) = ((b.lo >> 16) & 65535)
+      |    OR (a.hi & 65535) = (b.hi & 65535)
+      |    OR ((a.hi >> 16) & 65535) = ((b.hi >> 16) & 65535))
+      |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $PhashDedupT
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_image_resize" -> imageResize,
     "q_multimodal_meta" -> multimodalMeta,
     "q_frame_sample" -> frameSample,
     "q_image_phash" -> imagePhash,
+    "q_dedup_phash" -> imagePhashDedup,
   )
   val oracles: Map[String, String] = Map(
     "q_image_resize" -> imageResizeSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_frame_sample" -> frameSampleSql,
     "q_image_phash" -> imagePhashSql,
+    "q_dedup_phash" -> imagePhashDedupSql,
   )
 }
