@@ -315,6 +315,50 @@ object TextOps {
       |  CAST(sum(n) AS BIGINT) AS n_occurrences
       |FROM c GROUP BY 1 ORDER BY freq_bucket""".stripMargin
 
+  // ------------------------------------------------- BPE pair statistics
+
+  private val BpeTop = 10
+
+  /** The distributed kernel of a BPE tokenizer trainer: corpus-weighted
+    * adjacent-symbol pair counts, i.e. the statistic the first merge
+    * round argmaxes over. The BPE efficiency trick is structural: pairs
+    * are enumerated over the DISTINCT-WORD table weighted by word
+    * frequency — vocab-sized work (tens of thousands of rows at any
+    * corpus size) instead of a pass over the raw token stream, which is
+    * why production BPE trainers keep a word-frequency table, not the
+    * corpus. Output: the top-10 merge candidates with exact weights
+    * (pair tie-break — any argmax the gate hashes needs a total order).
+    *
+    * SCALE: one partial-aggregated shuffle builds the word-frequency
+    * table from the token stream; everything after (char-pair explode ×
+    * vocab, pair rollup, top-k) is vocabulary-sized. Counts are exact
+    * longs.
+    */
+  def bpePairs: Q = (s, d) => {
+    val words = withToks(Tables.documents(s, d))
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(concat(col("word").substr(col("i"), lit(1)), lit(" "),
+          col("word").substr(col("i") + 1, lit(1))).as("pair"),
+        col("freq"))
+    pairs.groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc).limit(BpeTop)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH w AS (SELECT tok AS word, count(*) AS freq FROM
+      |    (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+      |p AS (SELECT substring(word, CAST(i AS INTEGER), 1) || ' ' ||
+      |      substring(word, CAST(i AS INTEGER) + 1, 1) AS pair, freq
+      |  FROM w CROSS JOIN unnest(generate_series(1, len(word) - 1)) AS t(i)
+      |  WHERE len(word) >= 2)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+      |FROM p GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT $BpeTop""".stripMargin
+
   // ------------------------------------------------------- BM25 relevance
 
   private val BmTerms = Seq("hash", "join", "vector")
@@ -476,6 +520,7 @@ object TextOps {
     "q_oov_rate" -> oovRate,
     "q_freq_spectrum" -> freqSpectrum,
     "q_text_normalize" -> textNormalize,
+    "q_bpe_pairs" -> bpePairs,
     "q_bm25" -> bm25,
     "q_inverted_index" -> invertedIndex,
     "q_tfidf_topk" -> tfidfTopk,
@@ -490,6 +535,7 @@ object TextOps {
     "q_oov_rate" -> oovRateSql,
     "q_freq_spectrum" -> freqSpectrumSql,
     "q_text_normalize" -> textNormalizeSql,
+    "q_bpe_pairs" -> bpePairsSql,
     "q_bm25" -> bm25Sql,
     "q_inverted_index" -> invertedIndexSql,
     "q_tfidf_topk" -> tfidfTopkSql,
