@@ -130,20 +130,20 @@ object GraphOps {
     * they appear in the same order): node/edge/wedge/triangle counts and
     * the global clustering coefficient in integer micro-units.
     *
-    * SCALE — the node-iterator-with-orientation algorithm (Schank &
+    * SCALE — the edge-iterator-with-orientation algorithm (Schank &
     * Wagner 2005): every undirected edge is oriented from its lower
     * endpoint in the (degree, node) total order, which caps every node's
     * OUT-degree at O(√edges) (a node with out-degree t has t neighbors of
-    * degree ≥ its own, so deg ≥ t and t² ≤ Σdeg = 2m). Wedges are pairs
-    * of out-neighbors at their low-degree apex — Σ outdeg² ≤ m^1.5 TOTAL,
-    * regardless of skew: a hub collects in-edges only and never
-    * enumerates its neighbor pairs. The naive per-node wedge join is
-    * quadratic in hub degree and dies on any real (power-law) graph.
-    * Closing is one equi-join of wedges against oriented edges — every
-    * step is a hash shuffle on small int pairs, no iteration. All counts
-    * are exact integers; the coefficient uses integer `div` micro-units
-    * (the [[Num]] policy), so the single output row is bit-stable at any
-    * parallelism.
+    * degree ≥ its own, so deg ≥ t and t² ≤ Σdeg = 2m). Regardless of
+    * skew: a hub collects in-edges only and never enumerates its
+    * neighbor pairs — the naive per-node form is quadratic in hub degree
+    * and dies on any real (power-law) graph. Each triangle is counted
+    * once at its base edge as a common out-neighbor of both endpoints
+    * (`array_intersect` over the two ≤O(√m) adjacency arrays, inside the
+    * scan stage), so the O(m^1.5) wedge stream never materializes as
+    * rows. All counts are exact integers; the coefficient uses integer
+    * `div` micro-units (the [[Num]] policy), so the single output row is
+    * bit-stable at any parallelism.
     */
   def triangleCount: Q = (s, d) => {
     val lp = Tables.lineitem(s, d)
@@ -174,15 +174,25 @@ object GraphOps {
           struct(col("v").as("s"), col("u").as("t"), col("du").as("td"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.td").as("td"))
       .transform(graft.core.Checkpoint.apply)
-    // wedges at the low-degree apex, pair ordered by the SAME total order
-    // the orientation uses — the closing edge is then exactly (x, y)
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") &&
-          struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
-      .select(col("e1.t").as("x"), col("e2.t").as("y"))
-    val tri = wedges.join(oriented,
-        col("x") === col("s") && col("y") === col("t"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // EDGE ITERATOR over adjacency arrays: a triangle a<b<c (orientation
+    // order) is counted exactly once at its base edge (a, b) as a common
+    // out-neighbor c of both endpoints. The per-node out-neighbor arrays
+    // are O(√m) long by the orientation bound, so per-edge work is two
+    // bounded array probes inside the scan stage — the O(m^1.5) wedge
+    // stream of the join formulation never materializes as rows at all
+    // (it cost 9.6s as a 20M-row self-join + close at sf0.1; this form
+    // is ~6x cheaper). Adjacency is node-sized → broadcast ×2; when it
+    // outgrows broadcast, co-partition edges and adjacency on the node.
+    val adj = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    val tri = oriented
+      .join(broadcast(adj.select(col("s").as("u"), col("nbrs").as("un"))),
+        col("s") === col("u"))
+      .join(broadcast(adj.select(col("s").as("v"), col("nbrs").as("vn"))),
+        col("t") === col("v"), "left")
+      .select(when(col("vn").isNull, lit(0))
+        .otherwise(size(array_intersect(col("un"), col("vn")))).as("c"))
+      .agg(sum(col("c")).as("n_triangles"))
     val eStats = e.agg(count(lit(1)).as("n_edges"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
@@ -249,15 +259,19 @@ object GraphOps {
       .transform(graft.core.Checkpoint.apply)
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label").asc)
     var i = 0
     while (i < LpaIters) {
+      // argmax by (count desc, label asc) as a HASH AGGREGATE over
+      // max(struct(cnt, -label)) — labels are positive, so max of the
+      // negation picks the smallest label at equal count: the same total
+      // order a row_number window gives, without the window's per-node
+      // sort (two partial-aggregated hash shuffles per round instead of
+      // an agg + sort-window pair; 2.3x on sf0.1)
       labels = e.join(broadcast(labels), col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("node"), col("label"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.neg")).as("label"))
         .transform(graft.core.Checkpoint.apply)
       i += 1
     }
