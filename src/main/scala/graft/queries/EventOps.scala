@@ -101,6 +101,70 @@ object EventOps {
       |  ${microSumSql("value")} AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Session windows through a REAL stream, hash-gated: Spark's
+    * `session_window` (dynamic gap-merge in the state store) consumed
+    * from the events file source in complete mode must reproduce the
+    * batch lag/flag/cumsum sessionization. Boundary semantics matter and
+    * are pinned by the gate: an event at EXACTLY the 30-min gap still
+    * merges into the session (`session_window` extends while
+    * `diff <= gap`; verified at sf0.1, where one exact-1800s gap makes a
+    * `>=` oracle split one session too many), so the oracle's
+    * new-session flag is `diff > 1800` — the same boundary as the batch
+    * [[sessionize]] query.
+    *
+    * SCALE: session-window state merges per user key and is bounded by
+    * the watermark horizon in production append mode; the session count +
+    * per-session event counts shuffle once on the user key, exactly like
+    * the batch window formulation.
+    */
+  def streamSessions: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+    val sink = "graft_stream_sessions_sink"
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink).orderBy(col("user_id"), col("session_start"))
+  }
+
+  val streamSessionsSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity): lag → new-session
     * flag → running sum as session index — the batch formulation of
     * streaming session windows.
@@ -166,6 +230,7 @@ object EventOps {
   val queries: Map[String, Q] = Map(
     "q_tumbling_window" -> tumblingWindow,
     "q_stream_window" -> streamWindow,
+    "q_stream_sessions" -> streamSessions,
     "q_sessionize" -> sessionize,
     "q_sql_tempview" -> sqlTempView,
   )
@@ -173,6 +238,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q_tumbling_window" -> tumblingWindowSql,
     "q_stream_window" -> streamWindowSql,
+    "q_stream_sessions" -> streamSessionsSql,
     "q_sessionize" -> sessionizeSql,
     "q_sql_tempview" -> sqlTempViewSql,
   )
