@@ -165,6 +165,53 @@ object EventOps {
       |FROM sessions GROUP BY user_id, session_idx
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** At-least-once delivery repaired to exactly-once by STREAMING DEDUP,
+    * hash-gated: the events file is delivered TWICE (two file sources
+    * unioned — the duplicate-delivery failure mode of any at-least-once
+    * bus), `dropDuplicates(event_id)` collapses redelivery in the state
+    * store, and the per-type rollup of the sink must hash-match the
+    * batch single-read oracle. If the dedup state dropped or double-kept
+    * a single event, the counts and the integer-micro value sum would
+    * both move.
+    *
+    * SCALE: dedup state is one key per event id — in production bounded
+    * with `withWatermark` + the event-time column in the key (see
+    * `Streaming.dedupStream`); unbounded here because the gate replays a
+    * finite file. State-store shuffle on the dedup key, then the rollup
+    * geometry of every other event query.
+    */
+  def streamDedup: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = src.unionByName(src).dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val sink = "graft_stream_dedup_sink"
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), microSum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamDedupSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |  ${microSumSql("value")} AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity): lag → new-session
     * flag → running sum as session index — the batch formulation of
     * streaming session windows.
@@ -231,6 +278,7 @@ object EventOps {
     "q_tumbling_window" -> tumblingWindow,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
+    "q_stream_dedup" -> streamDedup,
     "q_sessionize" -> sessionize,
     "q_sql_tempview" -> sqlTempView,
   )
@@ -239,6 +287,7 @@ object EventOps {
     "q_tumbling_window" -> tumblingWindowSql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
+    "q_stream_dedup" -> streamDedupSql,
     "q_sessionize" -> sessionizeSql,
     "q_sql_tempview" -> sqlTempViewSql,
   )
