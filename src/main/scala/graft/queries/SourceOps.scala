@@ -103,6 +103,59 @@ object SourceOps {
       |FROM v2 JOIN tip USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The TABLE FORMAT as a streaming sink, exactly-once, hash-gated: the
+    * events file streams through `foreachBatch` into TableLog with one
+    * idempotent transaction token per micro-batch, and EVERY batch is
+    * delivered TWICE (the foreachBatch at-least-once contract made
+    * concrete) — the second append must be a no-op via the `#txn=` log
+    * check. The rollup of the final table hash-matches the batch
+    * single-read oracle; one replayed row would move both the count and
+    * the integer-micro sum.
+    *
+    * SCALE: this is the Delta streaming-sink pattern — per-batch token
+    * in the commit log, checked inside the commit retry loop so
+    * concurrent re-deliveries can't both land. State is one token per
+    * batch in log metadata, not per-row bookkeeping.
+    */
+  def tableLogStream: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val dir = Scratch.dir("tlog_stream_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val ckpt = Scratch.dir("stream_ckpt_tlog_sink")
+    Scratch.wipe(ckpt)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.localCheckpoint()
+        graft.core.TableLog.appendIdempotent(s, dir, b, s"sink-$id")
+        // redelivery: same batch, same token -> must be a no-op
+        graft.core.TableLog.appendIdempotent(s, dir, b, s"sink-$id")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.core.TableLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Num.microSum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val tableLogStreamSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |  ${Num.microSumSql("value")} AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Partitioned TableLog: two commits laid out hive-style by order
     * status, then a MANIFEST-pruned read of one partition (only that
     * partition's files are handed to Spark — metadata-only pruning). The
@@ -326,6 +379,7 @@ object SourceOps {
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_table_log" -> tableLog,
+    "q_table_log_stream" -> tableLogStream,
     "q_table_log_partitioned" -> tableLogPartitioned,
     "q_table_log_merge" -> tableLogMerge,
     "q_table_log_skipping" -> tableLogSkipping,
@@ -338,6 +392,7 @@ object SourceOps {
     "q_json_roundtrip" -> jsonRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_table_log" -> tableLogSql,
+    "q_table_log_stream" -> tableLogStreamSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
     "q_table_log_merge" -> tableLogMergeSql,
     "q_table_log_skipping" -> tableLogSkippingSql,
