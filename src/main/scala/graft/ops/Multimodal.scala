@@ -178,6 +178,94 @@ object Multimodal {
     Row(imgId, w, h, hi, lo)
   }
 
+  /** Minimal RIFF/WAVE writer for 16-bit mono PCM — real binary format
+    * plumbing (RIFF header, fmt chunk, little-endian samples), no codec
+    * library. The audio twin of [[encodeGrayPng]].
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Parse a 16-bit mono PCM WAV produced by any conforming writer:
+    * walks the RIFF chunk list (tolerating extra chunks before `data`),
+    * validates the fmt contract, returns (sampleRate, samples).
+    */
+  def parseWavPcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF file"); bb.getInt()
+    require(tag() == "WAVE", "not a WAVE file")
+    var sampleRate = -1
+    var samples: Array[Short] = null
+    while (samples == null && bb.remaining() >= 8) {
+      val id = tag(); val len = bb.getInt()
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          sampleRate = bb.getInt(); bb.getInt(); bb.getShort()
+          val bits = bb.getShort()
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"unsupported wav: fmt=$fmt ch=$ch bits=$bits")
+          bb.position(bb.position() + (len - 16))
+        case "data" =>
+          val out = new Array[Short](len / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          samples = out
+        case _ => bb.position(bb.position() + len + (len & 1))
+      }
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    (sampleRate, samples)
+  }
+
+  /** Schema of [[wavStats]] rows. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("clip_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("amp_min", IntegerType, nullable = false),
+    StructField("amp_max", IntegerType, nullable = false),
+    StructField("abs_sum", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false)))
+
+  /** Integer waveform statistics from an encoded WAV — every stat exact
+    * (min/max amplitude, Σ|x| as the integer loudness proxy, strict
+    * sign-flip zero crossings), so an oracle that knows the waveform's
+    * closed form can reproduce them bit-for-bit without parsing a byte.
+    */
+  def wavStats(clipId: Long, bytes: Array[Byte]): Row = {
+    val (sr, xs) = parseWavPcm16(bytes)
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var absSum = 0L
+    var zc = 0L
+    var i = 0
+    while (i < xs.length) {
+      val v = xs(i).toInt
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      absSum += math.abs(v)
+      if (i > 0 && v.toLong * xs(i - 1) < 0) zc += 1
+      i += 1
+    }
+    Row(clipId, sr, xs.length, mn, mx, absSum, zc)
+  }
+
   /** Deterministic fake frame-sampling positions for a "video" payload:
     * every `stride`-th byte offset, up to `maxFrames` — the plumbing for
     * frame extraction without a codec.

@@ -251,7 +251,55 @@ object MultimodalOps {
       |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $PhashDedupT
       |ORDER BY id_a, id_b""".stripMargin
 
+  private val AudioN = 20
+
+  /** Audio through a REAL container round trip: 20 deterministic sawtooth
+    * clips are written as RIFF/WAVE 16-bit PCM ([[Multimodal.encodeWavPcm16]]
+    * — real header/chunk/little-endian plumbing, no codec library),
+    * parsed back by the chunk-walking reader, and reduced to integer
+    * waveform statistics — while the oracle reproduces every stat from
+    * the waveform's closed form `((t(997+id) + 31·id) mod 20001) − 10⁴`
+    * without seeing a byte. The audio sibling of [[imagePhash]]: equality
+    * gates the writer AND parser bit-exactly (PCM is lossless).
+    *
+    * SCALE: identical contract to image decode — mapPartitions batches,
+    * per-clip projection, zero shuffles before the presentation sort.
+    */
+  def audioStats: Q = (s, d) => {
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.audioStatsSchema)
+    s.range(AudioN.toLong).toDF("clip_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (4000 + 100 * id).toInt
+          val xs = Array.tabulate(n)(t =>
+            ((((t.toLong * (997 + id)) + 31 * id) % 20001) - 10000).toShort)
+          Multimodal.wavStats(id, Multimodal.encodeWavPcm16(16000, xs))
+        }
+      }(enc)
+      .orderBy(col("clip_id"))
+  }
+
+  val audioStatsSql: String =
+    s"""WITH clip AS (SELECT unnest(generate_series(0, ${AudioN - 1})) AS clip_id),
+      |t AS (SELECT clip_id, unnest(generate_series(0, 4000 + 100 * clip_id - 1)) AS t
+      |  FROM clip),
+      |sm AS (SELECT clip_id, t,
+      |    ((t * (997 + clip_id) + 31 * clip_id) % 20001) - 10000 AS v FROM t),
+      |l AS (SELECT clip_id, t, v,
+      |    lag(v) OVER (PARTITION BY clip_id ORDER BY t) AS pv FROM sm)
+      |SELECT CAST(clip_id AS BIGINT) AS clip_id,
+      |  CAST(16000 AS INTEGER) AS sample_rate,
+      |  CAST(count(*) AS INTEGER) AS n_samples,
+      |  CAST(min(v) AS INTEGER) AS amp_min,
+      |  CAST(max(v) AS INTEGER) AS amp_max,
+      |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings
+      |FROM l GROUP BY clip_id ORDER BY clip_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_audio_stats" -> audioStats,
     "q_image_resize" -> imageResize,
     "q_multimodal_meta" -> multimodalMeta,
     "q_frame_sample" -> frameSample,
@@ -259,6 +307,7 @@ object MultimodalOps {
     "q_dedup_phash" -> imagePhashDedup,
   )
   val oracles: Map[String, String] = Map(
+    "q_audio_stats" -> audioStatsSql,
     "q_image_resize" -> imageResizeSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_frame_sample" -> frameSampleSql,

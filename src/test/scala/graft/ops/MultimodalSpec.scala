@@ -84,4 +84,24 @@ class MultimodalSpec extends SparkSpec {
     assert(hamming(base, jitter) <= 6, s"near-dup drifted ${hamming(base, jitter)} bits")
     assert(hamming(base, other) >= 16, s"distinct images too close: ${hamming(base, other)}")
   }
+
+  test("wav pcm16 round trip is bit-exact and the parser skips foreign chunks") {
+    val xs = Array.tabulate(1000)(t => ((t * 37) % 8001 - 4000).toShort)
+    val bytes = Multimodal.encodeWavPcm16(22050, xs)
+    val (sr, back) = Multimodal.parseWavPcm16(bytes)
+    assert(sr == 22050 && back.toSeq == xs.toSeq)
+    // splice a LIST chunk between fmt and data - conforming writers may;
+    // the chunk walker must skip it
+    val bb = java.nio.ByteBuffer.allocate(bytes.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(bytes, 0, 36) // RIFF..WAVE..fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    bb.put(bytes, 36, bytes.length - 36)
+    val spliced = bb.array()
+    // fix the RIFF size field
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val (sr2, back2) = Multimodal.parseWavPcm16(spliced)
+    assert(sr2 == 22050 && back2.toSeq == xs.toSeq)
+  }
 }
