@@ -42,7 +42,7 @@ object Bronze {
   def ingestQuarter(spark: SparkSession, landingDir: String, yy: Int, q: Int,
                     fixedClock: Option[java.time.Instant] = None,
                     database: String = "bronze"): Unit =
-    Schemas.tables.foreach { case (table, (prefix, _)) =>
+    Pipeline.inParallel(Schemas.tables.toSeq) { case (table, (prefix, _)) =>
       // zero-pad: the FAERS layout is <PREFIX>YYQN.txt (DEMO05Q1, not DEMO5Q1)
       ingest(spark, table, f"$landingDir/$prefix$yy%02dQ$q.txt", fixedClock, database)
     }

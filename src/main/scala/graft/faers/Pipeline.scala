@@ -23,6 +23,30 @@ object Pipeline {
   def initDatabases(spark: SparkSession): Unit =
     databases.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
 
+  /** Run independent per-table stage steps as CONCURRENT Spark jobs.
+    * Each medallion stage is a fan of writes to DISTINCT tables with no
+    * cross-dependencies (the reference runs them as task-isolated
+    * Databricks jobs, i.e. concurrently when the scheduler allows —
+    * resources/jobs/faers_pipeline.yml:24-203); submitting them from one
+    * driver thread each lets Spark's FIFO scheduler interleave their
+    * stages, hiding the fixed per-write latency (commit protocol, catalog
+    * DDL, small-job scheduling) that dominates when tables are much
+    * smaller than the cluster. Pool of 4: enough to hide latency, small
+    * enough that concurrent jobs don't thrash executor memory. Await
+    * re-throws the first failure, so error semantics match the
+    * sequential loop.
+    */
+  private[faers] def inParallel[T](items: Seq[T], par: Int = 4)(f: T => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = items.map(i => scala.concurrent.Future(f(i)))
+      futures.foreach(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** The reference's post-write `OPTIMIZE <table>`: compact the managed
     * table's directory to ~target-size files — per leaf partition when the
     * table is hive-partitioned (Delta OPTIMIZE bins never span partitions).
@@ -85,7 +109,7 @@ object Pipeline {
     */
   def runSilver(spark: SparkSession,
                 fixedClock: Option[java.time.Instant]): Unit =
-    Silver.all.foreach { case (table, transform) =>
+    inParallel(Silver.all.toSeq) { case (table, transform) =>
       val latest = Transforms.readLatestPartition(spark, table)
       transform(latest, fixedClock)
         .write.mode("overwrite").saveAsTable(s"silver.$table")
@@ -98,7 +122,7 @@ object Pipeline {
     optimizeTable(spark, "gold.dim_date") // dim_date.py:182-185
     spark.sql("ANALYZE TABLE gold.dim_date COMPUTE STATISTICS")
 
-    Dims.specs.foreach { spec =>
+    inParallel(Dims.specs) { spec =>
       val staged = spec.build(spark.table(s"silver.${spec.sourceTable}"))
       val fq = s"gold.${spec.name}"
       val target = resolveTable(spark, fq)
