@@ -154,15 +154,51 @@ object ScaleOps {
       |  (SELECT o_orderkey FROM orders WHERE o_totalprice > $BloomThresh)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------ skew diagnosis
+
+  /** The detect half of the skew story ([[saltedJoin]] is the fix): the
+    * hottest join keys of a prospective shuffle, each with its exact
+    * count, integer-micro share of all rows, and bit-length frequency
+    * bucket. Run before a big join, this is the table that tells you
+    * whether AQE's skew split will cope or a key needs salting/isolation
+    * — a key holding ≫ 1/shufflePartitions of the rows is the tell.
+    *
+    * SCALE: one partial-aggregated count shuffle over the join key (the
+    * diagnosis costs one groupBy — strictly cheaper than the join it
+    * protects), a TakeOrderedAndProject for the hot head, and a 1-row
+    * total broadcast for the share. Integer micro shares, key tie-break.
+    */
+  def skewDiagnosis: Q = (s, d) => {
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val total = Tables.orders(s, d).agg(count(lit(1)).as("total"))
+    counts.orderBy(col("n").desc, col("o_custkey").asc).limit(10)
+      .crossJoin(broadcast(total))
+      .select(col("o_custkey"), col("n"),
+        expr("(n * 1000000) div total").as("share_micro"),
+        length(bin(col("n"))).as("freq_bucket"))
+      .orderBy(col("n").desc, col("o_custkey").asc)
+  }
+
+  val skewDiagnosisSql: String =
+    """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+      |t AS (SELECT count(*) AS total FROM orders)
+      |SELECT o_custkey, n, (n * 1000000) // total AS share_micro,
+      |  CAST(length(bin(n)) AS INTEGER) AS freq_bucket
+      |FROM c CROSS JOIN t
+      |ORDER BY n DESC, o_custkey ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_salted_join" -> saltedJoin,
     "q_bucketed_join" -> bucketedJoin,
     "q_bloom_semi_join" -> bloomSemiJoin,
+    "q_skew_diagnosis" -> skewDiagnosis,
   )
 
   val oracles: Map[String, String] = Map(
     "q_salted_join" -> saltedJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_bloom_semi_join" -> bloomSemiJoinSql,
+    "q_skew_diagnosis" -> skewDiagnosisSql,
   )
 }
