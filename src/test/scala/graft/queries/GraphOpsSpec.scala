@@ -87,4 +87,21 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 3L), (3L, 3L)), got.mkString(","))
   }
+
+  test("triangle census and LPA are bit-identical under different partitioning") {
+    import spark.implicits._
+    val edges = (for { u <- 1 to 40; v <- 1 to 40 if u < v }
+      yield (u.toLong, v.toLong))
+      .filter { case (u, v) => (u * 31 + v * 17) % 5 == 0 }
+      .toDF("u", "v")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) =
+      (GraphOps.triangleCensus(edges).collect().toSeq,
+        GraphOps.lpaCommunities(edges).collect().toSeq)
+    val base = run()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
