@@ -282,7 +282,79 @@ object SimilarityOps {
       |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT $RrfTop""".stripMargin
   }
 
+  // ---------------------------------------------------- eval metrics sweep
+
+  private val EvalThresholds = Seq(-0.2, -0.1, 0.0, 0.1, 0.2)
+
+  /** The evaluation half of a training pipeline: a threshold sweep of
+    * binary-classification metrics (confusion counts, precision, recall,
+    * F1) over a deterministic scored set — scores are the rounded cosine
+    * of each corpus vector against query vector 0, ground truth is the
+    * label's parity. Metrics are INTEGER MICRO-UNITS derived with `div`
+    * (`f1 = 2·tp·10⁶ div (2·tp + fp + fn)` — the algebraic form that
+    * never divides by a rounded intermediate), so the whole sweep is
+    * bit-stable and oracle-checkable.
+    *
+    * SCALE: one pass over the scored set with a 5-way threshold fan-out
+    * (explode of a constant array — map-side), then one
+    * partial-aggregated shuffle keyed by threshold. Score computation is
+    * the codegen'd `graft_dot`; nothing corpus-sized is ever shuffled
+    * unaggregated.
+    */
+  def evalMetrics: Q = (s, d) => {
+    val q0 = Similarity.withNorm(
+        Tables.embeddings(s, d).filter(col("vec_id") === 0), "embedding")
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val scored = Similarity.withNorm(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0), "embedding")
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), (col("label") % 2 === 1).as("is_pos"),
+        round(Similarity.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+          .as("score"))
+    scored
+      .select(col("is_pos"), col("score"),
+        explode(array(EvalThresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("score") >= col("threshold") && col("is_pos"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold") && !col("is_pos"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold") && col("is_pos"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_micro"),
+        expr("(tp * 1000000) div (tp + fn)").as("recall_micro"),
+        expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_micro"))
+      .orderBy(col("threshold"))
+  }
+
+  val evalMetricsSql: String = {
+    val dotQC = Similarity.dotSql("c.v", "q.v", 64)
+    val dotVV = Similarity.dotSql("v", "v", 64)
+    val ts = EvalThresholds.mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt($dotVV) AS nrm FROM base),
+      |q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+      |scored AS (SELECT c.vec_id, c.label % 2 = 1 AS is_pos,
+      |    round($dotQC / (c.nrm * q.nrm), 6) AS score
+      |  FROM n c CROSS JOIN q WHERE c.vec_id <> 0),
+      |fan AS (SELECT is_pos, score, unnest($ts::DOUBLE[]) AS threshold FROM scored),
+      |agg AS (SELECT threshold,
+      |    sum(CASE WHEN score >= threshold AND is_pos THEN 1 ELSE 0 END) AS tp,
+      |    sum(CASE WHEN score >= threshold AND NOT is_pos THEN 1 ELSE 0 END) AS fp,
+      |    sum(CASE WHEN score < threshold AND is_pos THEN 1 ELSE 0 END) AS fn
+      |  FROM fan GROUP BY threshold)
+      |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(fn AS BIGINT) AS fn,
+      |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro,
+      |  CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_micro,
+      |  CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT) AS f1_micro
+      |FROM agg ORDER BY threshold""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_metrics" -> evalMetrics,
     "q_hybrid_rrf" -> hybridRrf,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
@@ -292,6 +364,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_eval_metrics" -> evalMetricsSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_knn_brute" -> knnBruteSql,
     "q_knn_lsh" -> knnLshSql,
