@@ -353,7 +353,72 @@ object SimilarityOps {
       |FROM agg ORDER BY threshold""".stripMargin
   }
 
+  /** Exact ROC-AUC by the Mann–Whitney rank statistic, tie-corrected with
+    * integer midranks: for a tie group starting at rank r with c members,
+    * `2·midrank = 2r + c − 1` (doubling keeps the .5 midranks integral),
+    * and `auc_micro = (Σ2midrank_pos − n_pos(n_pos+1)) · 10⁶ div
+    * (2·n_pos·n_neg)` — every intermediate an exact long, so the AUC is
+    * bit-stable and hash-gated. Same deterministic scored set as
+    * [[evalMetrics]].
+    *
+    * SCALE note: ranking here is one global window over the scored set —
+    * fine for eval sets (they are sampled by construction); for an AUC
+    * over billions of rows, bucket scores into a fixed histogram and
+    * compute the same statistic from bucket prefix sums (the
+    * [[SketchOps]] quantile machinery), trading exactness for one
+    * partial-aggregated pass.
+    */
+  def evalAuc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val q0 = Similarity.withNorm(
+        Tables.embeddings(s, d).filter(col("vec_id") === 0), "embedding")
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val scored = Similarity.withNorm(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0), "embedding")
+      .crossJoin(broadcast(q0))
+      .select((col("label") % 2 === 1).as("is_pos"),
+        round(Similarity.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+          .as("score"))
+    val ranked = scored
+      .withColumn("r", rank().over(Window.orderBy(col("score"))))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("score"))))
+    ranked.agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("is_pos"), lit(2L) * col("r") + col("c") - 1L)
+          .otherwise(0L)).as("sum_2midrank_pos"))
+      .select(col("n_pos"), col("n_neg"), col("sum_2midrank_pos"),
+        expr("((sum_2midrank_pos - n_pos * (n_pos + 1)) * 1000000) " +
+          "div (2 * n_pos * n_neg)").as("auc_micro"))
+  }
+
+  val evalAucSql: String = {
+    val dotQC = Similarity.dotSql("c.v", "q.v", 64)
+    val dotVV = Similarity.dotSql("v", "v", 64)
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt($dotVV) AS nrm FROM base),
+      |q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+      |scored AS (SELECT c.label % 2 = 1 AS is_pos,
+      |    round($dotQC / (c.nrm * q.nrm), 6) AS score
+      |  FROM n c CROSS JOIN q WHERE c.vec_id <> 0),
+      |ranked AS (SELECT is_pos,
+      |    rank() OVER (ORDER BY score) AS r,
+      |    count(*) OVER (PARTITION BY score) AS c
+      |  FROM scored),
+      |agg AS (SELECT
+      |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_pos,
+      |    sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS n_neg,
+      |    sum(CASE WHEN is_pos THEN 2 * r + c - 1 ELSE 0 END) AS sum_2midrank_pos
+      |  FROM ranked)
+      |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+      |  CAST(sum_2midrank_pos AS BIGINT) AS sum_2midrank_pos,
+      |  CAST(((sum_2midrank_pos - n_pos * (n_pos + 1)) * 1000000)
+      |    // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+      |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_auc" -> evalAuc,
     "q_eval_metrics" -> evalMetrics,
     "q_hybrid_rrf" -> hybridRrf,
     "q_knn_brute" -> knnBrute,
@@ -364,6 +429,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_eval_auc" -> evalAucSql,
     "q_eval_metrics" -> evalMetricsSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_knn_brute" -> knnBruteSql,
