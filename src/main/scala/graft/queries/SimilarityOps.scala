@@ -417,7 +417,58 @@ object SimilarityOps {
       |FROM agg""".stripMargin
   }
 
+  /** The calibration check next to [[evalMetrics]]'s discrimination and
+    * [[evalAuc]]'s ranking: scores binned into fixed 0.1-wide buckets
+    * (`floor(score·10)` — integer bin ids, no boundary ambiguity), per
+    * bin the count, the exact mean score in micro-units (sum of
+    * per-row micro-rounded scores div n — order-free), and the positive
+    * rate in micro-units. A well-calibrated scorer shows pos_rate ≈
+    * mean score per bin; the drift table IS the reliability diagram.
+    *
+    * SCALE: one partial-aggregated shuffle on ≤ ~20 bin keys.
+    */
+  def evalCalibration: Q = (s, d) => {
+    val q0 = Similarity.withNorm(
+        Tables.embeddings(s, d).filter(col("vec_id") === 0), "embedding")
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    Similarity.withNorm(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0), "embedding")
+      .crossJoin(broadcast(q0))
+      .select((col("label") % 2 === 1).as("is_pos"),
+        round(Similarity.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+          .as("score"))
+      .select(floor(col("score") * 10).cast("long").as("bin"),
+        round(col("score") * 1000000).cast("long").as("score_micro"),
+        col("is_pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(score_micro) div count(1)").as("mean_score_micro"),
+        expr("(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) * 1000000) div count(1)")
+          .as("pos_rate_micro"))
+      .orderBy(col("bin"))
+  }
+
+  val evalCalibrationSql: String = {
+    val dotQC = Similarity.dotSql("c.v", "q.v", 64)
+    val dotVV = Similarity.dotSql("v", "v", 64)
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt($dotVV) AS nrm FROM base),
+      |q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+      |scored AS (SELECT c.label % 2 = 1 AS is_pos,
+      |    round($dotQC / (c.nrm * q.nrm), 6) AS score
+      |  FROM n c CROSS JOIN q WHERE c.vec_id <> 0),
+      |b AS (SELECT CAST(floor(score * 10) AS BIGINT) AS bin,
+      |    CAST(round(score * 1000000) AS BIGINT) AS score_micro, is_pos
+      |  FROM scored)
+      |SELECT bin, count(*) AS n,
+      |  CAST(sum(score_micro) // count(*) AS BIGINT) AS mean_score_micro,
+      |  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+      |    AS pos_rate_micro
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_calibration" -> evalCalibration,
     "q_eval_auc" -> evalAuc,
     "q_eval_metrics" -> evalMetrics,
     "q_hybrid_rrf" -> hybridRrf,
@@ -429,6 +480,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_eval_calibration" -> evalCalibrationSql,
     "q_eval_auc" -> evalAucSql,
     "q_eval_metrics" -> evalMetricsSql,
     "q_hybrid_rrf" -> hybridRrfSql,
