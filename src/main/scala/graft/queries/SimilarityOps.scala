@@ -467,7 +467,72 @@ object SimilarityOps {
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  /** NDCG@10 of the dense retriever for query vector 0 — the standard
+    * graded-relevance ranking metric, completing the retrieval stack
+    * (BM25, cosine ANN, RRF fusion → and now its evaluation). Relevance
+    * is the integer grade `max(0, 3 − |label(doc) − label(query)|)`;
+    * each position's discounted gain is micro-rounded BEFORE summation
+    * (`round(rel·10⁶ / log2(pos+1))` — per-term rounding is the same
+    * order-free discipline as the LM/entropy kernels, and positions are
+    * a fixed 1..10 so the float log is rounded once per term, never
+    * accumulated), IDCG re-ranks the same 10 grades descending, and
+    * `ndcg_micro = dcg·10⁶ div idcg` stays integer.
+    *
+    * SCALE: the ranking is [[Similarity.bruteForceKnn]]'s top-k (heap
+    * top-k per query, corpus never sorted); the metric itself touches 10
+    * rows.
+    */
+  def evalNdcg: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val top = Similarity.bruteForceKnn(corpus(s, d),
+        querySet(s, d).filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 10)
+      .select(col("nbr_id"), col("rank"))
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val graded = top.join(labels, col("nbr_id") === col("vec_id"))
+      .select(col("rank"),
+        greatest(lit(0), lit(3) - abs(col("label") - lit(2))).as("rel"))
+    val terms = graded
+      .withColumn("gain_micro",
+        round(col("rel") * 1000000.0 / log2(col("rank") + 1)).cast("long"))
+      .withColumn("irank",
+        row_number().over(Window.orderBy(col("rel").desc, col("rank").asc)))
+      .withColumn("ideal_micro",
+        round(col("rel") * 1000000.0 / log2(col("irank") + 1)).cast("long"))
+    terms.agg(sum(col("gain_micro")).as("dcg_micro"),
+        sum(col("ideal_micro")).as("idcg_micro"))
+      .select(col("dcg_micro"), col("idcg_micro"),
+        expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_micro"))
+  }
+
+  val evalNdcgSql: String = {
+    val dotQC = Similarity.dotSql("q.v", "c.v", 64)
+    val dotVV = Similarity.dotSql("v", "v", 64)
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt($dotVV) AS nrm FROM base),
+      |scored AS (SELECT c.vec_id AS nbr_id, c.label,
+      |    round($dotQC / (q.nrm * c.nrm), 6) AS cos_sim
+      |  FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0),
+      |top AS (SELECT * FROM (SELECT nbr_id, label, row_number() OVER
+      |    (ORDER BY cos_sim DESC, nbr_id ASC) AS rank FROM scored)
+      |  WHERE rank <= 10),
+      |graded AS (SELECT rank, greatest(0, 3 - abs(label - 2)) AS rel FROM top),
+      |terms AS (SELECT rank, rel,
+      |    CAST(round(rel * 1000000.0 / log2(rank + 1)) AS BIGINT) AS gain_micro,
+      |    row_number() OVER (ORDER BY rel DESC, rank ASC) AS irank
+      |  FROM graded),
+      |terms2 AS (SELECT *,
+      |    CAST(round(rel * 1000000.0 / log2(irank + 1)) AS BIGINT) AS ideal_micro
+      |  FROM terms),
+      |agg AS (SELECT CAST(sum(gain_micro) AS BIGINT) AS dcg_micro,
+      |    CAST(sum(ideal_micro) AS BIGINT) AS idcg_micro FROM terms2)
+      |SELECT dcg_micro, idcg_micro,
+      |  CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT) AS ndcg_micro
+      |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_ndcg" -> evalNdcg,
     "q_eval_calibration" -> evalCalibration,
     "q_eval_auc" -> evalAuc,
     "q_eval_metrics" -> evalMetrics,
@@ -480,6 +545,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_eval_ndcg" -> evalNdcgSql,
     "q_eval_calibration" -> evalCalibrationSql,
     "q_eval_auc" -> evalAucSql,
     "q_eval_metrics" -> evalMetricsSql,
