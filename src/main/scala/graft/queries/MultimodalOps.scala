@@ -298,7 +298,70 @@ object MultimodalOps {
       |    AS zero_crossings
       |FROM l GROUP BY clip_id ORDER BY clip_id""".stripMargin
 
+  private val BinN = 10
+
+  /** The multimodal INGEST path end-to-end: WAV clips written as REAL
+    * FILES on disk, read back through Spark's `binaryFile` source (the
+    * production way a media corpus enters the lake — one row per file
+    * with path + content bytes), parsed by the RIFF reader, reduced to
+    * the integer waveform stats, with the clip id recovered from the
+    * FILENAME. The oracle reproduces everything from the closed-form
+    * waveform — so the gate covers file write → directory listing →
+    * binary read → parse → stats as one chain.
+    *
+    * SCALE: binaryFile is a standard FileScan — partition-parallel over
+    * files, `pathGlobFilter`/partitioned layouts for pruning; the decode
+    * batches per partition like [[Multimodal.decodeAll]]. One caveat at
+    * 100 TB: binaryFile caps per-row content at
+    * `spark.sql.sources.binaryFile.maxLength` — shard bigger media.
+    */
+  def binaryFileIngest: Q = (s, d) => {
+    val dir = Scratch.dir("binfile_wavs")
+    Scratch.wipe(dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(dir))
+    (0 until BinN).foreach { id =>
+      val n = 2000 + 50 * id
+      val xs = Array.tabulate(n)(t =>
+        ((((t.toLong * (641 + id)) + 13 * id) % 16001) - 8000).toShort)
+      java.nio.file.Files.write(
+        java.nio.file.Path.of(dir, f"clip_$id%03d.wav"),
+        Multimodal.encodeWavPcm16(8000, xs))
+    }
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.audioStatsSchema)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val clipId = r.getString(0)
+            .replaceAll(".*clip_(\\d+)\\.wav$", "$1").toLong
+          Multimodal.wavStats(clipId, r.getAs[Array[Byte]](1))
+        }
+      }(enc)
+      .orderBy(col("clip_id"))
+  }
+
+  val binaryFileIngestSql: String =
+    s"""WITH clip AS (SELECT unnest(generate_series(0, ${BinN - 1})) AS clip_id),
+      |t AS (SELECT clip_id, unnest(generate_series(0, 2000 + 50 * clip_id - 1)) AS t
+      |  FROM clip),
+      |sm AS (SELECT clip_id, t,
+      |    ((t * (641 + clip_id) + 13 * clip_id) % 16001) - 8000 AS v FROM t),
+      |l AS (SELECT clip_id, t, v,
+      |    lag(v) OVER (PARTITION BY clip_id ORDER BY t) AS pv FROM sm)
+      |SELECT CAST(clip_id AS BIGINT) AS clip_id,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(count(*) AS INTEGER) AS n_samples,
+      |  CAST(min(v) AS INTEGER) AS amp_min,
+      |  CAST(max(v) AS INTEGER) AS amp_max,
+      |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings
+      |FROM l GROUP BY clip_id ORDER BY clip_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_binaryfile_ingest" -> binaryFileIngest,
     "q_audio_stats" -> audioStats,
     "q_image_resize" -> imageResize,
     "q_multimodal_meta" -> multimodalMeta,
@@ -307,6 +370,7 @@ object MultimodalOps {
     "q_dedup_phash" -> imagePhashDedup,
   )
   val oracles: Map[String, String] = Map(
+    "q_binaryfile_ingest" -> binaryFileIngestSql,
     "q_audio_stats" -> audioStatsSql,
     "q_image_resize" -> imageResizeSql,
     "q_multimodal_meta" -> multimodalMetaSql,

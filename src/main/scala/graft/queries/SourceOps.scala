@@ -67,6 +67,50 @@ object SourceOps {
       |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Fixed-width record round-trip — the mainframe/legacy-feed format the
+    * `text` source + substring slicing handles without any parser
+    * library: supplier encoded as zero-padded fixed columns (money as
+    * OFFSET cents — lpad zero-fill breaks on a minus sign, so negatives
+    * ride as `cents + 10⁹`), written via the text sink, sliced back by
+    * position, decoded, and rolled up per nation. The oracle computes the
+    * rollup from the raw table — any slicing/offset/cast asymmetry breaks
+    * the hash.
+    *
+    * SCALE: text scan + substring projection is codegen'd scan-side work;
+    * the encode is a single concat projection. Same shuffle geometry as
+    * the parquet original.
+    */
+  def fixedWidthRoundtrip: Q = (s, d) => {
+    val tmp = Scratch.dir("graft_fixedwidth")
+    val Offset = 1000000000L
+    Tables.supplier(s, d)
+      .select(concat(
+        lpad(col("s_suppkey").cast("string"), 10, "0"),
+        lpad(col("s_nationkey").cast("string"), 5, "0"),
+        lpad((Num.cents(col("s_acctbal")) + Offset).cast("string"), 15, "0"))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val back = s.read.text(tmp).select(
+      substring(col("value"), 1, 10).cast("long").as("s_suppkey"),
+      substring(col("value"), 11, 5).cast("int").as("s_nationkey"),
+      ((substring(col("value"), 16, 15).cast("long") - Offset).cast("double") / 100.0)
+        .as("s_acctbal"))
+    back.join(broadcast(Tables.nation(s, d)),
+        back("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        Num.moneySum(col("s_acctbal")).as("sum_acctbal"),
+        min(col("s_suppkey")).as("min_suppkey"))
+      .orderBy(col("n_name"))
+  }
+
+  val fixedWidthRoundtripSql: String =
+    s"""SELECT n_name, count(*) AS n_suppliers,
+      |  ${Num.moneySumSql("s_acctbal")} AS sum_acctbal,
+      |  CAST(min(s_suppkey) AS BIGINT) AS min_suppkey
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** The manifest-log table format end-to-end: lineitem appended as three
     * committed versions, then aggregated from BOTH the version-2 snapshot
     * (time travel: first two slices only) and the tip (all rows). The
@@ -378,6 +422,7 @@ object SourceOps {
     "q_dynamic_overwrite" -> dynamicOverwrite,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
+    "q_fixedwidth_roundtrip" -> fixedWidthRoundtrip,
     "q_table_log" -> tableLog,
     "q_table_log_stream" -> tableLogStream,
     "q_table_log_partitioned" -> tableLogPartitioned,
@@ -391,6 +436,7 @@ object SourceOps {
     "q_dynamic_overwrite" -> dynamicOverwriteSql,
     "q_json_roundtrip" -> jsonRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "q_table_log" -> tableLogSql,
     "q_table_log_stream" -> tableLogStreamSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
