@@ -14,10 +14,12 @@ object Bench {
       .getOrCreate()
     graft.core.Session.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // Two timed passes, min per query: pass 1 doubles as the warm-up (JIT,
-    // codegen cache, parquet footers), and the min also discards whatever
+    // Three timed passes, min per query: pass 1 doubles as the warm-up
+    // (JIT, codegen cache, parquet footers), and the min discards whatever
     // GC / catalog-cache churn a previous query leaves behind (observed 3x
     // inflation on the first alphabetical query in single-pass timing).
+    // All pass times are published ("passes") so cross-round comparisons
+    // can tell environment noise from plan regressions.
     // SPARK_GRAFT_ONLY=q_a,q_b: time a subset for fast local iteration
     // (the driver never sets it; also skips the pipeline bench)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -36,6 +38,7 @@ object Bench {
       }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
+    val p3 = timedPass()
     // End-to-end FAERS medallion run (the reference's ACTUAL workload:
     // 7 ingests -> 7 silvers -> dim_date + 7 SCD2 dims -> 9-join fact) over
     // a deterministic ~100k-case synthetic quarter (~300k fact rows).
@@ -59,12 +62,31 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pipeline_faers failed: ${e.getMessage}"); -1.0
     }
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) } ++
-      (if (only.isDefined) Map.empty else Map("pipeline_faers" -> pipelineSec))
+    // Per-query min of the 3 timed passes PLUS the raw pass times: a
+    // round-over-round move on untouched code is only diagnosable as
+    // noise when the spread is visible (r3 saw 4.6x on an unchanged
+    // query from same-JVM environment drift; min-of-3 + published
+    // spread makes that attributable instead of looking like a plan
+    // regression).
+    val passes = Seq(p1, p2, p3)
+    val results = p1.keys.map { k =>
+      k -> passes.map(_(k)).min
+    }.toMap ++
+      (if (only.isDefined || pipelineSec < 0) Map.empty
+       else Map("pipeline_faers" -> pipelineSec))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = p1.keys.toSeq.sorted.map { k =>
+      s"\"" + k + "\":[" + passes.map(_(k)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // A failed pipeline run is flagged, never folded into the total as a
+    // -1.0 sentinel (which silently skewed the headline metric by -1s).
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val pipelineJson =
+      if (only.isDefined) ""
+      else if (pipelineSec < 0) ""","pipeline_failed":true"""
+      else ""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$spread$pipelineJson,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout through a bounded tail buffer, which
     // truncated round 2's 117-query line; the file copy is authoritative.

@@ -126,7 +126,48 @@ object Scd2 {
 
   /** Stable hash bucket of the business key, used as the dimension table's
     * physical partition column for [[mergeBucketed]].
+    *
+    * LAYOUT CONTRACT (v2): the NULL-key sentinel is U+0001 (v1 used '',
+    * which collided with genuinely-empty string keys — harmless for pure
+    * routing, but ambiguous). `_bucket` is a PERSISTED partition column,
+    * so changing the sentinel changes where NULL-business-key rows
+    * physically live: an incremental merge against a v1-layout table
+    * would prune to the wrong partition slice and re-insert an
+    * already-current key (two current versions). Tables stamp their
+    * layout version on initial load and [[mergeBucketed]] refuses to
+    * merge into a table stamped with a different (or missing) version —
+    * pre-existing v1 tables must be rebuilt (one read + initial-load
+    * write), not merged into.
     */
+  val BucketLayoutVersion = 2
+  private val LayoutVersionFile = "_scd2_bucket_layout"
+
+  private def layoutPath(tablePath: String) =
+    new org.apache.hadoop.fs.Path(tablePath, LayoutVersionFile)
+
+  private def stampLayout(fs: org.apache.hadoop.fs.FileSystem,
+                          tablePath: String): Unit = {
+    val out = fs.create(layoutPath(tablePath), true)
+    try out.write(BucketLayoutVersion.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def checkLayout(fs: org.apache.hadoop.fs.FileSystem,
+                          tablePath: String): Unit = {
+    val p = layoutPath(tablePath)
+    val found =
+      if (!fs.exists(p)) "absent (pre-v2 table)"
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      }
+    require(found == BucketLayoutVersion.toString,
+      s"mergeBucketed: $tablePath has bucket layout version $found, this " +
+        s"code writes v$BucketLayoutVersion (NULL-key sentinel changed). " +
+        "Incremental merge would prune the wrong partition slice; rebuild " +
+        "the table (read + initial load) to migrate.")
+  }
+
   def keyBucket(businessKeys: Seq[String], nBuckets: Int): Column =
     pmod(xxhash64(businessKeys.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*),
       lit(nBuckets)).cast("int")
@@ -148,11 +189,12 @@ object Scd2 {
                     trackedCols: Seq[String], clock: ScdClock,
                     nBuckets: Int = 256): Unit = {
     val bucket = keyBucket(businessKeys, nBuckets)
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // initial load iff the table has no content yet (a bare pre-created
     // directory counts as absent)
     val exists = {
       val p = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.exists(p) && fs.listStatus(p).exists(s =>
         s.getPath.getName.startsWith("_bucket="))
     }
@@ -160,7 +202,9 @@ object Scd2 {
       applyScdType2Merge(None, staged, businessKeys, trackedCols, clock)
         .withColumn("_bucket", bucket)
         .write.partitionBy("_bucket").mode("overwrite").parquet(tablePath)
+      stampLayout(fs, tablePath)
     } else {
+      checkLayout(fs, tablePath) // refuse cross-layout incremental merges
       val affected = staged.select(bucket.as("_bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
       val slice = spark.read.parquet(tablePath)

@@ -34,7 +34,11 @@ object Pipeline {
     * smaller than the cluster. Pool of 4: enough to hide latency, small
     * enough that concurrent jobs don't thrash executor memory. Await
     * re-throws the first failure, so error semantics match the
-    * sequential loop.
+    * sequential loop — and on failure outstanding work is CANCELLED and
+    * drained before the rethrow (shutdownNow + awaitTermination), so a
+    * failed stage's stragglers can't keep writing tables concurrently
+    * with whatever the caller does next (a bare shutdown() would let them
+    * run to completion across the stage boundary).
     */
   private[faers] def inParallel[T](items: Seq[T], par: Int = 4)(f: T => Unit): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
@@ -42,8 +46,13 @@ object Pipeline {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try {
       val futures = items.map(i => scala.concurrent.Future(f(i)))
-      futures.foreach(scala.concurrent.Await.result(_,
+      try futures.foreach(scala.concurrent.Await.result(_,
         scala.concurrent.duration.Duration.Inf))
+      catch { case e: Throwable =>
+        pool.shutdownNow() // cancel queued tasks, interrupt running ones
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw e
+      }
     } finally pool.shutdown()
   }
 

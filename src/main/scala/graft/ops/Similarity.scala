@@ -293,6 +293,19 @@ object Similarity {
                            blockCols: Seq[String], minCos: Double,
                            bandBits: Int = 8, bands: Int = 4,
                            roundTo: Int = 6): DataFrame = {
+    // Enforce the documented bands·bandBits ≤ dim contract: past-the-end
+    // element_at returns null, the sign test falls to otherwise(0), and
+    // every out-of-range band degenerates to one constant bucket — the
+    // candidate join silently goes block-quadratic (the exact failure mode
+    // this path exists to avoid; results would stay correct only because
+    // of the exact-cosine verify). One-row metadata probe, not a scan.
+    df.select(size(col(vecCol)).as("_dim")).take(1).foreach { r =>
+      val dim = r.getInt(0)
+      require(bands * bandBits <= dim,
+        s"embeddingNearDupsLsh: bands($bands) * bandBits($bandBits) = " +
+          s"${bands * bandBits} exceeds vector dim $dim; lower bands/bandBits " +
+          "or they index past the vector and LSH degenerates to one bucket")
+    }
     val base = withNorm(df, vecCol)
       .select((col(idCol) +: col("v") +: col("nrm") +: blockCols.map(col)): _*)
     // all band buckets in ONE projection over the scan (no per-band rescan)

@@ -21,6 +21,15 @@ object EventOps {
   private def microSum(c: org.apache.spark.sql.Column) = Num.microSum(c)
   private val microSumSql = (e: String) => Num.microSumSql(e)
 
+  /** Per-data-dir sink name: the memory-sink temp view and its derived
+    * checkpoint dir are global JVM/machine state, so a fixed name would
+    * collide across concurrent or interleaved invocations at different
+    * scale factors (parallel test runners, back-to-back verify runs).
+    * Salting with the data dir makes every stream gate reentrant per SF.
+    */
+  private def sinkFor(base: String, dataDir: String): String =
+    base + "_" + java.lang.Integer.toHexString(dataDir.hashCode)
+
   /** Tumbling 1-hour windows per event type (batch `window()` — identical
     * semantics to the streaming groupBy(window(...)) path).
     */
@@ -59,7 +68,7 @@ object EventOps {
     */
   def streamWindow: Q = (s, d) =>
     streamWindowOver(s, d, glob = "events.parquet",
-      sink = "graft_stream_window_sink")
+      sink = sinkFor("graft_stream_window_sink", d))
 
   /** The streaming pipeline itself, parameterized over source dir/glob so
     * specs can feed a MULTI-FILE copy (several micro-batches) and assert
@@ -133,7 +142,7 @@ object EventOps {
       .select(col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         col("n_events"))
-    val sink = "graft_stream_sessions_sink"
+    val sink = sinkFor("graft_stream_sessions_sink", d)
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
     s.catalog.dropTempView(sink)
@@ -192,7 +201,7 @@ object EventOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val deduped = src.unionByName(src).dropDuplicates("event_id")
       .select(col("event_id"), col("event_type"), col("value"))
-    val sink = "graft_stream_dedup_sink"
+    val sink = sinkFor("graft_stream_dedup_sink", d)
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
     s.catalog.dropTempView(sink)

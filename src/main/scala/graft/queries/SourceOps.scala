@@ -175,7 +175,10 @@ object SourceOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
       .select(col("event_id"), col("event_type"), col("value"))
-    val ckpt = Scratch.dir("stream_ckpt_tlog_sink")
+    // salt the checkpoint like the table dir: a fixed checkpoint shared
+    // across data dirs would replay another SF's committed offsets
+    val ckpt = Scratch.dir(
+      "stream_ckpt_tlog_sink_" + java.lang.Integer.toHexString(d.hashCode))
     Scratch.wipe(ckpt)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
