@@ -23,9 +23,10 @@ import graft.core.Tables
   * rows) broadcast onto the checkpointed edge list — the O(edges) side is
   * never re-shuffled — then ONE shuffle, the partial-aggregated sum by
   * dst. `localCheckpoint` truncates lineage each round (the growth that
-  * kills naive iterative Spark). If the rank table ever outgrows
-  * broadcast, pre-partition edges by src once and drop the hint: every
-  * iteration's join then co-locates for free.
+  * kills naive iterative Spark). When the node tables outgrow broadcast,
+  * [[copartitionMode]] switches every edges⋈node join to the
+  * co-partitioned geometry: edges pre-partitioned by src once, each
+  * round's join co-locating with zero exchanges on either side.
   */
 object GraphOps {
 
@@ -34,6 +35,64 @@ object GraphOps {
   /** Fixed iteration count — parity with the unrolled oracle. */
   private val Iters = 5
   private val TopN = 25
+
+  // ------------------------------------------------- join-geometry switch
+
+  /** Every edges⋈node-table join below runs in one of two geometries:
+    *
+    *  - BROADCAST (small graphs): the node-sized side (ranks, labels,
+    *    degrees, adjacency) ships to every executor; the O(edges) side is
+    *    never re-shuffled. Adjacency payload is O(edges) in total (each
+    *    oriented edge sits in exactly one array), so this geometry caps
+    *    out well before the others — at ~100× sf0.1 a multi-GB adjacency
+    *    broadcast OOMs driver and executors.
+    *  - CO-PARTITION (at scale): both sides hash-partitioned on the node
+    *    key. The edge list is repartitioned ONCE, before its checkpoint —
+    *    `Dataset.checkpoint` captures outputPartitioning into the
+    *    LogicalRDD, so every subsequent per-round join sees the edge side
+    *    already distributed and exchanges only the node-sized side (or
+    *    nothing: each round's agg output is already partitioned on the
+    *    node key, and alias-aware propagation carries it through the
+    *    renames). No broadcast anywhere; nothing data-sized ever
+    *    concentrates on one machine.
+    *
+    * `spark.graft.graph.join` picks: `broadcast` | `copartition` | `auto`
+    * (default). Auto is size-thresholded on the INPUT bytes under the data
+    * dir (a metadata-only file listing, available before any job runs):
+    * broadcast below `spark.graft.graph.broadcastMaxInputBytes` (default
+    * 2 GiB — node tables of a graph built from less input than that sit
+    * comfortably under executor memory), co-partition above. Spec-proven
+    * result-equal in GraphOpsSpec; PlanSpec-style assertions pin the
+    * absence of broadcast in co-partition plans.
+    */
+  private[queries] def copartitionMode(s: SparkSession, d: String): Boolean =
+    s.conf.get("spark.graft.graph.join", "auto") match {
+      case "broadcast" => false
+      case "copartition" => true
+      case _ =>
+        val thresh = s.conf.get("spark.graft.graph.broadcastMaxInputBytes",
+          (2L * 1024 * 1024 * 1024).toString).toLong
+        graphInputBytes(s, d) > thresh
+    }
+
+  /** Total bytes of the tables the graph queries read under `d` —
+    * metadata-only (file listing, no job).
+    */
+  private def graphInputBytes(s: SparkSession, d: String): Long =
+    Seq("lineitem.parquet", "orders.parquet").map { t =>
+      val p = new org.apache.hadoop.fs.Path(d, t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else if (fs.getFileStatus(p).isFile) fs.getFileStatus(p).getLen
+      else fs.listStatus(p).map(_.getLen).sum
+    }.sum
+
+  /** The node-sized join side under the chosen geometry: broadcast-hinted
+    * on small graphs, plain (→ shuffle join, co-located when the big side
+    * is pre-partitioned) at scale.
+    */
+  private def side(copart: Boolean, df: DataFrame): DataFrame =
+    if (copart) df else broadcast(df)
 
   /** PageRank over the undirected customer–supplier graph (an edge per
     * distinct trading pair in orders⋈lineitem), damping 0.85, 5
@@ -46,7 +105,8 @@ object GraphOps {
     * are rendered once, on the final 25 rows ([[render]]). ~35% off the
     * query's runtime at sf0.1.
     */
-  private[queries] def tradingGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[queries] def tradingGraph(s: SparkSession, d: String,
+                                    copart: Boolean = false): (DataFrame, DataFrame) = {
     val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -55,8 +115,12 @@ object GraphOps {
       .distinct()
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
-    // edge list materialized once; degrees are O(nodes) and reused each round
-    val e = edges.transform(graft.core.Checkpoint.apply)
+    // edge list materialized once; degrees are O(nodes) and reused each
+    // round. Co-partition mode pays ONE src-hash exchange here so the
+    // checkpoint pins HashPartitioning(src) — every later join and the
+    // degree agg then reuse it instead of broadcasting.
+    val e = (if (copart) edges.repartition(col("src")) else edges)
+      .transform(graft.core.Checkpoint.apply)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).transform(graft.core.Checkpoint.apply)
     (e, deg)
   }
@@ -76,12 +140,16 @@ object GraphOps {
     * before checkpointing hides it.
     */
   private[queries] def iterate(e: DataFrame, deg: DataFrame,
-                               rank: DataFrame): DataFrame = {
-    // deg is static O(nodes) — broadcast it too, else the rank⋈deg join
-    // sort-merges with TWO node-table exchanges per iteration
-    val contrib = rank.join(broadcast(deg), rank("node") === deg("src"))
+                               rank: DataFrame,
+                               copart: Boolean = false): DataFrame = {
+    // deg is static O(nodes) — in broadcast mode ship it too, else the
+    // rank⋈deg join sort-merges with TWO node-table exchanges per
+    // iteration. In co-partition mode rank (HashPartitioning(node) from
+    // last round's dst-agg, checkpoint-pinned) and deg (pinned on src)
+    // are already co-distributed: no exchange on either side.
+    val contrib = rank.join(side(copart, deg), rank("node") === deg("src"))
       .select(col("node").as("src"), expr("r div deg").as("c"))
-    e.join(broadcast(contrib), "src")
+    e.join(side(copart, contrib), "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(col("c")).as("s"))
       .select(col("node"), expr("150000L + (85L * s) div 100L").as("r"))
@@ -91,11 +159,12 @@ object GraphOps {
     deg.select(col("src").as("node"), lit(1000000L).as("r"))
 
   def pagerank: Q = (s, d) => {
-    val (e, deg) = tradingGraph(s, d)
+    val copart = copartitionMode(s, d)
+    val (e, deg) = tradingGraph(s, d, copart)
     var rank = initialRank(deg)
     var i = 0
     while (i < Iters) {
-      rank = iterate(e, deg, rank).transform(graft.core.Checkpoint.apply)
+      rank = iterate(e, deg, rank, copart).transform(graft.core.Checkpoint.apply)
       i += 1
     }
     rank.select(render(col("node")).as("node"), col("r"))
@@ -151,28 +220,35 @@ object GraphOps {
     val e = lp.as("a").join(lp.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-    triangleCensus(e)
+    triangleCensus(e, copartitionMode(s, d))
   }
 
   /** The census over any canonical (u < v, distinct) edge list — the
     * algorithm of [[triangleCount]], reusable and directly testable.
     */
-  private[queries] def triangleCensus(e0: DataFrame): DataFrame = {
+  private[queries] def triangleCensus(e0: DataFrame,
+                                      copart: Boolean = false): DataFrame = {
     val e = e0.transform(graft.core.Checkpoint.apply) // read 3x below
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .transform(graft.core.Checkpoint.apply)
-    // degrees are O(nodes) — broadcast onto the O(edges) side (same
-    // fallback note as pagerank: pre-partition edges if nodes outgrow it)
+    // degrees are O(nodes): broadcast onto the O(edges) side on small
+    // graphs; at scale both orientation joins run co-partitioned (deg's
+    // checkpoint pins HashPartitioning(n), alias-carried to u/v — only
+    // the edge stream exchanges, once per key)
     val du = deg.select(col("n").as("u"), col("deg").as("du"))
     val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
-    val oriented = e.join(broadcast(du), "u").join(broadcast(dv), "v")
+    val orientedRaw = e.join(side(copart, du), "u").join(side(copart, dv), "v")
       .select(when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           struct(col("u").as("s"), col("v").as("t"), col("dv").as("td")))
         .otherwise(
           struct(col("v").as("s"), col("u").as("t"), col("du").as("td"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.td").as("td"))
+    // co-partition mode: pin HashPartitioning(s) at the checkpoint so the
+    // adjacency build (groupBy s) and the base-edge probe join both reuse
+    // it — the one layout every downstream consumer wants
+    val oriented = (if (copart) orientedRaw.repartition(col("s")) else orientedRaw)
       .transform(graft.core.Checkpoint.apply)
     // EDGE ITERATOR over adjacency arrays: a triangle a<b<c (orientation
     // order) is counted exactly once at its base edge (a, b) as a common
@@ -181,14 +257,17 @@ object GraphOps {
     // bounded array probes inside the scan stage — the O(m^1.5) wedge
     // stream of the join formulation never materializes as rows at all
     // (it cost 9.6s as a 20M-row self-join + close at sf0.1; this form
-    // is ~6x cheaper). Adjacency is node-sized → broadcast ×2; when it
-    // outgrows broadcast, co-partition edges and adjacency on the node.
+    // is ~6x cheaper). Adjacency TOTAL payload is O(edges) — each
+    // oriented edge sits in exactly one array — so broadcasting it is a
+    // small-graph luxury; co-partition mode shuffle-joins it on the node
+    // key instead (edge stream exchanges once per probe key, adjacency
+    // never concentrates anywhere).
     val adj = oriented.groupBy(col("s"))
       .agg(sort_array(collect_list(col("t"))).as("nbrs"))
     val tri = oriented
-      .join(broadcast(adj.select(col("s").as("u"), col("nbrs").as("un"))),
+      .join(side(copart, adj.select(col("s").as("u"), col("nbrs").as("un"))),
         col("s") === col("u"))
-      .join(broadcast(adj.select(col("s").as("v"), col("nbrs").as("vn"))),
+      .join(side(copart, adj.select(col("s").as("v"), col("nbrs").as("vn"))),
         col("t") === col("v"), "left")
       .select(when(col("vn").isNull, lit(0))
         .otherwise(size(array_intersect(col("un"), col("vn")))).as("c"))
@@ -234,10 +313,10 @@ object GraphOps {
     * Output: the 15 largest communities.
     *
     * SCALE per round: labels are O(nodes) — broadcast onto the
-    * checkpointed O(edges) list (same geometry as pagerank; same
-    * co-partition fallback if labels outgrow broadcast) — then ONE
-    * partial-aggregated shuffle for (node, label) counts and a
-    * node-partitioned window for the argmax. Label frequency counting is
+    * checkpointed O(edges) list on small graphs, co-partitioned with it
+    * at scale (the [[copartitionMode]] switch; neither side exchanges
+    * once edges are pinned on src) — then ONE partial-aggregated shuffle
+    * for (node, label) counts and a second for the argmax. Label frequency counting is
     * integer; the (count desc, label asc) argmax is a total order —
     * bit-stable at any parallelism.
     */
@@ -247,15 +326,20 @@ object GraphOps {
     val e0 = lp.as("a").join(lp.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-    lpaCommunities(e0).limit(LpaTop)
+    lpaCommunities(e0, copartitionMode(s, d)).limit(LpaTop)
   }
 
   /** LPA over any canonical (u < v, distinct) edge list: community sizes,
     * largest first (label tie-break). Reusable + directly testable.
     */
-  private[queries] def lpaCommunities(e0: DataFrame): DataFrame = {
-    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+  private[queries] def lpaCommunities(e0: DataFrame,
+                                      copart: Boolean = false): DataFrame = {
+    val eRaw = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
+    // co-partition mode: pin HashPartitioning(src) once; every round's
+    // edges⋈labels join then exchanges NEITHER side (labels come out of
+    // the dst-agg already hash-distributed on the node key)
+    val e = (if (copart) eRaw.repartition(col("src")) else eRaw)
       .transform(graft.core.Checkpoint.apply)
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -267,7 +351,7 @@ object GraphOps {
       // order a row_number window gives, without the window's per-node
       // sort (two partial-aggregated hash shuffles per round instead of
       // an agg + sort-window pair; 2.3x on sf0.1)
-      labels = e.join(broadcast(labels), col("src") === col("node"))
+      labels = e.join(side(copart, labels), col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))

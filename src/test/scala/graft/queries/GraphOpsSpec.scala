@@ -77,6 +77,50 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(3) == 1L) // exactly the 0-1-2 triangle
   }
 
+  test("co-partitioned graph mode: results equal broadcast mode, plans broadcast nothing") {
+    import spark.implicits._
+    val edges = (for { u <- 1 to 60; v <- 1 to 60 if u < v }
+      yield (u.toLong, v.toLong))
+      .filter { case (u, v) => (u * 7919 + v * 104729) % 7 == 0 }
+      .toDF("u", "v")
+    // census + LPA: the copart flag must not change a single row
+    assert(GraphOps.triangleCensus(edges, copart = true).collect().toSeq ==
+      GraphOps.triangleCensus(edges, copart = false).collect().toSeq)
+    assert(GraphOps.lpaCommunities(edges, copart = true).collect().toSeq ==
+      GraphOps.lpaCommunities(edges, copart = false).collect().toSeq)
+    // pagerank end-to-end through the conf switch
+    val sf = "/root/testdata/sf0.001"
+    val base = GraphOps.pagerank(spark, sf).collect().toSeq
+    try {
+      spark.conf.set("spark.graft.graph.join", "copartition")
+      assert(GraphOps.pagerank(spark, sf).collect().toSeq == base)
+    } finally spark.conf.unset("spark.graft.graph.join")
+    // the at-scale plan shape: ONE un-checkpointed iteration step in
+    // copartition mode must contain no broadcast anywhere — the exact
+    // structure (rank/contrib/adjacency shipped to every executor) that
+    // OOMs when node tables are data-sized
+    val (e, deg) = GraphOps.tradingGraph(spark, sf, copart = true)
+    val plan = GraphOps.iterate(e, deg, GraphOps.initialRank(deg), copart = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Broadcast"), s"broadcast in copartition plan:\n$plan")
+  }
+
+  test("auto mode is size-thresholded on input bytes") {
+    val sf = "/root/testdata/sf0.001"
+    // tiny input, default 2 GiB threshold -> broadcast
+    assert(!GraphOps.copartitionMode(spark, sf))
+    try {
+      // force the threshold under the input size -> co-partition
+      spark.conf.set("spark.graft.graph.broadcastMaxInputBytes", "1")
+      assert(GraphOps.copartitionMode(spark, sf))
+      spark.conf.set("spark.graft.graph.join", "broadcast")
+      assert(!GraphOps.copartitionMode(spark, sf)) // explicit beats auto
+    } finally {
+      spark.conf.unset("spark.graft.graph.broadcastMaxInputBytes")
+      spark.conf.unset("spark.graft.graph.join")
+    }
+  }
+
   test("label propagation separates two bridged cliques deterministically") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} with one bridge edge (3,4): after 3
