@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.FaersOps.queries ++
       graft.queries.FaersAnalyticsOps.queries ++
+      graft.queries.FaersFactOps.queries ++
       graft.queries.MultimodalOps.queries ++
       graft.queries.EventOps.queries ++
       graft.queries.ScaleOps.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       graft.queries.Analytics.oracles ++
       graft.queries.FaersOps.oracles ++
       graft.queries.FaersAnalyticsOps.oracles ++
+      graft.queries.FaersFactOps.oracles ++
       graft.queries.MultimodalOps.oracles ++
       graft.queries.EventOps.oracles ++
       graft.queries.ScaleOps.oracles ++

@@ -126,10 +126,39 @@ object ScdOps {
       |FROM rows0 JOIN versions USING (c_custkey)
       |WHERE is_current GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** The AT-SCALE merge path hash-gated end to end: the same T0/T1
+    * scenario as [[scd2Merge]], but run through [[Scd2.mergeBucketed]] —
+    * dimension persisted partitioned by `_bucket`, delta's affected
+    * buckets pruned at metadata level, dynamic partition overwrite, layout
+    * stamp. The oracle is IDENTICAL to `q_scd2_merge`'s: the bucketed
+    * plumbing must be invisible in the data. (Scd2Spec proves
+    * file-level properties — untouched buckets keep their exact files —
+    * this gate proves the values at sf scale.)
+    */
+  def scd2Bucketed: Q = (s, d) => {
+    val dir = Scratch.dir("scd2_bucketed_" +
+      java.lang.Integer.toHexString(d.hashCode))
+    Scratch.wipe(dir)
+    Scd2.mergeBucketed(s, dir, snapshot0(s, d), BK, Tracked,
+      ScdClock.fixed(T0), nBuckets = 16)
+    Scd2.mergeBucketed(s, dir, snapshot1(s, d), BK, Tracked,
+      ScdClock.fixed(T1), nBuckets = 16)
+    s.read.parquet(dir).drop("_bucket")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("effective_date").cast("string").as("effective_date"),
+        col("end_date").cast("string").as("end_date"),
+        col("is_current"),
+        col("row_hash"), col("surrogate_key"))
+      .orderBy(col("c_custkey"), col("effective_date"), col("is_current"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_scd2_merge" -> scd2Merge,
-    "q_scd2_current" -> scd2Current)
+    "q_scd2_current" -> scd2Current,
+    "q_scd2_bucketed" -> scd2Bucketed)
   val oracles: Map[String, String] = Map(
     "q_scd2_merge" -> scd2MergeSql,
-    "q_scd2_current" -> scd2CurrentSql)
+    "q_scd2_current" -> scd2CurrentSql,
+    "q_scd2_bucketed" -> scd2MergeSql)
 }
