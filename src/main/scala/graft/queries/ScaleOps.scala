@@ -188,11 +188,47 @@ object ScaleOps {
       |FROM c CROSS JOIN t
       |ORDER BY n DESC, o_custkey ASC LIMIT 10""".stripMargin
 
+  /** The diagnosis WIRED TO the remediation ([[skewDiagnosis]] reports the
+    * census; [[graft.ops.ScaleJoins.skewSafeJoin]] consumes it): a join
+    * over a deliberately skewed fixture — every 5th lineitem folds onto
+    * key 1, so one key holds ~20% of all rows (≫ 1/shufflePartitions,
+    * exactly the skew that stalls a straggler partition) — run through
+    * census-driven PARTIAL salting: only keys holding ≥ 1000 rows are
+    * salted (factor 8); the ~999 cold keys join unsalted. The oracle runs
+    * the plain unsalted join — hash-equality proves partial salting
+    * changes nothing but the shuffle layout.
+    */
+  def skewSafeJoin: Q = (s, d) => {
+    val big = Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 5 === 0, lit(1))
+        .otherwise(col("l_orderkey") % 1000).as("k"),
+      col("l_extendedprice"))
+    val small = Tables.customer(s, d)
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    ScaleJoins.skewSafeJoin(big, small, Seq("k"), factor = 8, hotMinRows = 1000)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_lines"),
+        Num.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val skewSafeJoinSql: String =
+    s"""WITH big AS (SELECT CASE WHEN l_orderkey % 5 = 0 THEN 1
+      |    ELSE l_orderkey % 1000 END AS k, l_extendedprice FROM lineitem),
+      |small AS (SELECT c_custkey AS k, c_mktsegment FROM customer
+      |  WHERE c_custkey <= 1000)
+      |SELECT c_mktsegment, count(*) AS n_lines,
+      |  ${Num.moneySumSql("l_extendedprice")} AS sum_price
+      |FROM big JOIN small USING (k)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_salted_join" -> saltedJoin,
     "q_bucketed_join" -> bucketedJoin,
     "q_bloom_semi_join" -> bloomSemiJoin,
     "q_skew_diagnosis" -> skewDiagnosis,
+    "q_skew_safe_join" -> skewSafeJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +236,6 @@ object ScaleOps {
     "q_bucketed_join" -> bucketedJoinSql,
     "q_bloom_semi_join" -> bloomSemiJoinSql,
     "q_skew_diagnosis" -> skewDiagnosisSql,
+    "q_skew_safe_join" -> skewSafeJoinSql,
   )
 }

@@ -40,6 +40,39 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(left.filter($"k" === 9 && $"name".isNull).count() == 1)
   }
 
+  test("skewSafeJoin: partial salting — hot keys spread, cold keys untouched") {
+    // key 1 is hot (1000 rows), keys 2..40 are cold (1 row each)
+    val big = ((1 to 1000).map(i => (1L, s"v$i")) ++
+      (2 to 40).map(i => (i.toLong, s"c$i"))).toDF("k", "payload")
+    val small = (1 to 50).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    val (saltedBig, explodedSmall) =
+      ScaleJoins.skewSaltedSides(big, small, Seq("k"), factor = 8, hotMinRows = 100)
+    // the hot key's rows spread across many salts; EVERY cold key keeps salt 0
+    assert(saltedBig.filter($"k" === 1).select("_salt").distinct().count() > 4)
+    assert(saltedBig.filter($"k" =!= 1).select("_salt").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(0))
+    // small-side replication is |hot| * (factor-1) extra rows, not |small| * factor
+    assert(explodedSmall.count() == 50 + 7)
+    assert(explodedSmall.filter($"k" === 1).count() == 8)
+    // result equivalence incl. left-join null extension on unmatched big keys
+    val bigL = big.unionByName(Seq((99L, "none")).toDF("k", "payload"))
+    val safe = ScaleJoins.skewSafeJoin(bigL, small, Seq("k"),
+      factor = 8, hotMinRows = 100, joinType = "left")
+      .select("k", "payload", "name")
+    val plain = bigL.join(small, Seq("k"), "left").select("k", "payload", "name")
+    assert(safe.exceptAll(plain).isEmpty && plain.exceptAll(safe).isEmpty)
+    // the join's shuffle key includes the salt: the exchange the hot key
+    // spreads across is hashpartitioning(k, _salt)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = saltedBig.join(explodedSmall, Seq("k", "_salt"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(k") && plan.contains("_salt"),
+        s"salted exchange missing:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   private def dropManaged(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val p = new org.apache.hadoop.fs.Path(
