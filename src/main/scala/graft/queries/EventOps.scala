@@ -77,12 +77,7 @@ object EventOps {
     */
   private[graft] def streamWindowOver(s: SparkSession, dir: String,
                                         glob: String, sink: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = s.readStream.schema(schema)
+    val stream = s.readStream.schema(eventSchema)
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
@@ -110,6 +105,77 @@ object EventOps {
       |  ${microSumSql("value")} AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private[graft] val eventSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** One run of the restart pipeline: file-source stream over `glob` under
+    * `srcDir`, windowed agg, complete-mode memory sink, STOPPED when the
+    * currently visible files are consumed. Both phases of
+    * [[streamRestart]] call this with the SAME checkpoint — the second
+    * call is a cold restart that must recover offsets + agg state.
+    */
+  private[graft] def restartRun(s: SparkSession, srcDir: String, glob: String,
+                                sink: String, ckpt: String): Unit = {
+    val stream = s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), microSum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** RESTART RECOVERY, hash-gated: the events table is split into 4 files;
+    * run 1 ingests only the first two (then the query is STOPPED — a
+    * mid-stream shutdown with durable checkpoint state: offsets in the
+    * file-source log, partial window aggregates in the state store); run 2
+    * is a brand-new query on the SAME checkpoint that sees all 4 files,
+    * recovers, and processes only the unseen two. The final memory-sink
+    * table must hash-match the batch single-read oracle — if recovery
+    * re-read a committed file (double count) or dropped state (undercount),
+    * the counts and integer-micro sums both move. The restarted sink
+    * starts empty, so the final table is correct ONLY if complete mode
+    * re-emits recovered state — sink contents before the kill don't help.
+    *
+    * SCALE: this is the operational contract of any long-running 100 TB
+    * ingest — executors die, queries redeploy; correctness rests on the
+    * checkpoint (offsets + state store), never on sink history.
+    */
+  def streamRestart: Q = (s, d) => {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val srcDir = Scratch.dir(s"stream_restart_src_$tag")
+    // deterministic 4-file copy of events (hash-split on event_id), written
+    // once per data dir; _SUCCESS marks a completed layout
+    if (!new java.io.File(srcDir, "_SUCCESS").exists) {
+      Scratch.wipe(srcDir)
+      s.read.schema(eventSchema)
+        .parquet(d + "/events.parquet")
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    val sink = sinkFor("graft_stream_restart_sink", d)
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    restartRun(s, srcDir, "part-0000[01]*", sink, ckpt) // partial ingest, stop
+    restartRun(s, srcDir, "part-*", sink, ckpt)         // cold restart, resume
+    s.table(sink).orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Session windows through a REAL stream, hash-gated: Spark's
     * `session_window` (dynamic gap-merge in the state store) consumed
     * from the events file source in complete mode must reproduce the
@@ -127,12 +193,7 @@ object EventOps {
     * the batch window formulation.
     */
   def streamSessions: Q = (s, d) => {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = s.readStream.schema(schema)
+    val stream = s.readStream.schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -190,12 +251,7 @@ object EventOps {
     * geometry of every other event query.
     */
   def streamDedup: Q = (s, d) => {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    def src = s.readStream.schema(schema)
+    def src = s.readStream.schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -288,6 +344,7 @@ object EventOps {
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
+    "q_stream_restart" -> streamRestart,
     "q_sessionize" -> sessionize,
     "q_sql_tempview" -> sqlTempView,
   )
@@ -297,6 +354,7 @@ object EventOps {
     "q_stream_window" -> streamWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_restart" -> streamWindowSql,
     "q_sessionize" -> sessionizeSql,
     "q_sql_tempview" -> sqlTempViewSql,
   )

@@ -243,4 +243,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size > 10)
     assert(streamed == batch)
   }
+
+  test("stream restart: mid-stream stop + cold restart from checkpoint equals batch") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val dir = graft.queries.Scratch.dir("spec_restart_events")
+    graft.queries.Scratch.wipe(dir)
+    spark.read.schema(graft.queries.EventOps.eventSchema)
+      .parquet(sf + "/events.parquet")
+      .repartition(4, col("event_id")).write.mode("overwrite").parquet(dir)
+    val sink = "spec_restart_sink"
+    val ckpt = graft.queries.Scratch.dir("spec_restart_ckpt")
+    graft.queries.Scratch.wipe(ckpt)
+    spark.catalog.dropTempView(sink)
+    // phase 1: only 2 of the 4 files visible, then STOP — offsets + agg
+    // state survive only in the checkpoint
+    graft.queries.EventOps.restartRun(spark, dir, "part-0000[01]*", sink, ckpt)
+    val partial = spark.table(sink).agg(sum(col("n_events"))).head.getLong(0)
+    // phase 2: brand-new query, same checkpoint, all files visible
+    graft.queries.EventOps.restartRun(spark, dir, "part-*", sink, ckpt)
+    val full = spark.table(sink).orderBy(col("window_start"), col("event_type"))
+      .collect().toSeq
+    val fullEvents = spark.table(sink).agg(sum(col("n_events"))).head.getLong(0)
+    // the stop was genuinely mid-stream...
+    assert(partial > 0 && partial < fullEvents, s"partial=$partial full=$fullEvents")
+    // ...and recovery neither re-read committed files nor dropped state
+    val batch = graft.core.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.Num.microSum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect().toSeq
+    assert(full == batch)
+  }
 }
