@@ -9,6 +9,45 @@ class TableLogSpec extends SparkSpec {
   private def freshDir() =
     java.nio.file.Files.createTempDirectory("graft_tlog").toString
 
+  test("manifest pressure: ~1k commits on a maintained table keep open/commit flat") {
+    // Full-snapshot manifests cost O(current files) bytes per commit --
+    // open and commit both touch exactly ONE manifest, so the operative
+    // question at version 1000 is whether the FILE COUNT (hence manifest
+    // size) and the MANIFEST COUNT (log listing) are bounded. With the
+    // maintenance the format prescribes (periodic compact + vacuum), both
+    // must stay flat: tip-manifest lines track the compacted layout, not
+    // commit history, and vacuum keeps the log directory small.
+    val dir = freshDir()
+    val row = Seq((1L, "x")).toDF("k", "v").coalesce(1)
+    var tipLinesAt100 = 0
+    (1 to 1000).foreach { i =>
+      TableLog.append(spark, dir, row)
+      if (i % 100 == 0) {
+        TableLog.compact(spark, dir, targetBytes = 1L << 30)
+        TableLog.vacuum(spark, dir, keepVersions = 3, retainMs = 0L)
+        if (i == 100)
+          tipLinesAt100 = TableLog.manifestLines(spark, dir,
+            TableLog.versions(spark, dir).last).size
+      }
+    }
+    val tip = TableLog.versions(spark, dir).last
+    val tipLines = TableLog.manifestLines(spark, dir, tip).size
+    // commit cost (tip manifest size) did not grow with version count:
+    // after each compact the snapshot is ONE file; the tip never lists
+    // more than the ~100 appends since the last compact
+    assert(tipLines <= tipLinesAt100 + 5, s"tip manifest grew: $tipLines lines")
+    assert(tipLines < 120, s"tip manifest O(history)? $tipLines lines")
+    // open cost: versions() lists only retained manifests, not all 1000+
+    assert(TableLog.versions(spark, dir).size <= 25,
+      s"log dir unbounded: ${TableLog.versions(spark, dir).size} manifests")
+    // data files on disk are the compacted set + recent appends, not 1000
+    val dataFiles = new java.io.File(dir).listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles < 250, s"$dataFiles data files survived maintenance")
+    // and nothing was lost across 1000 commits + 10 compactions + vacuums
+    assert(TableLog.read(spark, dir).count() == 1000)
+  }
+
   test("append/overwrite commit atomically; reads see full snapshots") {
     val dir = freshDir()
     val v1 = TableLog.append(spark, dir, spark.range(0, 100).select($"id"))
