@@ -110,6 +110,73 @@ object Dedup {
       .distinct()
   }
 
+  /** The LSH BAND INDEX of a corpus: one row per (doc, band) with the
+    * band's bucket key and the doc's full signature — the PERSISTED form
+    * of the banding in [[lshCandidatePairs]]. At 100 TB this table is
+    * written once per corpus snapshot (or maintained incrementally) so
+    * that [[incrementalMinhashNearDups]] can dedup each arriving batch
+    * against it without ever re-pairing the corpus with itself.
+    */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       numPerm: Int = 8, shingleN: Int = 3,
+                       bandRows: Int = 2): DataFrame = {
+    require(bandRows >= 1 && bandRows <= numPerm && numPerm % bandRows == 0,
+      s"bandRows must divide numPerm (got numPerm=$numPerm, bandRows=$bandRows)")
+    val nBands = numPerm / bandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val key = concat_ws(",",
+        (0 until bandRows).map(r => element_at(col("sigs"), b * bandRows + r + 1)): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    withMinhashSignatureNative(df, textCol, numPerm, shingleN)
+      .select(col(idCol), col("sigs"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("sigs"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** INCREMENTAL near-dup detection — the only dedup mode that works
+    * operationally at 100 TB: a new batch arrives, and the question is
+    * "which batch docs duplicate the corpus (or each other)?", never
+    * "re-pair the whole corpus". Candidates are (batch ⋈ corpus-index)
+    * band-bucket collisions plus the intra-batch self-join; the corpus
+    * index is probed, NEVER self-joined, so per-batch cost scales with
+    * the batch, not the corpus. Verification is the same estimated-Jaccard
+    * floor as [[minhashNearDups]]; ids must be disjoint across the two
+    * inputs. Pairs are emitted (min id, max id)-canonical, so the result
+    * is EXACTLY the full-corpus pair set restricted to pairs touching the
+    * batch (the oracle's formulation of q_dedup_incremental).
+    */
+  def incrementalMinhashNearDups(corpusIndex: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 numPerm: Int = 8, shingleN: Int = 3,
+                                 bandRows: Int = 2,
+                                 minJaccard: Double = 0.5): DataFrame = {
+    val batchIdx = minhashBandIndex(batch, idCol, textCol, numPerm, shingleN, bandRows)
+      .transform(graft.core.Checkpoint.apply) // probed twice: corpus + self
+    val a = batchIdx.alias("a")
+    val c = corpusIndex.alias("c")
+    val cross = a.join(c,
+        col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
+          col(s"a.$idCol") =!= col(s"c.$idCol"))
+      .select(
+        least(col(s"a.$idCol"), col(s"c.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"c.$idCol")).as("id_b"),
+        when(col(s"a.$idCol") < col(s"c.$idCol"), col("a.sigs"))
+          .otherwise(col("c.sigs")).as("sigs_a"),
+        when(col(s"a.$idCol") < col(s"c.$idCol"), col("c.sigs"))
+          .otherwise(col("a.sigs")).as("sigs_b"))
+    val b = batchIdx.alias("b")
+    val intra = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sigs").as("sigs_a"), col("b.sigs").as("sigs_b"))
+    cross.unionByName(intra).distinct()
+      .withColumn("est_jaccard",
+        floor(estimatedJaccard(col("sigs_a"), col("sigs_b"), numPerm) * 10000 + 0.5) / 10000)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** Estimated Jaccard = fraction of matching signature slots. */
   def estimatedJaccard(sigsA: Column, sigsB: Column, numPerm: Int): Column =
     aggregate(

@@ -73,7 +73,11 @@ object DedupOps {
         numPerm = NumPerm, shingleN = 3, bandRows = BandRows, minJaccard = 0.25)
       .orderBy(col("id_a"), col("id_b"))
 
-  val dedupMinhashSql: String = {
+  /** The minhash-pair oracle machinery, parameterized over an extra pair
+    * predicate so [[dedupIncrementalSql]] can restrict to pairs touching
+    * the new batch (ids ≥ 100000) without duplicating the WITH chain.
+    */
+  private def minhashPairsSql(extraPairCond: String): String = {
     val sigExprs = (0 until NumPerm).map { i =>
       s"list_min(list_transform(hs, h -> (h * ${Dedup.permA(i)} + ${Dedup.permB(i)}) % ${Dedup.PermMod}))"
     }.mkString("[", ", ", "]")
@@ -88,7 +92,7 @@ object DedupOps {
       |  FROM sig CROSS JOIN (SELECT unnest($bandIdx) AS b)),
       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |    a.sigs AS sa, b.sigs AS sb
-      |  FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |  FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id$extraPairCond),
       |est AS (SELECT id_a, id_b,
       |    floor(CAST(list_sum(list_transform(generate_series(1, $NumPerm),
       |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumPerm * 10000 + 0.5) / 10000 AS est_jaccard
@@ -96,6 +100,33 @@ object DedupOps {
       |SELECT id_a, id_b, est_jaccard FROM est
       |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin
   }
+
+  val dedupMinhashSql: String = minhashPairsSql("")
+
+  // ---------------------------------------------------- incremental dedup
+
+  /** The 100 TB dedup MODE: a new batch (truncated near-dup variants of
+    * every 7th doc, ids +100000) arrives and is deduped against the
+    * existing corpus through its PERSISTED LSH band index — the corpus is
+    * probed, never self-joined. The oracle is the full-corpus pair set
+    * restricted to pairs touching the batch: incremental probing must
+    * find exactly what a from-scratch rerun would, at per-batch cost.
+    */
+  def dedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val toks = TA.tokens(col("text"))
+    val trunc = array_join(slice(toks, lit(1), greatest(size(toks) - 5, lit(3))), " ")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("lang"), trunc.as("text"))
+    val corpusIdx = Dedup.minhashBandIndex(docs, "doc_id", "text",
+      numPerm = NumPerm, shingleN = 3, bandRows = BandRows)
+    Dedup.incrementalMinhashNearDups(corpusIdx, batch, "doc_id", "text",
+        numPerm = NumPerm, shingleN = 3, bandRows = BandRows, minJaccard = 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupIncrementalSql: String =
+    minhashPairsSql(" AND (a.doc_id >= 100000 OR b.doc_id >= 100000)")
 
   // -------------------------------------------------------------- simhash
 
@@ -363,8 +394,80 @@ object DedupOps {
       |SELECT component, count(*) AS n_members, max(node) AS max_member
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  // ------------------------------------------------- leakage-free splits
+
+  /** DUPLICATE-AWARE train/val/test split: near-duplicate docs must land
+    * in the SAME split, or eval rows leak into training through their
+    * near-copies (the classic benchmark-contamination path INSIDE one's
+    * own corpus). Docs are clustered by transitive near-dup reachability
+    * (the [[dupClusters]] components); the split is hashed on the CLUSTER
+    * id (min reachable doc_id; singletons hash their own id), so whole
+    * clusters move together by construction. Gated output: per-split doc
+    * and cluster counts — which differ from a doc-id hash split exactly
+    * where duplicate members would have straddled splits.
+    *
+    * SCALE: pairs come from the banded near-dup path, components from
+    * pointer-doubling CC (O(log diameter) rounds), the component table is
+    * O(duplicated docs) and joins back on doc_id — one shuffle; the split
+    * itself is scan-side md5 arithmetic.
+    */
+  def leakageSplit: Q = (s, d) => {
+    val corpus = corpusChain(s, d, 7)
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val clustered = corpus.join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+    val b = conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    clustered
+      .withColumn("split",
+        when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  val leakageSplitSql: String =
+    s"""WITH RECURSIVE ${corpusChainSql(7)},
+      |tok AS (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |shs AS (SELECT doc_id, lang,
+      |    list_distinct(${TA.shinglesSql("toks", 3)}) AS sh FROM tok),
+      |sh AS (SELECT doc_id, lang, unnest(sh) AS s FROM shs),
+      |sz AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b
+      |  FROM (SELECT id_a, id_b,
+      |      floor(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) * 10000 + 0.5) / 10000 AS jaccard
+      |    FROM inter
+      |    JOIN sz na ON na.doc_id = id_a
+      |    JOIN sz nb ON nb.doc_id = id_b)
+      |  WHERE jaccard >= 0.3),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      |assign AS (SELECT c.doc_id,
+      |    coalesce(comp.component, c.doc_id) AS cluster_id
+      |  FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id),
+      |bucketed AS (SELECT cluster_id,
+      |    CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+      |  FROM assign)
+      |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
+      |FROM bucketed GROUP BY 1 ORDER BY split""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dup_clusters" -> dupClusters,
+    "q_dedup_incremental" -> dedupIncremental,
+    "q_leakage_split" -> leakageSplit,
     "q_common_substrings" -> commonSubstrings,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_exact" -> dedupExact,
@@ -376,6 +479,8 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q_dup_clusters" -> dupClustersSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_leakage_split" -> leakageSplitSql,
     "q_common_substrings" -> commonSubstringsSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_exact" -> dedupExactSql,
