@@ -394,6 +394,65 @@ object DedupOps {
       |SELECT component, count(*) AS n_members, max(node) AS max_member
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  // ---------------------------------------------- canonical-doc selection
+
+  /** KEEP-BEST within each duplicate cluster — the step after clustering
+    * that decides which copy survives into the training corpus: per
+    * component, the member with the longest text (doc_id tie-break) wins.
+    * One hash-agg argmax via `max(struct(len, -doc_id))` — no per-cluster
+    * sort window — over the O(duplicated docs) component table.
+    */
+  def canonicalDocs: Q = (s, d) => {
+    val corpus = corpusChain(s, d, 7)
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    cc.join(corpus, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(length(col("text")).as("len"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("component"), col("n_members"),
+        (-col("m.negid")).as("keep_id"),
+        col("m.len").cast("long").as("keep_len"))
+      .orderBy(col("component"))
+  }
+
+  val canonicalDocsSql: String =
+    s"""WITH RECURSIVE ${corpusChainSql(7)},
+      |tok AS (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |shs AS (SELECT doc_id, lang,
+      |    list_distinct(${TA.shinglesSql("toks", 3)}) AS sh FROM tok),
+      |sh AS (SELECT doc_id, lang, unnest(sh) AS s FROM shs),
+      |sz AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b
+      |  FROM (SELECT id_a, id_b,
+      |      floor(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) * 10000 + 0.5) / 10000 AS jaccard
+      |    FROM inter
+      |    JOIN sz na ON na.doc_id = id_a
+      |    JOIN sz nb ON nb.doc_id = id_b)
+      |  WHERE jaccard >= 0.3),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      |members AS (SELECT comp.component, c.doc_id, length(c.text) AS len
+      |  FROM comp JOIN corpus c ON c.doc_id = comp.node),
+      |ranked AS (SELECT component, doc_id, len,
+      |    row_number() OVER (PARTITION BY component
+      |      ORDER BY len DESC, doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY component) AS n_members
+      |  FROM members)
+      |SELECT component, CAST(n_members AS BIGINT) AS n_members,
+      |  doc_id AS keep_id, CAST(len AS BIGINT) AS keep_len
+      |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
+
   // ------------------------------------------------- leakage-free splits
 
   /** DUPLICATE-AWARE train/val/test split: near-duplicate docs must land
@@ -468,6 +527,7 @@ object DedupOps {
     "q_dup_clusters" -> dupClusters,
     "q_dedup_incremental" -> dedupIncremental,
     "q_leakage_split" -> leakageSplit,
+    "q_canonical_docs" -> canonicalDocs,
     "q_common_substrings" -> commonSubstrings,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_exact" -> dedupExact,
@@ -481,6 +541,7 @@ object DedupOps {
     "q_dup_clusters" -> dupClustersSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_leakage_split" -> leakageSplitSql,
+    "q_canonical_docs" -> canonicalDocsSql,
     "q_common_substrings" -> commonSubstringsSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -418,7 +418,39 @@ object TrainPrepOps {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Deterministic per-group RESERVOIR sample: the k docs per language
+    * with the smallest md5-hash priorities — the hash plays the role of
+    * the reservoir's random draw, so the sample is uniform-ish, stable
+    * across reruns/partitionings, and oracle-checkable. Executed with the
+    * `graft_topk` heap aggregate (value = negated 52-bit hash): each
+    * mapper ships at most k pairs per group, NO per-group sort window —
+    * the one-pass bounded-memory shape a reservoir means at 100 TB.
+    * (52-bit hash slice: exact in the aggregate's double priority.)
+    */
+  def reservoirSample: Q = (s, d) => {
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .withColumn("_neg", -hv.cast("double"))
+      .groupBy(col("lang"))
+      .agg(call_function("graft_topk", col("_neg"), col("doc_id"), lit(20)).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("lang"), (col("rnk0") + 1).cast("int").as("rnk"),
+        col("t.payload").as("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val reservoirSampleSql: String =
+    """SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id
+      |FROM (SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rnk
+      |  FROM (SELECT lang, doc_id,
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+      |    FROM documents))
+      |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_reservoir_sample" -> reservoirSample,
     "q_rank_normalize" -> rankNormalize,
     "q_doc_chunks" -> docChunks,
     "q_mixture_temperature" -> mixtureTemperature,
@@ -433,6 +465,7 @@ object TrainPrepOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_reservoir_sample" -> reservoirSampleSql,
     "q_rank_normalize" -> rankNormalizeSql,
     "q_doc_chunks" -> docChunksSql,
     "q_mixture_temperature" -> mixtureTemperatureSql,
