@@ -531,7 +531,48 @@ object SimilarityOps {
       |FROM agg""".stripMargin
   }
 
+  /** INT8 symmetric quantization of the embedding column — the standard
+    * 4× compression before vectors go to an index or a feature store:
+    * per-vector scale = max |component|, code_i = round(v_i / scale·127).
+    * Gated columns are exact integers (code sum) plus micro-floored scale
+    * and L1 reconstruction error, computed with IDENTICAL left-fold
+    * element order on both engines so the doubles agree bitwise before
+    * flooring. Pure projection — no shuffle; at 100 TB this runs
+    * scan-side and writes 1/4 the bytes downstream.
+    */
+  def embedQuantize: Q = (s, d) => {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
+    val codes = transform(v, x => round(x / col("_scale") * 127))
+    val err = aggregate(v, lit(0.0d),
+      (acc, x) => acc + abs(x - round(x / col("_scale") * 127) * col("_scale") / 127.0))
+    Tables.embeddings(s, d)
+      .withColumn("_scale", scale)
+      .select(col("vec_id"),
+        floor(col("_scale") * 1000000 + 0.5).cast("long").as("scale_micro"),
+        aggregate(codes, lit(0.0d), (acc, c) => acc + c)
+          .cast("long").as("code_sum"),
+        floor(err * 1000000 + 0.5).cast("long").as("l1_err_micro"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedQuantizeSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+      |  FROM v)
+      |SELECT vec_id,
+      |  CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+      |  CAST(list_sum(list_transform(v, x -> round(x / scale * 127))) AS BIGINT) AS code_sum,
+      |  CAST(floor(list_sum(list_transform(v,
+      |    x -> abs(x - round(x / scale * 127) * scale / 127.0))) * 1000000 + 0.5) AS BIGINT)
+      |    AS l1_err_micro
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_embed_quantize" -> embedQuantize,
     "q_eval_ndcg" -> evalNdcg,
     "q_eval_calibration" -> evalCalibration,
     "q_eval_auc" -> evalAuc,
@@ -545,6 +586,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" -> embedQuantizeSql,
     "q_eval_ndcg" -> evalNdcgSql,
     "q_eval_calibration" -> evalCalibrationSql,
     "q_eval_auc" -> evalAucSql,

@@ -449,8 +449,40 @@ object TrainPrepOps {
       |    FROM documents))
       |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
 
+  /** CONTEXT-LENGTH truncation analysis: what share of tokens survives a
+    * context cap of 512, per language — the table that picks a training
+    * sequence length. All integers (token counts, least() caps, micro
+    * `div` share): scan-side token counting, one rollup shuffle.
+    */
+  def contextTruncation: Q = (s, d) => {
+    val n = size(TA.tokens(col("text")))
+    Tables.documents(s, d)
+      .withColumn("n_tokens", n.cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(least(col("n_tokens"), lit(512L))).as("kept_tokens"),
+        sum(when(col("n_tokens") > 512, 1L).otherwise(0L)).as("n_truncated"))
+      .withColumn("kept_share_micro",
+        expr("(kept_tokens * 1000000) div total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val contextTruncationSql: String =
+    s"""WITH t AS (SELECT lang,
+      |    CAST(len(${TA.tokensSql("text")}) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(least(n_tokens, 512)) AS BIGINT) AS kept_tokens,
+      |  CAST(sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+      |  (CAST(sum(least(n_tokens, 512)) AS BIGINT) * 1000000)
+      |    // CAST(sum(n_tokens) AS BIGINT) AS kept_share_micro
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_reservoir_sample" -> reservoirSample,
+    "q_context_truncation" -> contextTruncation,
     "q_rank_normalize" -> rankNormalize,
     "q_doc_chunks" -> docChunks,
     "q_mixture_temperature" -> mixtureTemperature,
@@ -466,6 +498,7 @@ object TrainPrepOps {
 
   val oracles: Map[String, String] = Map(
     "q_reservoir_sample" -> reservoirSampleSql,
+    "q_context_truncation" -> contextTruncationSql,
     "q_rank_normalize" -> rankNormalizeSql,
     "q_doc_chunks" -> docChunksSql,
     "q_mixture_temperature" -> mixtureTemperatureSql,
