@@ -245,7 +245,45 @@ object CorpusOps {
       |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** CORPUS DRIFT monitor: the language-mix difference between a snapshot
+    * (every even doc_id — "yesterday's corpus") and the full corpus, as
+    * per-language share deltas plus the total-variation contribution, all
+    * in integer micro units (no logs — KL needs libm `ln`, whose last-bit
+    * behavior differs across engines; TV distance is pure integer
+    * arithmetic and detects the same mix shifts). ONE scan: both
+    * snapshots count in the same conditional aggregate; totals ride in as
+    * a broadcast scalar row.
+    */
+  def distributionDrift: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        count(lit(1)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        expr("(n_a * 1000000) div tot_a").as("share_a_micro"),
+        expr("(n_b * 1000000) div tot_b").as("share_b_micro"),
+        abs(expr("(n_a * 1000000) div tot_a") -
+          expr("(n_b * 1000000) div tot_b")).as("abs_diff_micro"))
+      .orderBy(col("lang"))
+  }
+
+  val distributionDriftSql: String =
+    """WITH c AS (SELECT lang,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    count(*) AS n_b
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+      |    CAST(sum(n_b) AS BIGINT) AS tot_b FROM c)
+      |SELECT lang, n_a, n_b,
+      |  (n_a * 1000000) // tot_a AS share_a_micro,
+      |  (n_b * 1000000) // tot_b AS share_b_micro,
+      |  abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b) AS abs_diff_micro
+      |FROM c CROSS JOIN t ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_distribution_drift" -> distributionDrift,
     "q_feature_hashing" -> featureHashing,
     "q_domain_cap" -> domainCap,
     "q_stratified_sample" -> stratifiedSample,
@@ -254,6 +292,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_distribution_drift" -> distributionDriftSql,
     "q_feature_hashing" -> featureHashingSql,
     "q_domain_cap" -> domainCapSql,
     "q_stratified_sample" -> stratifiedSampleSql,
