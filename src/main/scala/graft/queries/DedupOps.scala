@@ -73,16 +73,18 @@ object DedupOps {
         numPerm = NumPerm, shingleN = 3, bandRows = BandRows, minJaccard = 0.25)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** The minhash-pair oracle machinery, parameterized over an extra pair
-    * predicate so [[dedupIncrementalSql]] can restrict to pairs touching
-    * the new batch (ids ≥ 100000) without duplicating the WITH chain.
+  /** The minhash-pair oracle machinery, parameterized over the corpus
+    * fixture and an extra pair predicate so [[dedupIncrementalSql]] can
+    * restrict to pairs touching the new batch without duplicating the
+    * WITH chain.
     */
-  private def minhashPairsSql(extraPairCond: String): String = {
+  private def minhashPairsSql(extraPairCond: String,
+                              corpusSql: String = corpusNearSql(7)): String = {
     val sigExprs = (0 until NumPerm).map { i =>
       s"list_min(list_transform(hs, h -> (h * ${Dedup.permA(i)} + ${Dedup.permB(i)}) % ${Dedup.PermMod}))"
     }.mkString("[", ", ", "]")
     val bandIdx = (0 until NumPerm / BandRows).mkString("[", ",", "]")
-    s"""WITH ${corpusNearSql(7)},
+    s"""WITH $corpusSql,
       |tok AS (SELECT doc_id, ${TA.tokensSql("text")} AS toks FROM corpus),
       |sh AS (SELECT doc_id, ${TA.shinglesSql("toks", 3)} AS shingles FROM tok),
       |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${Hashing.md5LongSql("s")} & ${Dedup.HashMask}) AS hs FROM sh),
@@ -106,18 +108,21 @@ object DedupOps {
   // ---------------------------------------------------- incremental dedup
 
   /** The 100 TB dedup MODE: a new batch (truncated near-dup variants of
-    * every 7th doc, ids +100000) arrives and is deduped against the
-    * existing corpus through its PERSISTED LSH band index — the corpus is
-    * probed, never self-joined. The oracle is the full-corpus pair set
-    * restricted to pairs touching the batch: incremental probing must
-    * find exactly what a from-scratch rerun would, at per-batch cost.
+    * every 7th doc) arrives and is deduped against the existing corpus
+    * through its PERSISTED LSH band index — the corpus is probed, never
+    * self-joined. Batch ids are NEGATED (-doc_id - 1): corpus ids are
+    * non-negative at every scale factor, so `doc_id < 0` is a scale-proof
+    * batch marker (an additive offset collides with genuine ids once the
+    * corpus outgrows it — found at sf1). The oracle is the full-corpus
+    * pair set restricted to pairs touching the batch: incremental probing
+    * must find exactly what a from-scratch rerun would, at per-batch cost.
     */
   def dedupIncremental: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     val toks = TA.tokens(col("text"))
     val trunc = array_join(slice(toks, lit(1), greatest(size(toks) - 5, lit(3))), " ")
     val batch = docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("lang"), trunc.as("text"))
+      .select((-col("doc_id") - 1).as("doc_id"), col("lang"), trunc.as("text"))
     val corpusIdx = Dedup.minhashBandIndex(docs, "doc_id", "text",
       numPerm = NumPerm, shingleN = 3, bandRows = BandRows)
     Dedup.incrementalMinhashNearDups(corpusIdx, batch, "doc_id", "text",
@@ -125,8 +130,17 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  private val corpusIncrSql: String =
+    s"""corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1, lang,
+      |    array_to_string(toks[1:greatest(len(toks) - 5, 3)], ' ')
+      |  FROM (SELECT doc_id, lang, ${TA.tokensSql("text")} AS toks FROM documents)
+      |  WHERE doc_id % 7 = 0)""".stripMargin
+
   val dedupIncrementalSql: String =
-    minhashPairsSql(" AND (a.doc_id >= 100000 OR b.doc_id >= 100000)")
+    minhashPairsSql(" AND (a.doc_id < 0 OR b.doc_id < 0)", corpusIncrSql)
 
   // -------------------------------------------------------------- simhash
 
