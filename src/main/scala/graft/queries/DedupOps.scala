@@ -154,12 +154,16 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
-  val dedupSimhashSql: String = {
+  /** Naive all-pairs simhash oracle for any (bits, maxHamming) — shared
+    * by the parity gate and the banded at-scale gate (whose pigeonhole
+    * candidates are EXACTLY recall-1, so the same naive SQL oracles both).
+    */
+  private def simhashSqlFor(bits: Int, maxHamming: Int): String = {
     val h = Hashing.md5LongSql("t")
-    val votes = (0 until SimBits).map { b =>
+    val votes = (0 until bits).map { b =>
       s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS c$b"
     }.mkString(",\n    ")
-    val assemble = (0 until SimBits).map { b =>
+    val assemble = (0 until bits).map { b =>
       s"(CASE WHEN c$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
     s"""WITH ${corpusNearSql(7)},
@@ -172,9 +176,26 @@ object DedupOps {
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
       |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
       |ORDER BY id_a, id_b""".stripMargin
   }
+
+  val dedupSimhashSql: String = simhashSqlFor(SimBits, MaxHamming)
+
+  /** The AT-SCALE simhash path gated end to end: banded multi-index
+    * candidates (48-bit hash, Hamming ≤ 3 — four 12-bit segments, recall
+    * exactly 1 by pigeonhole) + bit_count verify, against the naive
+    * all-pairs oracle at the same params. This is the form that replaces
+    * the parity gate's block-quadratic self-join on a duplicate-heavy
+    * corpus (sf1 measured the difference; see SCALE.md).
+    */
+  def dedupSimhashBanded: Q = (s, d) =>
+    Dedup.simhashNearDupsBanded(corpusNear(s, d, 7), "doc_id", "text",
+        blockCols = Seq("lang"), bits = 48, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupSimhashBandedSql: String = simhashSqlFor(48, 3)
 
   // -------------------------------------------------- n-gram Jaccard exact
 
@@ -547,6 +568,7 @@ object DedupOps {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_simhash_banded" -> dedupSimhashBanded,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_embedding" -> dedupEmbedding,
   )
@@ -561,6 +583,7 @@ object DedupOps {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_simhash_banded" -> dedupSimhashBandedSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
   )

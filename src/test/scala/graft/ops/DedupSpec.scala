@@ -39,6 +39,34 @@ class DedupSpec extends SparkSpec {
     assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(3L)))
   }
 
+  test("banded simhash returns exactly the naive all-pairs result (pigeonhole recall 1)") {
+    // a larger deterministic corpus with planted near-dups: 40 base docs,
+    // every 4th gets a lightly perturbed copy (one token appended)
+    val base = (1 to 40).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * 13) % 30}")
+      (i.toLong, "b", words.mkString(" "))
+    }
+    val dups = (1 to 40).filter(_ % 4 == 0).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * 13) % 30}") :+ "extra"
+      (i.toLong + 1000, "b", words.mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "lang", "text")
+    val naive = Dedup.simhashNearDups(df, "doc_id", "text", Seq("lang"),
+        bits = 48, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDupsBanded(df, "doc_id", "text", Seq("lang"),
+        bits = 48, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture planted no near-dups")
+    assert(banded == naive, s"banded=$banded naive=$naive")
+    // unbandable params are rejected, not silently weak
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupsBanded(df, "doc_id", "text", Seq("lang"),
+        bits = 32, maxHamming = 8)
+    }
+  }
+
   test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated absent") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         blockCols = Seq.empty, shingleN = 3, minJaccard = 0.3)
