@@ -158,8 +158,14 @@ object GraphOps {
   private[queries] def initialRank(deg: DataFrame): DataFrame =
     deg.select(col("src").as("node"), lit(1000000L).as("r"))
 
-  def pagerank: Q = (s, d) => {
-    val copart = copartitionMode(s, d)
+  def pagerank: Q = (s, d) => pagerankWith(s, d, copartitionMode(s, d))
+
+  /** PageRank at an explicit join geometry — `q_pagerank` resolves the
+    * mode from conf/size; `q_pagerank_copart` pins the at-scale
+    * co-partitioned path so it is HASH-GATED, not just spec-proven.
+    */
+  private[queries] def pagerankWith(s: SparkSession, d: String,
+                                    copart: Boolean): DataFrame = {
     val (e, deg) = tradingGraph(s, d, copart)
     var rank = initialRank(deg)
     var i = 0
@@ -214,14 +220,8 @@ object GraphOps {
     * `div` micro-units (the [[Num]] policy), so the single output row is
     * bit-stable at any parallelism.
     */
-  def triangleCount: Q = (s, d) => {
-    val lp = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = lp.as("a").join(lp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-    triangleCensus(e, copartitionMode(s, d))
-  }
+  def triangleCount: Q = (s, d) =>
+    triangleCensus(coPurchaseEdges(s, d), copartitionMode(s, d))
 
   /** The census over any canonical (u < v, distinct) edge list — the
     * algorithm of [[triangleCount]], reusable and directly testable.
@@ -320,14 +320,8 @@ object GraphOps {
     * integer; the (count desc, label asc) argmax is a total order —
     * bit-stable at any parallelism.
     */
-  def labelPropagation: Q = (s, d) => {
-    val lp = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e0 = lp.as("a").join(lp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-    lpaCommunities(e0, copartitionMode(s, d)).limit(LpaTop)
-  }
+  def labelPropagation: Q = (s, d) =>
+    lpaCommunities(coPurchaseEdges(s, d), copartitionMode(s, d)).limit(LpaTop)
 
   /** LPA over any canonical (u < v, distinct) edge list: community sizes,
     * largest first (label tie-break). Reusable + directly testable.
@@ -385,15 +379,34 @@ object GraphOps {
       |ORDER BY n_members DESC, community ASC LIMIT $LpaTop""".stripMargin
   }
 
+  /** Co-purchase edge list shared by the census and LPA gates. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val lp = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    lp.as("a").join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
     "q_label_propagation" -> labelPropagation,
+    // the AT-SCALE geometry hash-gated against the same oracles: identical
+    // results are the whole point of the mode switch
+    "q_pagerank_copart" -> ((s, d) => pagerankWith(s, d, copart = true)),
+    "q_triangle_copart" ->
+      ((s, d) => triangleCensus(coPurchaseEdges(s, d), copart = true)),
+    "q_lpa_copart" ->
+      ((s, d) => lpaCommunities(coPurchaseEdges(s, d), copart = true).limit(LpaTop)),
   )
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_propagation" -> labelPropagationSql,
+    "q_pagerank_copart" -> pagerankSql,
+    "q_triangle_copart" -> triangleCountSql,
+    "q_lpa_copart" -> labelPropagationSql,
   )
 }
