@@ -510,4 +510,66 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Ed-Join (Xiao, Wang & Lin, VLDB'08): all pairs within a block at
+    * Levenshtein distance ≤ `maxDist`, via positional q-gram prefix
+    * filtering instead of the block-quadratic self-join.
+    *
+    * Soundness: one edit operation destroys at most `q` positional q-grams
+    * and shifts survivors by ≤ `maxDist` positions, so two strings with
+    * ed ≤ d share all but d·q of their gram occurrences (at position
+    * distance ≤ d). By the prefix-filter lemma, the (d·q + 1) globally
+    * rarest gram occurrences of each string must therefore intersect on a
+    * gram value — with |Δpos| ≤ d — for every true pair: recall is exactly
+    * 1, and the levenshtein verify removes collisions.
+    *
+    * Scale: gram explode + rarity ranking are linear in total string
+    * length; the candidate join touches only (d·q+1) occurrences per
+    * string, sharded by (block, gram), versus block² full strings for the
+    * naive form. A cheap |len_a − len_b| ≤ d screen rides both the
+    * candidate join and the verify.
+    */
+  def edJoinPairs(df: DataFrame, idCol: String, strCol: String,
+                  blockCols: Seq[String], maxDist: Int = 2,
+                  q: Int = 3): DataFrame = {
+    val prefixLen = maxDist * q + 1
+    val base = df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        col(strCol).as("str"): _*)
+      .withColumn("len", length(col("str")))
+      .transform(graft.core.Checkpoint.apply)
+    // positional q-grams; strings shorter than q emit the whole string at
+    // position 0 (still joinable — identical short strings share it)
+    val grams = base.select(
+      (col("id") +: blockCols.map(col)) :+ col("len") :+
+        posexplode(when(col("len") < q, array(col("str")))
+          .otherwise(transform(sequence(lit(0), col("len") - q),
+            i => col("str").substr(i + 1, lit(q))))).as(Seq("pos", "g")): _*)
+    // rarity within the block = rarity among possible partners
+    val freq = grams.groupBy((blockCols :+ "g").map(col): _*)
+      .agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("freq").asc, col("g").asc, col("pos").asc)
+    val prefixes = grams.join(freq, blockCols :+ "g")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select((col("id") +: blockCols.map(col)) :+ col("len") :+
+        col("g") :+ col("pos"): _*)
+      .transform(graft.core.Checkpoint.apply)
+    val a = prefixes.alias("a")
+    val b = prefixes.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        abs(col("a.pos") - col("b.pos")) <= maxDist &&
+        abs(col("a.len") - col("b.len")) <= maxDist)(_ && _)
+    val cands = a.join(b, blockCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("str").as("str_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("str").as("str_b")), "id_b")
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"), col("dist"))
+  }
 }

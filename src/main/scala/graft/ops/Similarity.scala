@@ -72,6 +72,28 @@ object Similarity {
     df.withColumn("v", asDouble(col(vecCol)))
       .withColumn("nrm", l2Norm(col("v")))
 
+  /** Exact micro-unit image of `round(x, roundTo)`: same equivalence
+    * classes as the rounded double (the second `round` absorbs the ≤
+    * `d·2⁻⁵²` float error of the `×10^roundTo` rescale, exact for
+    * |micro| < 2⁵¹), but a LONG — so nearest-centroid argmins can ride a
+    * single `min(long)` that HashAggregate partial-aggregates map-side,
+    * where a struct/array ordering would fall back to SortAggregate.
+    */
+  private def micro(x: Column, roundTo: Int): Column =
+    round(round(x, roundTo) * math.pow(10, roundTo)).cast("long")
+
+  /** (order, id) → one long key for `min`: order-major, id minor — decodes
+    * with `% IdSpan`. Bounds are cheap per-row guards that raise instead
+    * of silently mis-ranking if a caller ever exceeds them.
+    */
+  private val IdSpan = 1L << 32
+  private def argminKey(ord: Column, id: Column, maxOrd: Long): Column =
+    when(ord >= 0 && ord < maxOrd && id >= 0 && id < IdSpan,
+      ord * IdSpan + id)
+      .otherwise(raise_error(concat(
+        lit("argmin key overflow: ord="), ord.cast("string"),
+        lit(" id="), id.cast("string"))))
+
   /** Per-query top-k of scored candidates via the bounded-heap aggregate
     * [[graft.functions.TopKAgg]] — ships ≤ k candidates per query per
     * mapper instead of window-sorting every scored pair. Tie order
@@ -155,15 +177,38 @@ object Similarity {
       val base = withNorm(df, vecCol)
         .select(col(idCol).as(s"${role}_id"), col("v").as(s"${role}v"),
           col("nrm").as(s"${role}n"))
-      val w = Window.partitionBy(col(s"${role}_id"))
-        .orderBy(col("cent_cos").desc, col("cent_id").asc)
-      base.join(broadcast(cents), lit(true))
-        .withColumn("cent_cos",
-          round(cosine(col(s"${role}v"), col("centv"), col(s"${role}n"), col("centn")), roundTo))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= cells)
-        .select(col(s"${role}_id"), col(s"${role}v"), col(s"${role}n"),
-          col("cent_id").as("cluster_id"))
+      if (cells == 1) {
+        // Corpus-side argmax folded into ONE long key (micro-cos desc via
+        // the 2²³ complement, cent_id asc as the minor word — identical
+        // winner to the windowed (round(cos,6) desc, id asc)): min(long)
+        // partial-aggregates the broadcast product map-side to one row per
+        // vector, where a window would shuffle-sort |corpus|·|centroids|
+        // rows and a struct ordering would force SortAggregate. The narrow
+        // (id, cluster) assignment then re-joins base for the vector
+        // payload — a corpus-sized shuffle of two scalars, |centroids|×
+        // smaller than what the window moved.
+        val asg = base.join(broadcast(cents), lit(true))
+          .select(col(s"${role}_id"), argminKey(
+            lit(1L << 23) - micro(
+              cosine(col(s"${role}v"), col("centv"), col(s"${role}n"), col("centn")),
+              roundTo),
+            col("cent_id").cast("long"), maxOrd = 1L << 24).as("k"))
+          .groupBy(col(s"${role}_id")).agg(min(col("k")).as("k"))
+          .select(col(s"${role}_id"), (col("k") % IdSpan).as("cluster_id"))
+        base.join(asg, s"${role}_id")
+          .select(col(s"${role}_id"), col(s"${role}v"), col(s"${role}n"),
+            col("cluster_id"))
+      } else {
+        val w = Window.partitionBy(col(s"${role}_id"))
+          .orderBy(col("cent_cos").desc, col("cent_id").asc)
+        base.join(broadcast(cents), lit(true))
+          .withColumn("cent_cos",
+            round(cosine(col(s"${role}v"), col("centv"), col(s"${role}n"), col("centn")), roundTo))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= cells)
+          .select(col(s"${role}_id"), col(s"${role}v"), col(s"${role}n"),
+            col("cent_id").as("cluster_id"))
+      }
     }
     val corpusAssigned = assign(corpus, "nbr", 1).transform(graft.core.Checkpoint.apply)
     val queriesAssigned = assign(queries, "query", nProbe)
@@ -406,15 +451,22 @@ object Similarity {
       pqSubs(df, idCol, vecCol, m, dsub, idAs, vAs)
     val cb = codebooks.select(col("m"), col("cent_id"), col("cv"))
       .transform(graft.core.Checkpoint.apply)
-    val d2 = round(dot(col("xv"), col("xv")) - lit(2.0) * dot(col("xv"), col("cv"))
-      + dot(col("cv"), col("cv")), roundTo)
-    val byDist = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
+    val rawD2 = dot(col("xv"), col("xv")) - lit(2.0) * dot(col("xv"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    // Encode argmin as min(ONE long key) — (micro-d2, cent_id), identical
+    // winner to the row_number formulation under (round(d2,6) asc, id asc)
+    // — so the corpus×codebook product map-side combines to one row per
+    // (vec, subspace) inside HashAggregate, where a window would
+    // shuffle-sort the full |corpus|·m·|codebook| product and a struct
+    // ordering would force SortAggregate.
     val codes = subs(corpus, "vec_id", "xv")
       .join(broadcast(cb), "m")
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(byDist)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+      .select(col("vec_id"), col("m"),
+        argminKey(micro(rawD2, roundTo), col("cent_id").cast("long"),
+          maxOrd = 1L << 30).as("k"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("k")).as("k"))
+      .select(col("vec_id"), col("m"), (col("k") % IdSpan).as("code"))
     val partials = subs(queries, "query_id", "qv")
       .join(broadcast(cb), "m")
       .select(col("query_id"), col("m"), col("cent_id").as("code"),

@@ -8,17 +8,27 @@ import graft.ops.Similarity
 /** Approximate-nearest-neighbor queries over the `embeddings` table:
   * brute-force cosine top-k as the exact baseline, sign-bucket LSH as the
   * scale path (see [[graft.ops.Similarity]] for the distribution design).
-  * Query set = every vec_id % 100 == 0 (deterministic, scales with SF).
+  * Query set = every vec_id % 100 == 0 below [[SimilarityOps.ParamCap]].
   */
 object SimilarityOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Id ceiling for every MODEL-PARAMETER row set — the query batch, the
+    * IVF coarse centroids, and the PQ codebook sample. Without it these
+    * `% k` filters grow linearly with the corpus, which silently turns the
+    * ANN family quadratic (corpus × corpus/k) at scale; a codebook or
+    * query batch is O(1) in corpus size by design. 2000 = the full
+    * vec_id range at sf0.1, so every gate SF up to 0.1 is unchanged and
+    * larger SFs hold the parameter sets fixed while the corpus grows.
+    */
+  private val ParamCap = 2000L
+
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
 
   private def querySet(s: SparkSession, d: String): DataFrame =
-    corpus(s, d).filter(col("vec_id") % 100 === 0)
+    corpus(s, d).filter(col("vec_id") % 100 === 0 && col("vec_id") < ParamCap)
 
   /** Brute-force cosine top-10 per query (ranked on rounded cosine with
     * neighbor-id tie-break for cross-engine determinism).
@@ -35,7 +45,7 @@ object SimilarityOps {
       |n AS (SELECT vec_id, v, sqrt($dotVV) AS nrm FROM base),
       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
       |    round($dotQC / (q.nrm * c.nrm), 6) AS cos_sim
-      |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+      |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id < 2000 AND c.vec_id <> q.vec_id),
       |r AS (SELECT *, row_number() OVER
       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
       |  FROM scored)
@@ -59,7 +69,7 @@ object SimilarityOps {
       |n AS (SELECT vec_id, v, sqrt($dotVV) AS nrm, $bucket AS bucket FROM base),
       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
       |    round($dotQC / (q.nrm * c.nrm), 6) AS cos_sim
-      |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id % 100 = 0
+      |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id % 100 = 0 AND q.vec_id < 2000
       |    AND c.vec_id <> q.vec_id),
       |r AS (SELECT *, row_number() OVER
       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
@@ -73,7 +83,7 @@ object SimilarityOps {
     */
   def knnIvf: Q = (s, d) =>
     Similarity.ivfKnn(corpus(s, d), querySet(s, d),
-        corpus(s, d).filter(col("vec_id") % 100 === 7),
+        corpus(s, d).filter(col("vec_id") % 100 === 7 && col("vec_id") < ParamCap),
         "vec_id", "embedding", k = 3)
       .orderBy(col("query_id"), col("rank"))
 
@@ -83,7 +93,7 @@ object SimilarityOps {
     val dotVV = Similarity.dotSql("v", "v", 64)
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt($dotVV) AS nrm FROM embeddings),
-      |cents AS (SELECT vec_id AS cent_id, v, nrm FROM base WHERE vec_id % 100 = 7),
+      |cents AS (SELECT vec_id AS cent_id, v, nrm FROM base WHERE vec_id % 100 = 7 AND vec_id < 2000),
       |assigned AS (
       |  SELECT * FROM (
       |    SELECT x.vec_id, x.v, x.nrm, c.cent_id AS cluster_id,
@@ -94,7 +104,7 @@ object SimilarityOps {
       |scored AS (SELECT q.vec_id AS query_id, n.vec_id AS nbr_id,
       |    round($dotQN / (q.nrm * n.nrm), 6) AS cos_sim
       |  FROM assigned q JOIN assigned n ON q.cluster_id = n.cluster_id
-      |    AND q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id),
+      |    AND q.vec_id % 100 = 0 AND q.vec_id < 2000 AND n.vec_id <> q.vec_id),
       |r AS (SELECT *, row_number() OVER
       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
       |  FROM scored)
@@ -108,7 +118,7 @@ object SimilarityOps {
     */
   def knnPq: Q = (s, d) =>
     Similarity.pqKnn(corpus(s, d), querySet(s, d),
-        corpus(s, d).filter(col("vec_id") % 50 === 3),
+        corpus(s, d).filter(col("vec_id") % 50 === 3 && col("vec_id") < ParamCap),
         "vec_id", "embedding", k = 3)
       .orderBy(col("query_id"), col("rank"))
 
@@ -123,14 +133,14 @@ object SimilarityOps {
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |subs AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS xv
       |  FROM base CROSS JOIN (SELECT unnest($ms) AS m)),
-      |cb AS (SELECT vec_id AS cent_id, m, xv AS cv FROM subs WHERE vec_id % 50 = 3),
+      |cb AS (SELECT vec_id AS cent_id, m, xv AS cv FROM subs WHERE vec_id % 50 = 3 AND vec_id < 2000),
       |codes AS (SELECT vec_id, m, code FROM (
       |  SELECT s.vec_id, s.m, c.cent_id AS code,
       |    row_number() OVER (PARTITION BY s.vec_id, s.m
       |      ORDER BY round($dxx - 2.0 * $dxc + $dcc, 6) ASC, c.cent_id ASC) AS rn
       |  FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
       |partials AS (SELECT q.vec_id AS query_id, q.m, c.cent_id AS code, $dqc AS p
-      |  FROM subs q JOIN cb c ON q.m = c.m WHERE q.vec_id % 100 = 0),
+      |  FROM subs q JOIN cb c ON q.m = c.m WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000),
       |scored AS (SELECT p.query_id, s.vec_id,
       |    round($fixedSum, 6) AS approx_dot
       |  FROM codes s JOIN partials p ON s.m = p.m AND s.code = p.code

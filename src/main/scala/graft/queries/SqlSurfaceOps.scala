@@ -88,26 +88,20 @@ object SqlSurfaceOps {
       |GROUP BY c.nk ORDER BY nationkey NULLS FIRST""".stripMargin
 
   /** Blocked fuzzy match: near-identical part names within a brand at edit
-    * distance ≤ 2. The cheap `abs(len diff) ≤ 2` guard prunes pairs before
-    * the expensive levenshtein (edit distance ≥ length difference), and the
-    * brand block bounds the quadratic term — the same
-    * block + cheap-filter + exact-verify shape as the dedup family.
+    * distance ≤ 2, answered by [[graft.ops.Dedup.edJoinPairs]] — positional
+    * q-gram prefix filtering (Ed-Join) generates candidates sharing a rare
+    * gram instead of the block-quadratic self-join the oracle SQL spells
+    * out; the levenshtein verify makes the two formulations row-identical
+    * (recall of the prefix filter is exactly 1, see edJoinPairs).
     */
   def fuzzyMatch: Q = (s, d) => {
-    views(s, d)
-    // the %4 subset bounds the quadratic term (short names defeat length
-    // pruning here); production fuzzy-dedup would first prefix-filter on
-    // rare character q-grams exactly like Dedup.ngramJaccardPairsPrefix
-    s.sql(
-      """WITH p AS (SELECT * FROM part_v WHERE p_partkey % 4 = 0)
-        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        |  a.p_name AS name_a, b.p_name AS name_b,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM p a JOIN p b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
-        |  AND levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY id_a, id_b""".stripMargin)
+    import org.apache.spark.sql.functions.col
+    graft.ops.Dedup.edJoinPairs(
+        Tables.part(s, d).filter(col("p_partkey") % 4 === 0),
+        "p_partkey", "p_name", Seq("p_brand"), maxDist = 2, q = 3)
+      .select(col("id_a"), col("id_b"), col("str_a").as("name_a"),
+        col("str_b").as("name_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   val fuzzyMatchSql: String =
