@@ -325,14 +325,21 @@ object Dedup {
       (col(idCol) +: blockCols.map(col)) :+
         array_distinct(
           call_function("graft_shingles", col(textCol), lit(shingleN))).as("sh"): _*)
+      .withColumn("n_sh", size(col("sh")))
       .transform(graft.core.Checkpoint.apply)
     val exploded = base.select(
-      (col(idCol) +: blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
-    val sizes = base.select(col(idCol), size(col("sh")).as("n_sh"))
+      (col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+ explode(col("sh")).as("s"): _*)
+    val sizes = base.select(col(idCol), col("n_sh"))
     val a = exploded.alias("a")
     val b = exploded.alias("b")
+    // length filter inside the join condition: J ≥ t ⟹ t·max ≤ min, so
+    // size-mismatched pairs are pruned per shared-shingle row, before the
+    // pair-count shuffle ever sees them (their exact count would be
+    // discarded by the threshold anyway — dropping them is exact)
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+      .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol") &&
+        greatest(col("a.n_sh"), col("b.n_sh")) * lit(minJaccard) <=
+          least(col("a.n_sh"), col("b.n_sh")))(_ && _)
     val inter = a.join(b, blockCond)
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -375,6 +382,65 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("containment",
+        floor(col("n_inter").cast("double") / least(col("n_a"), col("n_b"))
+          * 10000 + 0.5) / 10000)
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** Prefix-filtered [[ngramContainmentPairs]] — the at-scale formulation
+    * (DedupSpec proves pair-identical results).
+    *
+    * Containment is ASYMMETRIC (|∩| / min(|A|,|B|)), so the symmetric
+    * prefix-vs-prefix join of the Jaccard path doesn't apply; instead the
+    * PROBING-PREFIX scheme: C ≥ t ⟹ |∩| ≥ ⌈t·|A|⌉ for the smaller set A,
+    * so A's `|A| − ⌈t·|A|⌉ + 1` rarest shingles must hit SOME element of
+    * the intersection (pigeonhole) — and every intersection element is in
+    * B's FULL set. The candidate join therefore probes small-side prefixes
+    * against big-side full sets (`n_p ≤ n_f`; equal sizes fire both
+    * directions and the normalized distinct dedups them). Exactly-one-side
+    * prefixing keeps recall at 1 with no assumption about which side is
+    * contained.
+    *
+    * Candidate volume per shingle is prefix-df × full-df instead of the
+    * direct join's full-df² — the frequent shingles that blow up the
+    * direct join never enter on the probing side.
+    */
+  def ngramContainmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                                  blockCols: Seq[String], shingleN: Int = 3,
+                                  minContainment: Double = 0.8): DataFrame = {
+    val base = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        array_distinct(
+          call_function("graft_shingles", col(textCol), lit(shingleN))).as("sh"): _*)
+      .withColumn("n_sh", size(col("sh")))
+      .transform(graft.core.Checkpoint.apply)
+    val exploded = base.select(
+      (col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+ explode(col("sh")).as("s"): _*)
+    val freq = exploded.groupBy((blockCols :+ "s").map(col): _*)
+      .agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("freq").asc, col("s").asc)
+    val prefixes = exploded.join(freq, blockCols :+ "s")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(minContainment)) + 1)
+      .select((col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+ col("s"): _*)
+    val p = prefixes.alias("p")
+    val f = exploded.alias("f")
+    val blockCond = blockCols.map(c => col(s"p.$c") === col(s"f.$c"))
+      .foldLeft(col("p.s") === col("f.s") && col(s"p.$idCol") =!= col(s"f.$idCol") &&
+        col("p.n_sh") <= col("f.n_sh"))(_ && _)
+    val cands = p.join(f, blockCond)
+      .select(least(col(s"p.$idCol"), col(s"f.$idCol")).as("id_a"),
+        greatest(col(s"p.$idCol"), col(s"f.$idCol")).as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("containment",
         floor(col("n_inter").cast("double") / least(col("n_a"), col("n_b"))
           * 10000 + 0.5) / 10000)
@@ -490,11 +556,16 @@ object Dedup {
     val prefixes = exploded.join(freq, blockCols :+ "s")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(minJaccard)) + 1)
-      .select((col(idCol) +: blockCols.map(col)) :+ col("s"): _*)
+      .select((col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+ col("s"): _*)
     val a = prefixes.alias("a")
     val b = prefixes.alias("b")
+    // length filter rides the candidate join: J ≥ t ⟹ t·max(|A|,|B|) ≤
+    // min(|A|,|B|) — prunes size-mismatched prefix collisions before the
+    // pair ever materializes
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+      .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol") &&
+        greatest(col("a.n_sh"), col("b.n_sh")) * lit(minJaccard) <=
+          least(col("a.n_sh"), col("b.n_sh")))(_ && _)
     val cands = a.join(b, blockCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()

@@ -199,15 +199,37 @@ object DedupOps {
 
   // -------------------------------------------------- n-gram Jaccard exact
 
-  /** Exact 3-gram Jaccard pairs blocked by lang at J ≥ 0.3.
+  /** Size-adaptive SSJoin formulation pick, mirroring the graph trio's
+    * `spark.graft.graph.join`: the DIRECT shingle equi-join wins on small
+    * corpora (the prefix path's 3 extra shuffle stages cost more than the
+    * pruning saves — measured 2x at sf0.01), but its candidate volume is
+    * Σ df² per shingle, quadratic in the duplicate mass, so above
+    * `spark.graft.ssjoin.directMaxInputBytes` (default 2 MiB of documents
+    * input; sf1 ≈ 5.8 MiB measured the crossover) the prefix-filtered
+    * form takes over. `spark.graft.ssjoin.join` forces `direct`/`prefix`.
+    * DedupSpec proves the formulations pair-identical, so the switch is a
+    * pure planner decision.
+    */
+  private def ssjoinPrefixMode(s: SparkSession, d: String): Boolean =
+    s.conf.get("spark.graft.ssjoin.join", "auto") match {
+      case "direct" => false
+      case "prefix" => true
+      case _ =>
+        val thresh = s.conf.get("spark.graft.ssjoin.directMaxInputBytes",
+          (2L * 1024 * 1024).toString).toLong
+        graft.core.InputSize.bytes(s, d, Seq("documents.parquet")) > thresh
+    }
+
+  /** Exact 3-gram Jaccard pairs blocked by lang at J ≥ 0.3, via the
+    * DIRECT shingle join with the length filter riding the join condition.
     *
-    * Uses the direct shingle join: at this corpus size (5k docs, ~100
-    * shingles/doc) it beats the prefix-filtered formulation
-    * ([[Dedup.ngramJaccardPairsPrefix]], 2x slower here — its 3 extra
-    * shuffle stages cost more than the pruning saves). The crossover
-    * flips at large corpora where frequent shingles make the direct
-    * join quadratic; DedupSpec proves the two return identical pairs,
-    * so swapping is a pure planner decision.
+    * Deliberately NOT routed through [[ssjoinPrefixMode]]: at t = 0.3 the
+    * SSJoin prefix is `n − ⌈0.3n⌉ + 1` ≈ 70% of every set, so the prefix
+    * form's extra stages cost more than its weak pruning saves at EVERY
+    * size (measured 3.4x slower at sf1) — prefix filtering pays off at
+    * high thresholds (the containment gate's t = 0.8 flips to it). The
+    * at-scale path for LOW-threshold similarity is candidate generation by
+    * MinHash-LSH (`q_dedup_minhash`), not a stronger exact join.
     */
   def dedupNgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardPairs(corpusNear(s, d, 7), "doc_id", "text",
@@ -278,10 +300,16 @@ object DedupOps {
   /** Asymmetric containment pairs at C ≥ 0.8: the truncated copies are
     * SUBSETS of their originals (containment 1.0) even where Jaccard
     * drops with the length gap — the embedded-duplication screen.
+    * Size-adaptive like the Jaccard gate: the at-scale path is the
+    * probing-prefix form ([[Dedup.ngramContainmentPairsPrefix]]).
     */
   def dedupContainment: Q = (s, d) =>
-    Dedup.ngramContainmentPairs(corpusNear(s, d, 7), "doc_id", "text",
-        blockCols = Seq("lang"), shingleN = 3, minContainment = 0.8)
+    (if (ssjoinPrefixMode(s, d))
+       Dedup.ngramContainmentPairsPrefix(corpusNear(s, d, 7), "doc_id", "text",
+         blockCols = Seq("lang"), shingleN = 3, minContainment = 0.8)
+     else
+       Dedup.ngramContainmentPairs(corpusNear(s, d, 7), "doc_id", "text",
+         blockCols = Seq("lang"), shingleN = 3, minContainment = 0.8))
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupContainmentSql: String =

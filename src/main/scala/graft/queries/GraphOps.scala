@@ -79,13 +79,7 @@ object GraphOps {
     * metadata-only (file listing, no job).
     */
   private def graphInputBytes(s: SparkSession, d: String): Long =
-    Seq("lineitem.parquet", "orders.parquet").map { t =>
-      val p = new org.apache.hadoop.fs.Path(d, t)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) 0L
-      else if (fs.getFileStatus(p).isFile) fs.getFileStatus(p).getLen
-      else fs.listStatus(p).map(_.getLen).sum
-    }.sum
+    graft.core.InputSize.bytes(s, d, Seq("lineitem.parquet", "orders.parquet"))
 
   /** The node-sized join side under the chosen geometry: broadcast-hinted
     * on small graphs, plain (→ shuffle join, co-located when the big side

@@ -162,4 +162,20 @@ class DedupSpec extends SparkSpec {
     val p2 = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", Seq.empty, 3, 0.3)
     assert(p2.exceptAll(n2).isEmpty && n2.exceptAll(p2).isEmpty)
   }
+
+  test("probing-prefix containment join returns exactly the naive join's pairs") {
+    // real corpus slice (frequency skew + length spread for the n_p <= n_f
+    // asymmetry), at a threshold low enough to yield non-trivial pairs
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"lang", $"text")
+    val naive = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minContainment = 0.5)
+    val prefix = Dedup.ngramContainmentPairsPrefix(corpus, "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minContainment = 0.5)
+    assert(prefix.exceptAll(naive).isEmpty && naive.exceptAll(prefix).isEmpty)
+    // the embedded-duplicate planted set: equal-size ties + subset pair
+    val nd = Dedup.ngramContainmentPairs(docs, "doc_id", "text", Seq.empty, 3, 0.8)
+    val pd = Dedup.ngramContainmentPairsPrefix(docs, "doc_id", "text", Seq.empty, 3, 0.8)
+    assert(pd.exceptAll(nd).isEmpty && nd.exceptAll(pd).isEmpty)
+  }
 }
