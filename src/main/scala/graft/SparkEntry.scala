@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.BehaviorOps.queries ++
       graft.queries.QualityOps.queries ++
       graft.queries.PrivacyOps.queries ++
-      graft.queries.LmOps.queries
+      graft.queries.LmOps.queries ++
+      graft.queries.BasketOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -78,5 +79,6 @@ object SparkEntry {
       graft.queries.BehaviorOps.oracles ++
       graft.queries.QualityOps.oracles ++
       graft.queries.PrivacyOps.oracles ++
-      graft.queries.LmOps.oracles
+      graft.queries.LmOps.oracles ++
+      graft.queries.BasketOps.oracles
 }

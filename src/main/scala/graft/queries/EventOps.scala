@@ -139,6 +139,86 @@ object EventOps {
     q.stop()
   }
 
+  /** Deterministic 4-file copy of events (hash-split on event_id) under
+    * scratch, built once per data dir (`_SUCCESS` marks a completed
+    * layout) — the multi-micro-batch fixture shared by the restart and
+    * stream-stream-join gates.
+    */
+  private[graft] def eventFilesDir(s: SparkSession, d: String): String = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val srcDir = Scratch.dir(s"stream_restart_src_$tag")
+    if (!new java.io.File(srcDir, "_SUCCESS").exists) {
+      Scratch.wipe(srcDir)
+      s.read.schema(eventSchema)
+        .parquet(d + "/events.parquet")
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    srcDir
+  }
+
+  /** STREAM-STREAM inner join, hash-gated: last-touch click attribution —
+    * every (purchase, click) pair for the same user with the click in the
+    * 30 minutes up to the purchase. Two independent file-source streams
+    * over the same 4-file events layout (1 file per micro-batch, hash-
+    * split, so a purchase routinely arrives batches before or after its
+    * matching click); Spark buffers BOTH sides in the join state store and
+    * emits each match in the micro-batch that completes it. The append-
+    * mode memory sink must hash-match the batch self-join oracle — pairs
+    * can only go missing if cross-batch join state was dropped, and only
+    * duplicate if a side was replayed.
+    *
+    * Watermarks are set far beyond the dataset's span, so no state is
+    * evicted mid-gate and stream ≡ batch EXACTLY regardless of file
+    * arrival order; production narrows the delay to the real lateness
+    * bound and the SAME plan ages click state out 30 minutes behind the
+    * purchase watermark (the range condition gives Spark the state TTL —
+    * the at-scale contract that keeps a 100 TB/day join's state bounded).
+    */
+  def streamJoin: Q = (s, d) => {
+    val srcDir = eventFilesDir(s, d)
+    def src: DataFrame = s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "90 days")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "90 days")
+    val joined = purchases.join(clicks,
+        col("click_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("lag_sec"))
+    val sink = sinkFor("graft_stream_join_sink", d)
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink).orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val streamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id AS user_id,
+      |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_sec
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** RESTART RECOVERY, hash-gated: the events table is split into 4 files;
     * run 1 ingests only the first two (then the query is STOPPED — a
     * mid-stream shutdown with durable checkpoint state: offsets in the
@@ -156,17 +236,7 @@ object EventOps {
     * checkpoint (offsets + state store), never on sink history.
     */
   def streamRestart: Q = (s, d) => {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
-    val srcDir = Scratch.dir(s"stream_restart_src_$tag")
-    // deterministic 4-file copy of events (hash-split on event_id), written
-    // once per data dir; _SUCCESS marks a completed layout
-    if (!new java.io.File(srcDir, "_SUCCESS").exists) {
-      Scratch.wipe(srcDir)
-      s.read.schema(eventSchema)
-        .parquet(d + "/events.parquet")
-        .repartition(4, col("event_id"))
-        .write.mode("overwrite").parquet(srcDir)
-    }
+    val srcDir = eventFilesDir(s, d)
     val sink = sinkFor("graft_stream_restart_sink", d)
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
@@ -345,6 +415,7 @@ object EventOps {
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
     "q_stream_restart" -> streamRestart,
+    "q_stream_join" -> streamJoin,
     "q_sessionize" -> sessionize,
     "q_sql_tempview" -> sqlTempView,
   )
@@ -355,6 +426,7 @@ object EventOps {
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_restart" -> streamWindowSql,
+    "q_stream_join" -> streamJoinSql,
     "q_sessionize" -> sessionizeSql,
     "q_sql_tempview" -> sqlTempViewSql,
   )

@@ -382,10 +382,77 @@ object GraphOps {
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
   }
 
+  /** Breadth-first levels from a seed set (every customer with
+    * custkey % 100 == 0): minimum hop distance over the trading graph,
+    * bounded at [[BfsDepth]] hops, reported as per-level census rows
+    * (side-split counts + raw-key checksum pin the exact membership).
+    *
+    * SCALE — frontier-at-a-time expansion, the Pregel/GraphX BFS shape:
+    * each round joins the CURRENT FRONTIER (strictly shrinking, node-
+    * sized) against the edge list and anti-joins the visited set, so a
+    * round's cost is O(edges touched by the frontier), never O(nodes²).
+    * Same geometry dial as the rest of the trio: frontier/visited
+    * broadcast below the size threshold, co-partitioned with the
+    * src-pinned edge checkpoint above it. Rounds are bounded by depth
+    * (the unrolled-CTE oracle is bounded identically — a recursive
+    * all-paths CTE would be combinatorial on a bipartite graph whose
+    * suppliers have thousands of neighbors).
+    */
+  private val BfsDepth = 4
+
+  def bfsLevels: Q = (s, d) => bfsLevelsWith(s, d, copartitionMode(s, d))
+
+  private[queries] def bfsLevelsWith(s: SparkSession, d: String,
+                                     copart: Boolean): DataFrame = {
+    val (e, deg) = tradingGraph(s, d, copart)
+    val seeds = deg.filter(col("src") % 2 === 0 && (col("src") / 2) % 100 === 0)
+      .select(col("src").as("node"), lit(0).as("lvl"))
+      .transform(graft.core.Checkpoint.apply)
+    var levels = seeds
+    var frontier = seeds
+    for (k <- 1 to BfsDepth) {
+      val reached = e.join(side(copart, frontier.select(col("node").as("src"))), "src")
+        .select(col("dst").as("node")).distinct()
+      frontier = reached.join(side(copart, levels.select("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(k).as("lvl"))
+        .transform(graft.core.Checkpoint.apply)
+      levels = levels.unionByName(frontier).transform(graft.core.Checkpoint.apply)
+    }
+    levels.groupBy(col("lvl"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 0, expr("node div 2"))
+          .otherwise(expr("(node - 1) div 2"))).as("key_checksum"))
+      .filter(col("n_nodes") > 0)
+      .orderBy(col("lvl"))
+  }
+
+  private val bfsLevelsSql: String = {
+    val lvls = (1 to BfsDepth).map { k =>
+      val seen = (0 until k).map(i => s"SELECT node FROM l$i").mkString(" UNION ALL ")
+      s"""l$k AS (SELECT DISTINCT e.dst AS node FROM edges e
+        |  JOIN l${k - 1} f ON e.src = f.node
+        |  WHERE e.dst NOT IN ($seen))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to BfsDepth)
+      .map(k => s"SELECT node, $k AS lvl FROM l$k").mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |l0 AS (SELECT DISTINCT src AS node FROM edges
+      |  WHERE src LIKE 'c%' AND CAST(substr(src, 2) AS BIGINT) % 100 = 0),
+      |$lvls
+      |SELECT lvl, count(*) AS n_nodes,
+      |  CAST(sum(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(substr(node, 2) AS BIGINT)) AS BIGINT) AS key_checksum
+      |FROM ($union) GROUP BY lvl HAVING count(*) > 0 ORDER BY lvl""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
     "q_label_propagation" -> labelPropagation,
+    "q_bfs_levels" -> bfsLevels,
     // the AT-SCALE geometry hash-gated against the same oracles: identical
     // results are the whole point of the mode switch
     "q_pagerank_copart" -> ((s, d) => pagerankWith(s, d, copart = true)),
@@ -397,6 +464,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_bfs_levels" -> bfsLevelsSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_propagation" -> labelPropagationSql,
     "q_pagerank_copart" -> pagerankSql,

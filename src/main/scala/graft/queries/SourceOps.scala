@@ -46,6 +46,38 @@ object SourceOps {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Schema-evolution read: two parquet batches of orders written with
+    * DIFFERENT schemas — v1 carries (o_orderkey, o_totalprice), v2 adds
+    * o_orderpriority — read back in ONE `mergeSchema` scan; v1 rows
+    * null-pad the new column. This is the lakehouse add-a-column contract:
+    * old files are never rewritten, the reconciled schema is a footer
+    * union. SCALE: schema reconciliation is planning-time metadata work
+    * (file footers; a catalog pins the schema at 100 TB so no sampling is
+    * needed); the data path stays a plain columnar scan with pushdown —
+    * old files simply have no chunk for the new column.
+    */
+  def schemaEvolution: Q = (s, d) => {
+    val tmp = Scratch.dir("graft_schema_evo")
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(tmp + "/v1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(tmp + "/v2")
+    s.read.option("mergeSchema", "true").parquet(tmp + "/v1", tmp + "/v2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("(legacy)")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("priority"))
+  }
+
+  val schemaEvolutionSql: String =
+    s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(legacy)'
+      |    ELSE o_orderpriority END AS priority,
+      |  count(*) AS n_orders, ${Num.moneySumSql("o_totalprice")} AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
   /** ORC round-trip: events (timestamps included) → ORC → read → hourly
     * rollup. Timestamp fidelity through a second columnar format is the
     * point.
@@ -424,6 +456,7 @@ object SourceOps {
   val queries: Map[String, Q] = Map(
     "q_dynamic_overwrite" -> dynamicOverwrite,
     "q_json_roundtrip" -> jsonRoundtrip,
+    "q_schema_evolution" -> schemaEvolution,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_fixedwidth_roundtrip" -> fixedWidthRoundtrip,
     "q_table_log" -> tableLog,
@@ -438,6 +471,7 @@ object SourceOps {
   val oracles: Map[String, String] = Map(
     "q_dynamic_overwrite" -> dynamicOverwriteSql,
     "q_json_roundtrip" -> jsonRoundtripSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "q_table_log" -> tableLogSql,
