@@ -586,7 +586,58 @@ object DedupOps {
       |  count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
       |FROM bucketed GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ---------------------------------------------- cross-doc paragraph dedup
+
+  /** Cross-document PARAGRAPH dedup — boilerplate detection at sub-document
+    * grain: every document splits into non-overlapping 10-token paragraphs
+    * (hashed in the scan projection, same generator shape as
+    * `q_doc_chunks`); a paragraph whose hash appears in ≥ 2 DISTINCT
+    * documents is boilerplate (nav bars, license headers, cookie banners —
+    * the within-doc twin is `q_repetition_filter`, the whole-doc twin
+    * `q_dedup_exact`). Trailing fragments (< 10 tokens) are excluded:
+    * their identity tracks document length, not shared content.
+    *
+    * SCALE: chunk + hash is map-only scan-side work; the only shuffle is
+    * the hash-keyed aggregate (partial-aggregated; a hot boilerplate hash
+    * is exactly the AQE-skew case). Top-200 by (n_docs desc, hash) is a
+    * unique total order — deterministic at the LIMIT boundary.
+    */
+  def dedupParagraph: Q = (s, d) => {
+    val W = 10
+    corpusExact(s, d, 5)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= W)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(W))).as(Seq("ci", "start")))
+      .filter(col("n") - col("start") + 1 >= W)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", expr(s"slice(toks, start, $W)"))).as("para_md5"))
+      .groupBy(col("para_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("para_md5"))
+      .limit(200)
+  }
+
+  val dedupParagraphSql: String =
+    s"""WITH ${corpusExactSql(5)},
+      |tok AS (SELECT doc_id, ${TA.tokensSql("text")} AS toks FROM corpus),
+      |base AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 10),
+      |ch AS (SELECT doc_id, toks, n,
+      |    unnest(generate_series(1, n, 10)) AS start FROM base),
+      |paras AS (SELECT doc_id,
+      |    md5(array_to_string(toks[start:start+9], ' ')) AS para_md5
+      |  FROM ch WHERE n - start + 1 >= 10)
+      |SELECT para_md5, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_occurrences, min(doc_id) AS first_doc
+      |FROM paras GROUP BY para_md5 HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, para_md5 LIMIT 200""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_paragraph" -> dedupParagraph,
     "q_dup_clusters" -> dupClusters,
     "q_dedup_incremental" -> dedupIncremental,
     "q_leakage_split" -> leakageSplit,
@@ -602,6 +653,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_paragraph" -> dedupParagraphSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_leakage_split" -> leakageSplitSql,

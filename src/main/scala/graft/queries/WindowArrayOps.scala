@@ -230,7 +230,48 @@ object WindowArrayOps {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** VALUE-based window frame: per-customer trailing-7-day order count and
+    * exact-cents spend, `RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND
+    * CURRENT ROW` over the order date — the time-windowed running metric
+    * ROWS frames can't express (the frame is defined by the ORDER BY
+    * VALUE, so same-day peer rows always share a frame and gaps in the
+    * date sequence shrink it). Trailing spend in integer cents (the
+    * [[Num]] money policy) keeps the frame sums order-independent.
+    *
+    * SCALE: one shuffle on the customer key + one in-partition sort —
+    * identical geometry to every other window in the family; the RANGE
+    * bound is evaluated against the sorted run, no extra pass.
+    */
+  def windowRangeFrame: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_rf_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date,
+        |  n_7d, CAST(cents_7d AS DOUBLE) / 100.0 AS sum_7d
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |    count(*) OVER w AS n_7d,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cents_7d
+        |  FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |      o_totalprice FROM orders_rf_v)
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW))
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |  n_7d, CAST(cents_7d AS DOUBLE) / 100.0 AS sum_7d
+      |FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |    count(*) OVER w AS n_7d,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cents_7d
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+      |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW))
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_window_range_frame" -> windowRangeFrame,
     "q_window_firstlast" -> windowFirstLast,
     "q_topk_per_group" -> topkPerGroup,
     "q_window_running" -> windowRunning,
@@ -242,6 +283,7 @@ object WindowArrayOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_range_frame" -> windowRangeFrameSql,
     "q_window_firstlast" -> windowFirstLastSql,
     "q_topk_per_group" -> topkPerGroupSql,
     "q_window_running" -> windowRunningSql,
