@@ -205,11 +205,124 @@ object BehaviorOps {
       |  ${Num.roundAtSql(4, "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev)")} AS pct
       |FROM pairs ORDER BY prev, cur""".stripMargin
 
+  /** Exponentially-weighted moving average of daily purchase value per
+    * event type, dyadic-exact: a 7-day half-life-1 decay
+    * `ewma_t = Σ_{k=0..6} 2^{-k}·x_{t-k} / Σ 2^{-k}` computed entirely in
+    * scaled integers. Daily values are exact micro-unit longs, each lagged
+    * term is multiplied by `2^{6-k}` (a long shift — exact), and the single
+    * final division by the constant weight total happens once per row, so
+    * the result is an exact rational both engines print identically. The
+    * usual recursive-EWMA float accumulation drifts with evaluation order
+    * and can never hash-match across engines; the bounded dyadic form is
+    * the deterministic way to ship a decayed metric.
+    *
+    * Scale: one day-grain aggregate (map-side combined) then a 6-deep lag
+    * window per event type — |types| tiny series, the window costs nothing
+    * after the aggregate's shuffle. At 10⁹ keys the same shape holds:
+    * partitionBy the series key, the frame stays 7 rows.
+    */
+  def ewmaDaily: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("micros"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    // Σ_{k=0..6} x_{t-k} · 2^(6-k), missing leading days contribute 0 —
+    // the same "as much history as exists" convention both engines share.
+    val num = (0 to 6).map(k =>
+        coalesce(lag(col("micros"), k).over(w), lit(0L)) * (1L << (6 - k)))
+      .reduce(_ + _)
+    val den = (0 to 6).map(k => 1L << (6 - k)).sum  // 127
+    daily
+      .withColumn("ewma",
+        (num.cast("double") / den / 1000000.0).as("ewma"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        (col("micros").cast("double") / 1000000.0).as("day_value"),
+        Num.roundAt(6)(col("ewma")).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ewmaDailySql: String = {
+    val num = (0 to 6).map(k =>
+      s"coalesce(lag(micros, $k) OVER w, 0) * ${1L << (6 - k)}").mkString(" + ")
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 1000000) AS BIGINT)) AS micros
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day,
+      |  CAST(micros AS DOUBLE) / 1000000.0 AS day_value,
+      |  ${Num.roundAtSql(6, s"CAST($num AS DOUBLE) / 127 / 1000000.0")} AS ewma
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+      |ORDER BY event_type, day""".stripMargin
+  }
+
+  /** Top-10 session paths: gap-sessionize (30-min inactivity, the
+    * [[EventOps.sessionize]] rule), render each session's ordered
+    * event-type sequence as a `>`-joined path string, and count sessions
+    * per path. The per-path census is how product analytics answers "what
+    * do users actually do" — and the grain pivot (events → sessions →
+    * path strings) exercises ordered collect, which no other gate does.
+    *
+    * Determinism: the in-session order ties on (ts, event_id) — collected
+    * as a sort_array over (ts, event_id, type) structs, so the path string
+    * is unique regardless of partition layout. Top-10 ties break on the
+    * path string itself.
+    *
+    * Scale: one shuffle on user_id (sessionize window), one on the session
+    * key for the collect, then the path census is a partial-aggregated
+    * count on strings with bounded cardinality. Session length bounds the
+    * collected array — the 30-min gap rule keeps it human-scale by
+    * construction, never corpus-scale.
+    */
+  def topPaths: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        transform(col("evs"), e => e.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(10)
+  }
+
+  val topPathsSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged),
+      |paths AS (
+      |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM sessions GROUP BY user_id, session_idx)
+      |SELECT path, count(*) AS n_sessions FROM paths
+      |GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_transition_matrix" -> transitionMatrix,
     "q_funnel" -> funnel,
     "q_cohort_retention" -> cohortRetention,
     "q_gap_fill" -> gapFill,
+    "q_ewma" -> ewmaDaily,
+    "q_top_paths" -> topPaths,
   )
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +330,7 @@ object BehaviorOps {
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_gap_fill" -> gapFillSql,
+    "q_ewma" -> ewmaDailySql,
+    "q_top_paths" -> topPathsSql,
   )
 }

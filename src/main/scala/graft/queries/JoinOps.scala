@@ -139,11 +139,63 @@ object JoinOps {
       |FROM events JOIN windows ON ts >= w_start AND ts < w_end
       |GROUP BY w_id, w_start ORDER BY w_id""".stripMargin
 
+  /** Full-outer join of two independently-aggregated event streams on the
+    * day key: daily purchase revenue ⟗ daily error counts, classifying each
+    * day as matched / revenue-only / errors-only. The reconciliation shape —
+    * "which days exist in stream A, stream B, or both, and what do the
+    * unmatched sides look like" — is the canonical full-outer use and the
+    * one join type the registry didn't yet gate directly.
+    *
+    * Scale: both inputs are pre-aggregated to day grain BEFORE the join
+    * (map-side partial → one shuffle each on the tiny day key), so the
+    * full-outer itself joins two |days|-row relations — a broadcast-able
+    * afterthought no matter how large the raw event streams are. Joining
+    * raw-to-raw and aggregating after would shuffle the full fact twice
+    * and explode the M:N day match; this form never materializes it.
+    */
+  def fullOuterJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_buys"), Num.microSum(col("value")).as("revenue"))
+    val errs = ev.filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_errors"))
+    buys.join(errs, Seq("day"), "full_outer")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        when(col("n_buys").isNotNull && col("n_errors").isNotNull, "both")
+          .when(col("n_buys").isNotNull, "revenue_only")
+          .otherwise("errors_only").as("presence"))
+      .orderBy(col("day"))
+  }
+
+  val fullOuterJoinSql: String =
+    s"""WITH buys AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_buys,
+      |    ${Num.microSumSql("value")} AS revenue
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |errs AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_errors
+      |  FROM events WHERE event_type = 'error' GROUP BY 1)
+      |SELECT CAST(coalesce(b.day, e.day) AS VARCHAR) AS day,
+      |  coalesce(b.n_buys, 0) AS n_buys,
+      |  coalesce(b.revenue, 0.0) AS revenue,
+      |  coalesce(e.n_errors, 0) AS n_errors,
+      |  CASE WHEN b.day IS NOT NULL AND e.day IS NOT NULL THEN 'both'
+      |       WHEN b.day IS NOT NULL THEN 'revenue_only'
+      |       ELSE 'errors_only' END AS presence
+      |FROM buys b FULL OUTER JOIN errs e ON b.day = e.day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_asof_join" -> asofJoin,
     "q_range_join" -> rangeJoin,
+    "q_full_outer_join" -> fullOuterJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +203,6 @@ object JoinOps {
     "q_anti_join" -> antiJoinSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
+    "q_full_outer_join" -> fullOuterJoinSql,
   )
 }

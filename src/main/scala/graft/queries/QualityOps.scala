@@ -188,15 +188,121 @@ object QualityOps {
       |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS verdict
       |FROM checks ORDER BY check_name""".stripMargin
 
+  /** Robust outlier census per group: median + MAD (median absolute
+    * deviation), flagging rows with |x − med| > 3·MAD — the
+    * heavy-tail-safe twin of `q_outlier_zscore` (mean/stddev collapse
+    * under the very outliers they're meant to find; median/MAD don't).
+    *
+    * Exactness: prices are DOUBLED integer cents, so the exact median of
+    * an even-sized group — the midpoint of two even longs — is itself an
+    * integer, deviations are integer, and the MAD's own midpoint lands on
+    * an exact .5 at worst. Every comparison both engines make is between
+    * exactly-representable values; no interpolation noise survives.
+    *
+    * Scale: two grouped exact percentiles (each one shuffle-sort per
+    * group) + one broadcast of the |groups|-row bounds table back onto
+    * the scan for the census. At 100 TB swap the exact percentile for
+    * the engine's mergeable quantile sketch (`q_approx_quantiles`
+    * pattern) — the shape stays scan + tiny-join + count.
+    */
+  def madOutliers: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (Num.cents(col("l_extendedprice")) * 2).as("c2"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(c2, 0.5)").as("med2"))
+    val mad = li.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), abs(col("c2") - col("med2")).as("dev2"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(dev2, 0.5)").as("mad2"))
+    li.join(broadcast(med), "l_returnflag").join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(abs(col("c2") - col("med2")) > lit(3.0) * col("mad2"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        (first(col("med2")) / 200.0).as("median_price"),
+        (first(col("mad2")) / 200.0).as("mad_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val madOutliersSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) * 2 AS c2
+      |  FROM lineitem),
+      |med AS (SELECT l_returnflag, quantile_cont(c2, 0.5) AS med2
+      |  FROM c GROUP BY 1),
+      |mad AS (SELECT c.l_returnflag, quantile_cont(abs(c2 - med2), 0.5) AS mad2
+      |  FROM c JOIN med USING (l_returnflag) GROUP BY 1)
+      |SELECT c.l_returnflag, count(*) AS n_rows,
+      |  sum(CASE WHEN abs(c2 - med2) > 3.0 * mad2 THEN 1 ELSE 0 END) AS n_outliers,
+      |  any_value(med2) / 200.0 AS median_price,
+      |  any_value(mad2) / 200.0 AS mad_price
+      |FROM c JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+      |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin
+
+  /** Winsorized group totals: clamp prices to the group's exact
+    * [1/16, 15/16] quantiles before summing — the standard
+    * tail-robust aggregate for training-metric stability. The dyadic
+    * fractions are deliberate: interpolating integer cents at k/16
+    * keeps every intermediate exactly representable (the same reasoning
+    * as `q_percentiles`' power-of-two medians), so the clamp bounds are
+    * bit-identical across engines where p5/p95 would not be.
+    *
+    * Scale: one grouped exact percentile pass + one broadcast of the
+    * bounds onto the scan; the clamped sum stays in integer cents
+    * (order-independent).
+    */
+  def winsorize: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), Num.cents(col("l_extendedprice")).as("pc"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(pc, array(0.0625, 0.9375))").as("bs"))
+      .select(col("l_returnflag"),
+        element_at(col("bs"), 1).as("lo"), element_at(col("bs"), 2).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"),
+        greatest(least(col("pc").cast("double"), col("hi")), col("lo")).as("wc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        // wc is an exact k/16-of-integers value: scale by 16 to an exact
+        // long before summing (order-independent), surface as dollars
+        (sum((col("wc") * 16).cast("long")).cast("double") / 16.0 / 100.0)
+          .as("winsorized_total"),
+        (first(col("lo")) / 100.0).as("p_lo"),
+        (first(col("hi")) / 100.0).as("p_hi"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val winsorizeSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      |  FROM lineitem),
+      |b AS (SELECT l_returnflag,
+      |    quantile_cont(pc, 0.0625) AS lo, quantile_cont(pc, 0.9375) AS hi
+      |  FROM c GROUP BY 1)
+      |SELECT c.l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(greatest(least(CAST(pc AS DOUBLE), hi), lo) * 16 AS BIGINT)) AS DOUBLE)
+      |    / 16.0 / 100.0 AS winsorized_total,
+      |  any_value(lo) / 100.0 AS p_lo,
+      |  any_value(hi) / 100.0 AS p_hi
+      |FROM c JOIN b USING (l_returnflag)
+      |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_data_profile" -> dataProfile,
     "q_data_profile_approx" -> dataProfileApprox,
     "q_dq_checks" -> dqChecks,
+    "q_mad_outliers" -> madOutliers,
+    "q_winsorize" -> winsorize,
   )
 
   val oracles: Map[String, String] = Map(
     "q_data_profile" -> dataProfileSql,
     "q_data_profile_approx" -> dataProfileApproxSql,
     "q_dq_checks" -> dqChecksSql,
+    "q_mad_outliers" -> madOutliersSql,
+    "q_winsorize" -> winsorizeSql,
   )
 }
