@@ -25,9 +25,10 @@ object Session {
     // FAERS date repair feeds garbage into to_date; reference relies on
     // permissive null-on-error semantics (PySpark default).
     "spark.sql.ansi.enabled" -> "false",
-    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-    // rejects outright; read as long and convert at the source wrapper
-    // (core.Tables.events).
+    // Some driver rounds generate events.parquet with TIMESTAMP(NANOS),
+    // which the vectorized reader rejects outright; with this conf it reads
+    // as long and the source wrapper (core.Tables.events) converts. Rounds
+    // that emit timestamp[us] are unaffected by the conf.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
   )
 

@@ -24,19 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true it
-    * arrives as nanos-since-epoch LongType and is converted here to a
-    * microsecond timestamp (integer div — a double division would lose
-    * precision above 2^53 ns).
+  /** events.ts arrives in whatever physical type the generator used this
+    * round — TIMESTAMP(NANOS) (vectorized reader rejects it; with
+    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as
+    * nanos-since-epoch LongType), or timestamp[us] without a timezone flag
+    * (Spark 4 infers TIMESTAMP_NTZ, which refuses long casts and diverges
+    * from LTZ in epoch-math functions). Normalize both to the session-local
+    * TimestampType here — with the pinned UTC session timezone the NTZ→LTZ
+    * cast is micros-identity — so every downstream query sees one stable
+    * type regardless of generator drift.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

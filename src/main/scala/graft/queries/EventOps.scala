@@ -81,7 +81,6 @@ object EventOps {
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -108,7 +107,7 @@ object EventOps {
   private[graft] val eventSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
@@ -125,7 +124,6 @@ object EventOps {
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -181,7 +179,6 @@ object EventOps {
       .option("pathGlobFilter", "part-*")
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"))
@@ -266,7 +263,6 @@ object EventOps {
     val stream = s.readStream.schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -324,7 +320,6 @@ object EventOps {
     def src = s.readStream.schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val deduped = src.unionByName(src).dropDuplicates("event_id")
       .select(col("event_id"), col("event_type"), col("value"))
     val sink = sinkFor("graft_stream_dedup_sink", d)

@@ -235,7 +235,7 @@ object QualityOps {
       |mad AS (SELECT c.l_returnflag, quantile_cont(abs(c2 - med2), 0.5) AS mad2
       |  FROM c JOIN med USING (l_returnflag) GROUP BY 1)
       |SELECT c.l_returnflag, count(*) AS n_rows,
-      |  sum(CASE WHEN abs(c2 - med2) > 3.0 * mad2 THEN 1 ELSE 0 END) AS n_outliers,
+      |  CAST(sum(CASE WHEN abs(c2 - med2) > 3.0 * mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
       |  any_value(med2) / 200.0 AS median_price,
       |  any_value(mad2) / 200.0 AS mad_price
       |FROM c JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
@@ -261,7 +261,7 @@ object QualityOps {
       .select(col("l_returnflag"),
         element_at(col("bs"), 1).as("lo"), element_at(col("bs"), 2).as("hi"))
     li.join(broadcast(bounds), "l_returnflag")
-      .select(col("l_returnflag"),
+      .select(col("l_returnflag"), col("lo"), col("hi"),
         greatest(least(col("pc").cast("double"), col("hi")), col("lo")).as("wc"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
