@@ -404,6 +404,49 @@ object EventOps {
       |FROM lineitem WHERE l_quantity BETWEEN 10 AND 40
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** STREAM-STATIC enrichment join, hash-gated: the streaming events file
+    * source joined against a STATIC batch dimension (customer market
+    * segment, keyed by user_id = c_custkey) inside the micro-batch plan,
+    * then rolled up per segment. The canonical streaming-enrichment
+    * pattern: Spark re-plans the static side per micro-batch, no state
+    * store involvement for the join itself (unlike [[streamJoin]], which
+    * buffers both sides).
+    *
+    * SCALE: the dimension is customer-sized — broadcast into every
+    * micro-batch, so the streaming side never shuffles for the join; the
+    * only stateful operator is the segment rollup (|segments| rows of
+    * state). Gated columns are count + integer-micro sum (batch-boundary
+    * invariant).
+    */
+  def streamStaticJoin: Q = (s, d) => {
+    val dim = graft.core.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d)
+    val agg = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"), microSum(col("value")).as("sum_value"))
+    val sink = sinkFor("graft_stream_static_sink", d)
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink).orderBy(col("segment"))
+  }
+
+  val streamStaticJoinSql: String =
+    s"""SELECT c_mktsegment AS segment, count(*) AS n_events,
+      |  ${microSumSql("value")} AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tumbling_window" -> tumblingWindow,
     "q_stream_window" -> streamWindow,
@@ -411,6 +454,7 @@ object EventOps {
     "q_stream_dedup" -> streamDedup,
     "q_stream_restart" -> streamRestart,
     "q_stream_join" -> streamJoin,
+    "q_stream_static_join" -> streamStaticJoin,
     "q_sessionize" -> sessionize,
     "q_sql_tempview" -> sqlTempView,
   )
@@ -422,6 +466,7 @@ object EventOps {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_restart" -> streamWindowSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_static_join" -> streamStaticJoinSql,
     "q_sessionize" -> sessionizeSql,
     "q_sql_tempview" -> sqlTempViewSql,
   )

@@ -448,11 +448,116 @@ object GraphOps {
       |FROM ($union) GROUP BY lvl HAVING count(*) > 0 ORDER BY lvl""".stripMargin
   }
 
+  // --------------------------------------------- weighted shortest paths
+
+  /** Bounded Bellman-Ford rounds — parity with the unrolled oracle. */
+  private val SsspRounds = 4
+
+  /** The trading graph with an integer edge weight derived from the raw
+    * business keys (`1 + (custkey + suppkey) % 7`, symmetric by
+    * construction) — deterministic, computable identically by the oracle,
+    * and varied enough that weighted distances genuinely diverge from hop
+    * counts ([[bfsLevels]]).
+    */
+  private def weightedTradingEdges(s: SparkSession, d: String,
+                                   copart: Boolean): DataFrame = {
+    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"),
+        (lit(1L) + (col("o_custkey") + col("l_suppkey")) % 7).as("w"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    (if (copart) edges.repartition(col("src")) else edges)
+      .transform(graft.core.Checkpoint.apply)
+  }
+
+  /** Multi-source weighted shortest paths (Bellman-Ford, [[SsspRounds]]
+    * relaxation rounds ≡ exact min over ≤4-edge paths) from the same seed
+    * set as [[bfsLevels]], reported as a per-distance census (counts +
+    * raw-key checksum pin exact membership, ≤29 rows: dist ≤ rounds × max
+    * weight).
+    *
+    * SCALE — frontier-relaxation, the delta-stepping skeleton: each round
+    * relaxes only edges OUT OF NODES THAT IMPROVED last round (the
+    * frontier), so a settled region costs nothing; candidate distances
+    * pre-aggregate per dst (partial min, map-side) before touching the
+    * distance table. Frontier/distance tables are node-sized — broadcast
+    * below the size threshold, co-partitioned with the src-pinned edge
+    * checkpoint above it ([[copartitionMode]]). All-integer distances:
+    * bit-stable at any parallelism, unrolled-CTE oracle matches exactly.
+    * The full-table relaxation the oracle uses is round-equivalent
+    * (both compute min over ≤k-edge paths after round k); the frontier
+    * form is the one you run at scale.
+    */
+  def shortestPaths: Q = (s, d) => shortestPathsWith(s, d, copartitionMode(s, d))
+
+  private[queries] def shortestPathsWith(s: SparkSession, d: String,
+                                         copart: Boolean): DataFrame = {
+    val e = weightedTradingEdges(s, d, copart)
+    val seeds = e.select(col("src")).distinct()
+      .filter(col("src") % 2 === 0 && (col("src") / 2) % 100 === 0)
+      .select(col("src").as("node"), lit(0L).as("dist"))
+      .transform(graft.core.Checkpoint.apply)
+    var dist = seeds
+    var frontier = seeds
+    for (_ <- 1 to SsspRounds) {
+      // per-dst partial min BEFORE joining the distance table: the
+      // candidate stream shrinks to node grain inside the shuffle
+      val cand = e.join(side(copart,
+          frontier.select(col("node").as("src"), col("dist").as("fd"))), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("fd") + col("w")).as("cd"))
+      val improved = cand
+        .join(side(copart, dist.select(col("node"), col("dist").as("old"))),
+          Seq("node"), "left_outer")
+        .filter(col("old").isNull || col("cd") < col("old"))
+        .select(col("node"), col("cd").as("dist"))
+        .transform(graft.core.Checkpoint.apply)
+      dist = dist.unionByName(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .transform(graft.core.Checkpoint.apply)
+      frontier = improved
+    }
+    dist.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 0, expr("node div 2"))
+          .otherwise(expr("(node - 1) div 2"))).as("key_checksum"))
+      .orderBy(col("dist"))
+  }
+
+  private val shortestPathsSql: String = {
+    val rounds = (1 to SsspRounds).map { k =>
+      s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d${k - 1}
+        |    UNION ALL
+        |    SELECT e.dst AS node, d.dist + e.w AS dist
+        |    FROM d${k - 1} d JOIN edges e ON e.src = d.node
+        |  ) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+      |    CAST(1 + (o_custkey + l_suppkey) % 7 AS BIGINT) AS w
+      |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst, w FROM e0 UNION SELECT dst, src, w FROM e0),
+      |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM edges
+      |  WHERE src LIKE 'c%' AND CAST(substr(src, 2) AS BIGINT) % 100 = 0),
+      |$rounds
+      |SELECT dist, count(*) AS n_nodes,
+      |  CAST(sum(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(substr(node, 2) AS BIGINT)) AS BIGINT) AS key_checksum
+      |FROM d$SsspRounds GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
     "q_label_propagation" -> labelPropagation,
     "q_bfs_levels" -> bfsLevels,
+    "q_shortest_paths" -> shortestPaths,
+    "q_sssp_copart" -> ((s, d) => shortestPathsWith(s, d, copart = true)),
     // the AT-SCALE geometry hash-gated against the same oracles: identical
     // results are the whole point of the mode switch
     "q_pagerank_copart" -> ((s, d) => pagerankWith(s, d, copart = true)),
@@ -465,6 +570,8 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_bfs_levels" -> bfsLevelsSql,
+    "q_shortest_paths" -> shortestPathsSql,
+    "q_sssp_copart" -> shortestPathsSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_propagation" -> labelPropagationSql,
     "q_pagerank_copart" -> pagerankSql,
