@@ -30,6 +30,31 @@ object EventOps {
   private def sinkFor(base: String, dataDir: String): String =
     base + "_" + java.lang.Integer.toHexString(dataDir.hashCode)
 
+  /** Streaming STATE partition sizing. A stateful streaming query's state
+    * store instance count is pinned to `spark.sql.shuffle.partitions` at
+    * first query start (recorded in the checkpoint, immutable for the
+    * stream's lifetime) — so it is a PER-STREAM capacity decision, not the
+    * session-wide batch-shuffle default. Every micro-batch pays a fixed
+    * per-store cost (snapshot + delta file per partition per batch)
+    * regardless of data volume, so oversizing multiplies pure overhead:
+    * the stream-stream join gate at 32 state partitions spends 20s+ on
+    * ~100k rows, 4x the 8-partition time, all of it store maintenance.
+    * Production sizes this to peak keys/batch per store; the gates pin a
+    * small count (micro-batches here are file-sized). The batch default is
+    * restored after query start — state geometry and batch shuffle
+    * geometry are independent knobs.
+    */
+  private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
+  /** State partitions for the streaming gates (micro-batches are single
+    * file splits; see [[withStatePartitions]]). */
+  private[graft] val StatePartitions = 8
+
   /** Tumbling 1-hour windows per event type (batch `window()` — identical
     * semantics to the streaming groupBy(window(...)) path).
     */
@@ -90,11 +115,13 @@ object EventOps {
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
     s.catalog.dropTempView(sink)
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, StatePartitions) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(sink).orderBy(col("window_start"), col("event_type"))
   }
 
@@ -130,11 +157,13 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"), microSum(col("value")).as("sum_value"))
       .select(col("w.start").cast("string").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, StatePartitions) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+    }
   }
 
   /** Deterministic 4-file copy of events (hash-split on event_id) under
@@ -198,11 +227,13 @@ object EventOps {
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
     s.catalog.dropTempView(sink)
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, StatePartitions) {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(sink).orderBy(col("purchase_id"), col("click_id"))
   }
 
@@ -273,11 +304,13 @@ object EventOps {
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
     s.catalog.dropTempView(sink)
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, StatePartitions) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(sink).orderBy(col("user_id"), col("session_start"))
   }
 
@@ -326,11 +359,13 @@ object EventOps {
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
     s.catalog.dropTempView(sink)
-    val q = deduped.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, StatePartitions) {
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(sink)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), microSum(col("value")).as("sum_value"))
@@ -433,11 +468,13 @@ object EventOps {
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
     s.catalog.dropTempView(sink)
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, StatePartitions) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(sink).orderBy(col("segment"))
   }
 

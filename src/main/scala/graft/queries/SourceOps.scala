@@ -212,18 +212,20 @@ object SourceOps {
     val ckpt = Scratch.dir(
       "stream_ckpt_tlog_sink_" + java.lang.Integer.toHexString(d.hashCode))
     Scratch.wipe(ckpt)
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val b = batch.localCheckpoint()
-        graft.core.TableLog.appendIdempotent(s, dir, b, s"sink-$id")
-        // redelivery: same batch, same token -> must be a no-op
-        graft.core.TableLog.appendIdempotent(s, dir, b, s"sink-$id")
-        ()
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    EventOps.withStatePartitions(s, EventOps.StatePartitions) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.localCheckpoint()
+          graft.core.TableLog.appendIdempotent(s, dir, b, s"sink-$id")
+          // redelivery: same batch, same token -> must be a no-op
+          graft.core.TableLog.appendIdempotent(s, dir, b, s"sink-$id")
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     graft.core.TableLog.read(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), Num.microSum(col("value")).as("sum_value"))
