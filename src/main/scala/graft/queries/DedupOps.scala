@@ -636,6 +636,106 @@ object DedupOps {
       |FROM paras GROUP BY para_md5 HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY n_docs DESC, para_md5 LIMIT 200""".stripMargin
 
+  // ------------------------------------------------ semantic dedup (SemDeDup)
+
+  /** Cluster-blocked SEMANTIC dedup — the SemDeDup recipe (Abbas et al.
+    * 2023, arXiv:2303.09540): partition the embedding space into k
+    * clusters, compare pairs ONLY within a cluster, and drop every member
+    * of a near-identical group except one exemplar (keep-lowest-id here;
+    * the paper keeps the member farthest from the centroid — same pair
+    * set, different representative rule). The corpus is embeddings plus
+    * first-component-perturbed copies of every 9th vector (the
+    * [[dedupEmbedding]] fixture), so there is real semantic-dup mass and
+    * the oracle can rebuild it verbatim. Output is a per-cluster census
+    * (members, dropped count, dropped-id checksum) — small, and it pins
+    * both the cluster assignment and the exact dropped set.
+    *
+    * Determinism: assignment is argmax of the EXACT integer-micro dot
+    * product against the k seed centroids (associative — partition-order
+    * proof), tie-broken by centroid id; the within-cluster cosine uses the
+    * sequential-order [[Similarity.dot]] kernel rounded to 6 decimals,
+    * mirrored exactly by [[Similarity.dotSql]].
+    *
+    * SCALE: this is WHY SemDeDup exists at 100 TB — all-pairs cosine over
+    * N docs is O(N²·dim), but pairs within k balanced clusters cost
+    * O(N²/k·dim); with k ~ N/20k (the paper's regime) the per-cluster
+    * block is bounded and embarrassingly parallel (one shuffle on
+    * cluster id, pair generation never leaves the partition). Centroids
+    * broadcast (k rows). Production adds a cluster-size cap + re-split of
+    * oversized clusters; the gate's k=8 over ~556 vectors keeps the same
+    * geometry at fixture scale.
+    */
+  def semDedup: Q = (s, d) => {
+    val k = 8
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("v"), 1) + lit(0.5)),
+            slice(col("v"), 2, 63)).as("v")))
+    val vi = corpus.withColumn("iv",
+      transform(col("v"), x => round(x * 1e6).cast("long")))
+    val cents = vi.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("iv").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dp").desc, col("cent_id").asc)
+    val assigned = vi.crossJoin(broadcast(cents))
+      .withColumn("dp",
+        aggregate(zip_with(col("iv"), col("cv"), _ * _), lit(0L), _ + _))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id"), col("v"))
+    val n = assigned.withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val pairs = n.select(col("cent_id"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(n.select(col("cent_id"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.8)
+    val dropped = pairs.select(col("cent_id"), col("id_b")).distinct()
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_dropped"), sum(col("id_b")).as("dropped_checksum"))
+    assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cent_id"), "left_outer")
+      .na.fill(0L, Seq("n_dropped", "dropped_checksum"))
+      .orderBy(col("cent_id"))
+  }
+
+  val semDedupSql: String = {
+    val dotVV = Similarity.dotSql("v", "v", 64)
+    val dotAB = Similarity.dotSql("a.v", "b.v", 64)
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |corpus AS (SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000, [v[1] + 0.5] || v[2:64] FROM base WHERE vec_id % 9 = 0),
+      |vi AS (SELECT vec_id, v,
+      |    list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS iv
+      |  FROM corpus),
+      |cents AS (SELECT vec_id AS cent_id, iv AS cv FROM vi WHERE vec_id < 8),
+      |dots AS (SELECT e.vec_id, c.cent_id,
+      |    list_sum(list_transform(generate_series(1, len(e.iv)),
+      |      i -> e.iv[i] * c.cv[i])) AS dp
+      |  FROM vi e CROSS JOIN cents c),
+      |best AS (SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dp DESC, cent_id) AS rn FROM dots) WHERE rn = 1),
+      |asg AS (SELECT b.cent_id, e.vec_id, e.v FROM best b JOIN corpus e USING (vec_id)),
+      |nn AS (SELECT cent_id, vec_id, v, sqrt($dotVV) AS nrm FROM asg),
+      |p AS (SELECT a.cent_id, b.vec_id AS id_b,
+      |    round($dotAB / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM nn a JOIN nn b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+      |drp AS (SELECT cent_id, id_b FROM p WHERE cos_sim >= 0.8 GROUP BY 1, 2),
+      |ds AS (SELECT cent_id, count(*) AS n_dropped,
+      |    CAST(sum(id_b) AS BIGINT) AS dropped_checksum FROM drp GROUP BY 1),
+      |m AS (SELECT cent_id, count(*) AS n_members FROM asg GROUP BY 1)
+      |SELECT cent_id, n_members,
+      |  CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  CAST(coalesce(dropped_checksum, 0) AS BIGINT) AS dropped_checksum
+      |FROM m LEFT JOIN ds USING (cent_id) ORDER BY cent_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_paragraph" -> dedupParagraph,
     "q_dup_clusters" -> dupClusters,
@@ -650,6 +750,7 @@ object DedupOps {
     "q_dedup_simhash_banded" -> dedupSimhashBanded,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_embedding" -> dedupEmbedding,
+    "q_semdedup" -> semDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -666,5 +767,6 @@ object DedupOps {
     "q_dedup_simhash_banded" -> dedupSimhashBandedSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_semdedup" -> semDedupSql,
   )
 }

@@ -75,6 +75,40 @@ object EventOps {
       |  ${microSumSql("value")} AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** SLIDING (overlapping) 1-hour windows advancing every 30 minutes: each
+    * event lands in exactly 2 windows (duration/slide), the generator-based
+    * twin of [[tumblingWindow]]. Same streaming-compatible semantics as
+    * `groupBy(window(ts, dur, slide))` in a `readStream` plan.
+    *
+    * SCALE: `window()` with a slide is a generator (duration/slide rows per
+    * event) fused into the scan projection BEFORE the aggregation shuffle —
+    * the map-side partial agg sees the exploded stream, so shuffle volume is
+    * |windows × types|, not |events × 2|. The overlap factor is the knob:
+    * cost scales linearly with duration/slide.
+    */
+  def slidingWindow: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), microSum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Oracle: an event at t belongs to the 1h/30min sliding windows starting
+    * at time_bucket(30min, t) and 30 minutes earlier — enumerated as a
+    * 2-way UNION ALL (DuckDB has no sliding window-assign generator).
+    */
+  val slidingWindowSql: String =
+    s"""WITH assigned AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value
+      |  FROM events)
+      |SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+      |  count(*) AS n_events, ${microSumSql("value")} AS sum_value
+      |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The STREAMING twin of [[tumblingWindow]], hash-gated against the same
     * kind of batch oracle — the promote-batch-to-incremental guarantee
     * made checkable: the events file is consumed through a real
@@ -486,6 +520,7 @@ object EventOps {
 
   val queries: Map[String, Q] = Map(
     "q_tumbling_window" -> tumblingWindow,
+    "q_sliding_window" -> slidingWindow,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
@@ -498,6 +533,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q_tumbling_window" -> tumblingWindowSql,
+    "q_sliding_window" -> slidingWindowSql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_dedup" -> streamDedupSql,
