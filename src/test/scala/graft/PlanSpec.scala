@@ -122,6 +122,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("band") && plan.contains("bucket"), "no bucket keys in plan")
   }
 
+  test("semantic dedup pairs only within a cluster: equi-join on the cluster id") {
+    // SemDeDup's 100 TB guarantee: the pair stage is an equi-join keyed on
+    // cent_id (cluster blocking — O(N²/k), one shuffle), never an
+    // all-pairs cartesian. The single nested-loop in the plan is the
+    // k-row centroid broadcast for assignment, which is constant-sized.
+    val plan = executed(graft.queries.DedupOps.semDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "cartesian in plan")
+    assert(plan.contains("cent_id"), "no cluster-id join key in plan")
+    // the assignment subtree (holding the one centroid nested-loop) is
+    // printed once per consumer (pair-a, pair-b, member census), so count
+    // DISTINCT nested-loop shapes, not occurrences — and all must be the
+    // broadcast Cross form (constant k-row build side), never a plain BNLJ
+    // standing in for the pair join
+    val nestedLoops = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nestedLoops.forall(_.contains("Cross")),
+      s"non-cross nested-loop join in plan: $nestedLoops")
+  }
+
   test("histogram-quantile bucketing partially aggregates before its one exchange") {
     // the sketch's scale claim: ONE shuffle of ≤ groups×buckets rows; the
     // bucket counting must combine map-side
