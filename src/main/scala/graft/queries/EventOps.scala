@@ -518,6 +518,143 @@ object EventOps {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Typed event row for the custom-state gate: micro-units and epoch
+    * micros are computed COLUMN-side (the same expressions the batch
+    * oracle uses), so the typed fold only does exact integer arithmetic.
+    */
+  final case class UEvent(event_id: Long, user_id: Long, vmicro: Long, ts_us: Long)
+
+  /** Per-user running state carried across micro-batches. */
+  final case class UState(user_id: Long, n_events: Long, total_micro: Long,
+                          last_us: Long)
+
+  /** CUSTOM KEYED STATE via `mapGroupsWithState`, hash-gated: running
+    * per-user totals accumulated across micro-batches (4-file fixture,
+    * one file per micro-batch, so almost every user's state is built
+    * incrementally over several invocations). Update-mode memory sink
+    * keeps every emitted state row; the gate extracts each user's FINAL
+    * state (`max(struct(n_events, …))` — `n_events` strictly increases
+    * per update) and it must hash-match the batch per-user aggregate.
+    * Undercount if state was dropped between batches, overcount if a
+    * batch replayed — the same exactly-once contract as the windowed
+    * gates, but through the arbitrary-state API where Spark manages only
+    * the state STORE and the merge logic is user code.
+    *
+    * SCALE: state is one row per user key, sharded across state-store
+    * partitions by the groupByKey shuffle; production bounds idle keys
+    * with a GroupStateTimeout. The fold is exact integer arithmetic, so
+    * results are batch-boundary- and arrival-order-invariant.
+    */
+  def streamUserState: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val srcDir = eventFilesDir(s, d)
+    val typed = s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 1000000).cast("long").as("vmicro"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[UEvent]
+    val updates = typed.groupByKey(_.user_id)
+      .mapGroupsWithState[UState, UState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UEvent], state: org.apache.spark.sql.streaming.GroupState[UState]) =>
+          val prev = state.getOption.getOrElse(UState(uid, 0L, 0L, Long.MinValue))
+          val upd = batch.foldLeft(prev) { (acc, e) =>
+            UState(uid, acc.n_events + 1, acc.total_micro + e.vmicro,
+              math.max(acc.last_us, e.ts_us))
+          }
+          state.update(upd)
+          upd
+      }
+    val sink = sinkFor("graft_stream_user_state_sink", d)
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    withStatePartitions(s, StatePartitions) {
+      val q = updates.toDF().writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_micro"), col("last_us"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_micro").as("total_micro"), col("m.last_us").as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamUserStateSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micro,
+      |  max(epoch_us(ts)) AS last_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** SCHEDULED INCREMENTAL ETL: `Trigger.AvailableNow` + the built-in
+    * exactly-once parquet FILE SINK, hash-gated. Two "scheduled job"
+    * invocations share one checkpoint: run 1 sees only the first two
+    * files of the 4-file fixture, drains them (AvailableNow processes all
+    * currently-available input — still in rate-limited micro-batches —
+    * then STOPS the query), run 2 sees all four and must process exactly
+    * the unseen two. The file sink records committed files in its
+    * `_spark_metadata` log; the batch read-back lists files through that
+    * log, so orphan files from an uncommitted batch are invisible. The
+    * result must hash-match a single batch read of the source — rows go
+    * missing only if the offset log skipped a file, and duplicate only if
+    * a drained file was re-processed or a sink commit double-published.
+    *
+    * This is the most common production shape of Structured Streaming —
+    * a cron-scheduled stateless ingest that catches up and exits (no
+    * always-on cluster) — and the one streaming sink family the other
+    * gates don't cover (memory sink there; TableLog's custom foreachBatch
+    * protocol in q_table_log_stream).
+    *
+    * SCALE: stateless projection/filter — no state store at all; the
+    * offset log bounds re-scan to file listing, `maxFilesPerTrigger`
+    * bounds batch size, and each run's work is proportional to NEW data
+    * only — the incremental contract that replaces daily full re-reads at
+    * 100 TB.
+    */
+  def streamAvailableNow: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = eventFilesDir(s, d)
+    val sink = sinkFor("graft_stream_avnow", d)
+    val outDir = Scratch.dir(s"stream_out_$sink")
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(outDir)
+    Scratch.wipe(ckpt)
+    def run(glob: String): Unit = {
+      val etl = s.readStream.schema(eventSchema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .filter(col("event_type").isin("click", "purchase", "view"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 1000000).cast("long").as("value_micro"),
+          unix_micros(col("ts")).as("ts_us"))
+      val q = etl.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run("part-0000[01]*") // scheduled run 1: partial input, drain, exit
+    run("part-*")         // scheduled run 2: catch up on the rest
+    s.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
+  val streamAvailableNowSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value * 1000000) AS BIGINT) AS value_micro,
+      |  epoch_us(ts) AS ts_us
+      |FROM events WHERE event_type IN ('click', 'purchase', 'view')
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tumbling_window" -> tumblingWindow,
     "q_sliding_window" -> slidingWindow,
@@ -527,6 +664,8 @@ object EventOps {
     "q_stream_restart" -> streamRestart,
     "q_stream_join" -> streamJoin,
     "q_stream_static_join" -> streamStaticJoin,
+    "q_stream_user_state" -> streamUserState,
+    "q_stream_available_now" -> streamAvailableNow,
     "q_sessionize" -> sessionize,
     "q_sql_tempview" -> sqlTempView,
   )
@@ -540,6 +679,8 @@ object EventOps {
     "q_stream_restart" -> streamWindowSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_static_join" -> streamStaticJoinSql,
+    "q_stream_user_state" -> streamUserStateSql,
+    "q_stream_available_now" -> streamAvailableNowSql,
     "q_sessionize" -> sessionizeSql,
     "q_sql_tempview" -> sqlTempViewSql,
   )
