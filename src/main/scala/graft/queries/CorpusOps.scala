@@ -282,7 +282,88 @@ object CorpusOps {
       |  abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b) AS abs_diff_micro
       |FROM c CROSS JOIN t ORDER BY lang""".stripMargin
 
+  /** URL CANONICALIZATION for web-corpus dedup: crawls re-fetch the same
+    * page under case-varied hosts, default ports, tracking params
+    * (`utm_*`), fragments, and trailing slashes; grouping by a normalized
+    * URL collapses them BEFORE any content fetch or text dedup runs — the
+    * cheapest dedup pass in a crawl pipeline because it touches only the
+    * URL column. The fixture synthesizes all five variant classes
+    * deterministically from the documents table; normalization =
+    * strip fragment → lowercase scheme+authority → drop `:443` → drop
+    * `utm_*` params → tidy separators → drop trailing slash. All regexes
+    * are in the RE2 ∩ Java-regex common subset, applied identically by
+    * both engines.
+    *
+    * SCALE: pure per-row projection (codegen'd regexp chain on the scan)
+    * + one hash aggregate on the canonical key — no join, no window; the
+    * shuffle carries only (norm_url, count, min_id).
+    */
+  def urlNormalize: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val url = concat(
+      when(col("doc_id") % 3 === 0, "HTTPS://").otherwise("https://"),
+      when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+      concat(lit("/"), col("lang"), lit("/page/"), (col("doc_id") % 50).cast("string")),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      concat(lit("?utm_source=feed&item="), (col("doc_id") % 25).cast("string"),
+        lit("&utm_campaign=x")),
+      when(col("doc_id") % 6 === 0, "#section2").otherwise(""))
+    val noFrag = regexp_replace(url, "#.*", "")
+    val canon = doc.select(col("doc_id"), noFrag.as("no_frag"))
+      .withColumn("pfx", regexp_extract(col("no_frag"), "^[^/]*//[^/?#]*", 0))
+      .withColumn("head", regexp_replace(lower(col("pfx")), ":443$", ""))
+      .withColumn("tail_raw", expr("substring(no_frag, length(pfx) + 1)"))
+      .withColumn("tail_noutm",
+        regexp_replace(col("tail_raw"), "utm_[a-z]+=[^&]*&?", ""))
+      .withColumn("tail_tidy",
+        regexp_replace(regexp_replace(col("tail_noutm"), "\\?&", "?"), "[?&]+$", ""))
+      .withColumn("norm_url",
+        concat(col("head"), regexp_replace(col("tail_tidy"), "/+$", "")))
+    canon.groupBy(col("norm_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("canonical_id"))
+      .orderBy(col("norm_url"))
+  }
+
+  val urlNormalizeSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+      |    || '.Example.COM'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || '?utm_source=feed&item=' || CAST(doc_id % 25 AS VARCHAR)
+      |    || '&utm_campaign=x'
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END) AS url
+      |  FROM documents),
+      |steps AS (
+      |  SELECT doc_id, regexp_replace(url, '#.*', '') AS no_frag FROM u),
+      |split AS (
+      |  SELECT doc_id, no_frag,
+      |    regexp_extract(no_frag, '^[^/]*//[^/?#]*', 0) AS pfx
+      |  FROM steps),
+      |parts AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(pfx), ':443$', '') AS head,
+      |    substr(no_frag, length(pfx) + 1) AS tail_raw
+      |  FROM split),
+      |cleaned AS (
+      |  SELECT doc_id, head,
+      |    regexp_replace(regexp_replace(
+      |      regexp_replace(tail_raw, 'utm_[a-z]+=[^&]*&?', '', 'g'),
+      |      '\?&', '?'), '[?&]+$', '') AS tail_tidy
+      |  FROM parts),
+      |norm AS (
+      |  SELECT doc_id, head || regexp_replace(tail_tidy, '/+$', '') AS norm_url
+      |  FROM cleaned)
+      |SELECT norm_url, count(*) AS n_variants, min(doc_id) AS canonical_id
+      |FROM norm GROUP BY norm_url ORDER BY norm_url""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_url_normalize" -> urlNormalize,
     "q_distribution_drift" -> distributionDrift,
     "q_feature_hashing" -> featureHashing,
     "q_domain_cap" -> domainCap,
@@ -292,6 +373,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_url_normalize" -> urlNormalizeSql,
     "q_distribution_drift" -> distributionDriftSql,
     "q_feature_hashing" -> featureHashingSql,
     "q_domain_cap" -> domainCapSql,

@@ -736,7 +736,66 @@ object DedupOps {
       |FROM m LEFT JOIN ds USING (cent_id) ORDER BY cent_id""".stripMargin
   }
 
+  /** SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo, SIGMOD'95) — the
+    * sort-based blocking classic, complementing the hash-based family
+    * (minhash bands, simhash segments, LSH buckets): sort the corpus by a
+    * blocking key, then compare only records within a fixed rank window.
+    * Candidates here are (block = first 6 chars, rank window ≤ 3 in full
+    * lexicographic text order); the verify is an edit-distance screen on
+    * the 60-char prefix (truncated near-dup copies share their prefix with
+    * the original, so true pairs sort adjacent and pass at distance 0).
+    *
+    * SCALE: the rank window join is an EQUI-join — each record explodes
+    * into its 3 successor ranks and joins on (block, rank), so the plan is
+    * one per-block sort (distributed by block, never a global single-
+    * partition window) + one keyed shuffle join. Window size bounds pairs
+    * at 3·N regardless of block size — the property that makes SNM the
+    * cheap first pass before LSH in production entity-resolution stacks.
+    */
+  def sortedNeighborhood: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = corpusNear(s, d, 6)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 6).as("blk"),
+        substring(col("text"), 1, 60).as("probe"))
+    val w = Window.partitionBy(col("blk"))
+      .orderBy(col("text").asc, col("doc_id").asc)
+    val ranked = keyed.withColumn("rn", row_number().over(w))
+      .select(col("blk"), col("rn"), col("doc_id"), col("probe"))
+    val succ = ranked
+      .withColumn("gap", explode(array(lit(1), lit(2), lit(3))))
+      .select(col("blk"), (col("rn") + col("gap")).as("rn_b"),
+        col("gap"), col("doc_id").as("id_a"), col("probe").as("probe_a"))
+    val b = ranked.select(col("blk"), col("rn").as("rn_b"),
+      col("doc_id").as("id_b"), col("probe").as("probe_b"))
+    succ.join(b, Seq("blk", "rn_b"))
+      .withColumn("dist", levenshtein(col("probe_a"), col("probe_b")))
+      .filter(col("dist") <= 5)
+      .select(col("id_a"), col("id_b"), col("gap").cast("int").as("gap"),
+        col("dist").cast("int").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val sortedNeighborhoodSql: String =
+    s"""WITH ${corpusNearSql(6)},
+      |keyed AS (
+      |  SELECT doc_id, text, substr(text, 1, 6) AS blk,
+      |    substr(text, 1, 60) AS probe
+      |  FROM corpus),
+      |ranked AS (
+      |  SELECT blk, doc_id, probe,
+      |    row_number() OVER (PARTITION BY blk ORDER BY text, doc_id) AS rn
+      |  FROM keyed)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(b.rn - a.rn AS INTEGER) AS gap,
+      |  CAST(levenshtein(a.probe, b.probe) AS INTEGER) AS dist
+      |FROM ranked a JOIN ranked b
+      |  ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+      |WHERE levenshtein(a.probe, b.probe) <= 5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_sorted_neighborhood" -> sortedNeighborhood,
     "q_dedup_paragraph" -> dedupParagraph,
     "q_dup_clusters" -> dupClusters,
     "q_dedup_incremental" -> dedupIncremental,
@@ -754,6 +813,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q_dedup_paragraph" -> dedupParagraphSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dedup_incremental" -> dedupIncrementalSql,

@@ -551,7 +551,79 @@ object GraphOps {
       |FROM d$SsspRounds GROUP BY dist ORDER BY dist""".stripMargin
   }
 
+  // ------------------------------------------------------ k-core peeling
+
+  /** Minimum degree to survive a peel round, and the fixed round count
+    * (parity with the unrolled oracle). Full k-core decomposition iterates
+    * to fixpoint; bounded rounds keep the oracle finite and already
+    * converge on this graph's shape (the last round's removal set is the
+    * gate's own evidence — `n_nodes` per degree bin shifts if round 3
+    * still peeled anyone a 4th round would).
+    */
+  private val CoreK = 3
+  private val PeelRounds = 3
+
+  def kcore: Q = (s, d) => kcoreWith(s, d, copartitionMode(s, d))
+
+  /** Bounded K-CORE PEELING over the trading graph: each round drops
+    * nodes with degree < K and every edge touching them, then recomputes
+    * degrees — the standard subgraph-density screen (spam/bot subgraph
+    * mining, community pre-filter) and the third member of the iterative
+    * trio alongside pagerank (value iteration) and LPA (label iteration).
+    * Output is the degree HISTOGRAM of the peeled graph with per-bin node
+    * counts and key checksums — sensitive to any node wrongly kept or
+    * dropped in any round.
+    *
+    * SCALE: per round, one partial-aggregated degree count (O(nodes) out)
+    * + two joins of the edge list against the O(nodes) keep-set — same
+    * geometry switch as the rest of the family: broadcast keep-set on
+    * small graphs, co-partitioned equi-joins at scale. Edges only ever
+    * shrink, so round cost is monotonically decreasing; checkpoints
+    * truncate the per-round lineage growth.
+    */
+  private[queries] def kcoreWith(s: SparkSession, d: String,
+                                 copart: Boolean): DataFrame = {
+    val (e0, _) = tradingGraph(s, d, copart)
+    var e = e0
+    for (_ <- 1 to PeelRounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= CoreK).select(col("src"))
+        .transform(graft.core.Checkpoint.apply)
+      e = e.join(side(copart, keep), Seq("src"))
+        .join(side(copart, keep.select(col("src").as("dst"))), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .transform(graft.core.Checkpoint.apply)
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("src") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("src") % 2 === 0, expr("src div 2"))
+          .otherwise(expr("(src - 1) div 2"))).as("key_checksum"))
+      .orderBy(col("deg"))
+  }
+
+  private val kcoreSql: String = {
+    val rounds = (1 to PeelRounds).map { r =>
+      s"""keep$r AS (SELECT src FROM edges${r - 1} GROUP BY src
+        |  HAVING count(*) >= $CoreK),
+        |edges$r AS (SELECT e.src, e.dst FROM edges${r - 1} e
+        |  JOIN keep$r a ON e.src = a.src
+        |  JOIN keep$r b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |$rounds,
+      |deg AS (SELECT src, count(*) AS deg FROM edges$PeelRounds GROUP BY src)
+      |SELECT CAST(deg AS BIGINT) AS deg, count(*) AS n_nodes,
+      |  CAST(sum(CASE WHEN src LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(substr(src, 2) AS BIGINT)) AS BIGINT) AS key_checksum
+      |FROM deg GROUP BY deg ORDER BY deg""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kcore" -> kcore,
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
     "q_label_propagation" -> labelPropagation,
@@ -568,6 +640,7 @@ object GraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kcore" -> kcoreSql,
     "q_pagerank" -> pagerankSql,
     "q_bfs_levels" -> bfsLevelsSql,
     "q_shortest_paths" -> shortestPathsSql,

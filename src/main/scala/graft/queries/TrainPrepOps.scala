@@ -480,7 +480,69 @@ object TrainPrepOps {
       |    // CAST(sum(n_tokens) AS BIGINT) AS kept_share_micro
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic hash-ring NEGATIVE SAMPLING for contrastive training:
+    * each anchor takes its next candidates in md5-hash order (within a
+    * 16-way hash bucket) whose label differs — up to 3 negatives per
+    * anchor. The hash ordering is a reproducible stand-in for a random
+    * shuffle ("in-batch negatives"): unrelated to label or insertion
+    * order, stable across reruns, cluster sizes, and repartitioning — the
+    * property `rand()`-based samplers lose the moment a partition moves.
+    *
+    * SCALE: one per-bucket sort (distributed — buckets shard the ring, no
+    * global window) + an EQUI-join on (bucket, rank): each anchor probes
+    * exactly 6 successor ranks via explode, so candidate volume is 6·N
+    * flat. Anchors at the tail of a bucket may get < 3 negatives — the
+    * deterministic analogue of an incomplete batch, accepted rather than
+    * wrapping the ring (a wrap join would need a second pass).
+    */
+  def negativeSampling: Q = (s, d) => {
+    val rows = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 1))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+    val ranked = rows.withColumn("rn", row_number().over(w))
+    val probes = ranked
+      .withColumn("off", explode(array((1 to 6).map(lit(_)): _*)))
+      .select(col("bucket"), (col("rn") + col("off")).as("rn_b"),
+        col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+    val cands = ranked.select(col("bucket"), col("rn").as("rn_b"),
+      col("vec_id").as("neg_id"), col("label").as("neg_label"))
+    val perAnchor = Window.partitionBy(col("anchor_id")).orderBy(col("rn_b").asc)
+    probes.join(cands, Seq("bucket", "rn_b"))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .withColumn("neg_rank", row_number().over(perAnchor))
+      .filter(col("neg_rank") <= 3)
+      .select(col("anchor_id"), col("neg_rank").cast("int").as("neg_rank"),
+        col("neg_id"), col("neg_label"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
+  val negativeSamplingSql: String =
+    """WITH r AS (
+      |  SELECT vec_id, label, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+      |ranked AS (
+      |  SELECT substr(h, 1, 1) AS bucket, vec_id, label, h,
+      |    row_number() OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, vec_id) AS rn
+      |  FROM r),
+      |probes AS (
+      |  SELECT bucket, rn + off AS rn_b, vec_id AS anchor_id,
+      |    label AS anchor_label
+      |  FROM ranked CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS off)),
+      |cand AS (
+      |  SELECT bucket, rn AS rn_b, vec_id AS neg_id, label AS neg_label
+      |  FROM ranked),
+      |j AS (
+      |  SELECT anchor_id, neg_id, neg_label,
+      |    row_number() OVER (PARTITION BY anchor_id ORDER BY rn_b) AS neg_rank
+      |  FROM probes JOIN cand USING (bucket, rn_b)
+      |  WHERE neg_label <> anchor_label)
+      |SELECT anchor_id, CAST(neg_rank AS INTEGER) AS neg_rank, neg_id, neg_label
+      |FROM j WHERE neg_rank <= 3 ORDER BY anchor_id, neg_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_negative_sampling" -> negativeSampling,
     "q_reservoir_sample" -> reservoirSample,
     "q_context_truncation" -> contextTruncation,
     "q_rank_normalize" -> rankNormalize,
@@ -497,6 +559,7 @@ object TrainPrepOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_negative_sampling" -> negativeSamplingSql,
     "q_reservoir_sample" -> reservoirSampleSql,
     "q_context_truncation" -> contextTruncationSql,
     "q_rank_normalize" -> rankNormalizeSql,
