@@ -584,23 +584,39 @@ object GraphOps {
   private[queries] def kcoreWith(s: SparkSession, d: String,
                                  copart: Boolean): DataFrame = {
     val (e0, _) = tradingGraph(s, d, copart)
-    var e = e0
-    for (_ <- 1 to PeelRounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= CoreK).select(col("src"))
-        .transform(graft.core.Checkpoint.apply)
-      e = e.join(side(copart, keep), Seq("src"))
-        .join(side(copart, keep.select(col("src").as("dst"))), Seq("dst"))
-        .select(col("src"), col("dst"))
-        .transform(graft.core.Checkpoint.apply)
-    }
-    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    peelEdges(e0, copart)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("src") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
         sum(when(col("src") % 2 === 0, expr("src div 2"))
           .otherwise(expr("(src - 1) div 2"))).as("key_checksum"))
       .orderBy(col("deg"))
+  }
+
+  /** The peel loop itself over a both-direction (src, dst) edge list —
+    * factored so specs can feed known graphs under either geometry.
+    */
+  private[queries] def peelEdges(e0: DataFrame, copart: Boolean): DataFrame = {
+    var e = e0
+    for (_ <- 1 to PeelRounds)
+      e = peelRound(e, copart, ckptKeep = true)
+        .transform(graft.core.Checkpoint.apply)
+    e
+  }
+
+  /** One peel round. `ckptKeep` materializes the keep-set once for its two
+    * join uses (the production path); specs pass false to keep the full
+    * round visible in one plan.
+    */
+  private[queries] def peelRound(e: DataFrame, copart: Boolean,
+                                 ckptKeep: Boolean = false): DataFrame = {
+    val keep0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= CoreK).select(col("src"))
+    val keep = if (ckptKeep) keep0.transform(graft.core.Checkpoint.apply) else keep0
+    e.join(side(copart, keep), Seq("src"))
+      .join(side(copart, keep.select(col("src").as("dst"))), Seq("dst"))
+      .select(col("src"), col("dst"))
   }
 
   private val kcoreSql: String = {

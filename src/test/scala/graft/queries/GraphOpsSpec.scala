@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class GraphOpsSpec extends SparkSpec {
 
@@ -130,6 +131,54 @@ class GraphOpsSpec extends SparkSpec {
     val got = GraphOps.lpaCommunities(edges).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 3L), (3L, 3L)), got.mkString(","))
+  }
+
+  test("k-core peel: known graph — clique survives, pendants and paths peel away") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4} (every degree 3) + pendant 5-1 + path 10-11-12:
+    // round 1 removes 5 (deg 1) and 10/11/12 (deg <= 2); the clique keeps
+    // degree 3 throughout (1's extra pendant edge vanishes with node 5)
+    val und = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (5L,1L),(10L,11L),(11L,12L)).toDF("u", "v")
+    val e0 = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    for (copart <- Seq(false, true)) {
+      val kept = GraphOps.peelEdges(e0, copart)
+        .select(col("src")).distinct().as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 3L, 4L), s"copart=$copart kept $kept")
+    }
+  }
+
+  test("k-core: co-partition geometry equals broadcast; copart plan broadcasts nothing") {
+    val sf = "/root/testdata/sf0.001"
+    val a = GraphOps.kcoreWith(spark, sf, copart = false).collect().toSeq
+    val b = GraphOps.kcoreWith(spark, sf, copart = true).collect().toSeq
+    assert(a == b, s"kcore geometries disagree:\n$a\n$b")
+    assert(a.nonEmpty)
+    import spark.implicits._
+    // plan shape: one peel round in copart mode must not broadcast the
+    // keep-set (the O(nodes) side that outgrows memory at 100x). Disable
+    // auto-broadcast so the assertion tests OUR hint, not the optimizer's
+    // size estimate on a toy graph.
+    val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def restore(key: String, v: Option[String]): Unit =
+      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val e0 = (1 to 50).flatMap(i => Seq((i.toLong, (i % 50 + 1).toLong),
+        ((i % 50 + 1).toLong, i.toLong))).toDF("src", "dst")
+      val plan = GraphOps.peelRound(e0, copart = true)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Broadcast"), s"broadcast in copart peel plan:\n$plan")
+      val hinted = GraphOps.peelRound(e0, copart = false)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("Broadcast"), "broadcast geometry lost its hint")
+    } finally {
+      restore("spark.sql.autoBroadcastJoinThreshold", prevT)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
   }
 
   test("triangle census and LPA are bit-identical under different partitioning") {
