@@ -541,7 +541,77 @@ object TrainPrepOps {
       |SELECT anchor_id, CAST(neg_rank AS INTEGER) AS neg_rank, neg_id, neg_label
       |FROM j WHERE neg_rank <= 3 ORDER BY anchor_id, neg_rank""".stripMargin
 
+  /** CHI-SQUARED FEATURE SELECTION (presence/absence contingency of each
+    * token against the binary class lang='en'), fully integer-exact: the
+    * χ² statistic N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is evaluated in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) wide-integer arithmetic and
+    * surfaced as `chi2_micro = ⌊χ²·10⁶⌋` — no doubles anywhere, so the
+    * ranking is bit-stable across engines, partitionings, and cluster
+    * sizes (the [[Num]] discipline applied to a statistic that is usually
+    * computed in floating point). Top-30 by (χ², token).
+    *
+    * SCALE: explode(distinct tokens) → one (token) hash aggregate with
+    * map-side combine; class totals are a 1-row broadcast; the top-k is
+    * TakeOrderedAndProject. Linear in corpus tokens, no joins on the
+    * data-sized side. Intermediates are sized: at N = 5·10⁵ docs the
+    * numerator peaks ~3·10³⁴ < 10³⁸ (DECIMAL38) < 1.7·10³⁸ (int128).
+    */
+  def chi2Features: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val present = docs.select(col("lang"),
+      explode(array_distinct(TA.tokens(col("text")))).as("token"))
+    val totals = docs.agg(count(lit(1)).as("n_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    present.groupBy(col("token"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("a"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("b"))
+      .filter(col("a") + col("b") >= 10)
+      .crossJoin(broadcast(totals))
+      .filter(col("a") + col("b") < col("n_total"))
+      .withColumn("c", col("n_en") - col("a"))
+      .withColumn("dd", col("n_total") - col("n_en") - col("b"))
+      .withColumn("diff", dec(col("a")) * dec(col("dd")) - dec(col("b")) * dec(col("c")))
+      .withColumn("num", dec(col("n_total")) * col("diff") * col("diff") * lit(1000000))
+      .withColumn("den", dec(col("a") + col("b")) * dec(col("c") + col("dd")) *
+        dec(col("n_en")) * dec(col("n_total") - col("n_en")))
+      .withColumn("chi2_micro", expr("CAST(num div den AS BIGINT)"))
+      .select(col("token"), col("a"), col("b"), col("chi2_micro"))
+      .orderBy(col("chi2_micro").desc, col("token").asc)
+      .limit(30)
+  }
+
+  val chi2FeaturesSql: String =
+    s"""WITH present AS (
+      |  SELECT lang, unnest(list_distinct(${TA.tokensSql("text")})) AS token
+      |  FROM documents),
+      |totals AS (
+      |  SELECT count(*) AS n_total,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+      |  FROM documents),
+      |counts AS (
+      |  SELECT token,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS b
+      |  FROM present GROUP BY token HAVING count(*) >= 10),
+      |x AS (
+      |  SELECT token, a, b, n_en - a AS c, n_total - n_en - b AS dd,
+      |    n_total, n_en
+      |  FROM counts CROSS JOIN totals WHERE a + b < n_total),
+      |scored AS (
+      |  SELECT token, a, b,
+      |    CAST((CAST(n_total AS HUGEINT)
+      |        * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c)
+      |        * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c)
+      |        * 1000000)
+      |      // (CAST(a + b AS HUGEINT) * (c + dd) * n_en * (n_total - n_en))
+      |      AS BIGINT) AS chi2_micro
+      |  FROM x)
+      |SELECT token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, chi2_micro
+      |FROM scored ORDER BY chi2_micro DESC, token LIMIT 30""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_chi2_features" -> chi2Features,
     "q_negative_sampling" -> negativeSampling,
     "q_reservoir_sample" -> reservoirSample,
     "q_context_truncation" -> contextTruncation,
@@ -559,6 +629,7 @@ object TrainPrepOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_chi2_features" -> chi2FeaturesSql,
     "q_negative_sampling" -> negativeSamplingSql,
     "q_reservoir_sample" -> reservoirSampleSql,
     "q_context_truncation" -> contextTruncationSql,
