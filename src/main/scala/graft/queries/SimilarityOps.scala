@@ -245,10 +245,14 @@ object SimilarityOps {
     */
   def hybridRrf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // top-k FIRST (TakeOrderedAndProject — distributed heads, no global
+    // sort), then the rank window runs over ≤ RrfDepth rows instead of
+    // the whole scored corpus
     val lex = TextOps.bm25(s, d)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(RrfDepth)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
-      .filter(col("lex_rank") <= RrfDepth)
       .select(col("doc_id"), col("lex_rank"))
     val dense = Similarity.bruteForceKnn(corpus(s, d),
         querySet(s, d).filter(col("vec_id") === 0),
@@ -371,12 +375,14 @@ object SimilarityOps {
     * bit-stable and hash-gated. Same deterministic scored set as
     * [[evalMetrics]].
     *
-    * SCALE note: ranking here is one global window over the scored set —
-    * fine for eval sets (they are sampled by construction); for an AUC
-    * over billions of rows, bucket scores into a fixed histogram and
-    * compute the same statistic from bucket prefix sums (the
-    * [[SketchOps]] quantile machinery), trading exactness for one
-    * partial-aggregated pass.
+    * SCALE: the rank statistic is computed from the per-score GROUPED
+    * form, not a row-level window — scores aggregate first (map-side
+    * combine), then one cumulative window runs over DISTINCT rounded
+    * scores (≤ 4·10⁶ values for 6-dp cosines, vs billions of rows). For
+    * a tie group of n rows with p positives starting after `cum_before`
+    * rows, every positive contributes `2·midrank = 2·cum_before + n + 1`
+    * — identical integers to the row-level `2r + c − 1`, so the oracle
+    * (which keeps the row-level window) hash-matches exactly.
     */
   def evalAuc: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -389,14 +395,17 @@ object SimilarityOps {
       .select((col("label") % 2 === 1).as("is_pos"),
         round(Similarity.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
           .as("score"))
-    val ranked = scored
-      .withColumn("r", rank().over(Window.orderBy(col("score"))))
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("score"))))
-    ranked.agg(
-        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
-        sum(when(col("is_pos"), lit(2L) * col("r") + col("c") - 1L)
-          .otherwise(0L)).as("sum_2midrank_pos"))
+    val grouped = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"))
+    val wS = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped.withColumn("cum_n", sum(col("n")).over(wS))
+      .agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("n") - col("p")).as("n_neg"),
+        sum(col("p") * (lit(2L) * (col("cum_n") - col("n")) + col("n") + 1L))
+          .as("sum_2midrank_pos"))
       .select(col("n_pos"), col("n_neg"), col("sum_2midrank_pos"),
         expr("((sum_2midrank_pos - n_pos * (n_pos + 1)) * 1000000) " +
           "div (2 * n_pos * n_neg)").as("auc_micro"))
