@@ -153,12 +153,83 @@ object ScdOps {
       .orderBy(col("c_custkey"), col("effective_date"), col("is_current"))
   }
 
+  /** POINT-IN-TIME JOIN against the SCD2 history — the feature-store
+    * operation that prevents training-serving skew: each event is
+    * decorated with the dimension VERSION that was valid at event time
+    * (`effective_date ≤ t < end_date`), never the current one. Events are
+    * synthesized to straddle both merge clocks: pre-T0 events match no
+    * version (the entity didn't exist yet — left-join nulls), T0..T1
+    * events resolve to since-closed historical rows for migrated keys,
+    * post-T1 events resolve to the current row.
+    *
+    * SCALE: SCD2 validity intervals are non-overlapping per key, so the
+    * lookup is a KEY equi-join with the interval test as residual
+    * predicate — fan-out is bounded by versions-per-key (2 here), and the
+    * dimension side broadcasts (dims are catalog-sized next to a fact
+    * stream). A data-sized dimension switches to the shuffle form on the
+    * same key, exactly like [[graft.core.Scd2.mergeBucketed]]'s layout.
+    */
+  def pitJoin: Q = (s, d) => {
+    val initial = Scd2.applyScdType2Merge(
+      None, snapshot0(s, d), BK, Tracked, ScdClock.fixed(T0))
+    val dim = Scd2.applyScdType2Merge(
+        Some(initial), snapshot1(s, d), BK, Tracked, ScdClock.fixed(T1))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("effective_date"), col("end_date"), col("is_current"))
+    val events = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_add(to_date(lit("2024-01-01")),
+          (col("o_orderkey") % 300).cast("int")).as("event_date"))
+    events.join(broadcast(dim),
+        col("o_custkey") === col("c_custkey") &&
+          col("effective_date") <= col("event_date") &&
+          (col("end_date").isNull || col("event_date") < col("end_date")),
+        "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("event_date").cast("string").as("event_date"),
+        col("c_mktsegment"),
+        col("effective_date").cast("string").as("effective_date"),
+        col("is_current"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val pitJoinSql: String =
+    s"""WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+      |dim AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    DATE '$T0' AS effective_date,
+      |    CASE WHEN c_custkey % 10 = 0 THEN DATE '$T1' ELSE NULL END AS end_date,
+      |    c_custkey % 10 <> 0 AS is_current
+      |  FROM base
+      |  UNION ALL
+      |  SELECT c_custkey, 'MIGRATED', DATE '$T1', NULL, true
+      |  FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWSEG', DATE '$T1', NULL, true
+      |  FROM base WHERE c_custkey % 13 = 0),
+      |events AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    DATE '2024-01-01' + CAST(o_orderkey % 300 AS INTEGER) AS event_date
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderkey, o_custkey,
+      |  CAST(event_date AS VARCHAR) AS event_date,
+      |  c_mktsegment,
+      |  CAST(effective_date AS VARCHAR) AS effective_date,
+      |  is_current
+      |FROM events LEFT JOIN dim
+      |  ON o_custkey = c_custkey
+      |  AND effective_date <= event_date
+      |  AND (end_date IS NULL OR event_date < end_date)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_scd2_merge" -> scd2Merge,
     "q_scd2_current" -> scd2Current,
-    "q_scd2_bucketed" -> scd2Bucketed)
+    "q_scd2_bucketed" -> scd2Bucketed,
+    "q_pit_join" -> pitJoin)
   val oracles: Map[String, String] = Map(
     "q_scd2_merge" -> scd2MergeSql,
     "q_scd2_current" -> scd2CurrentSql,
-    "q_scd2_bucketed" -> scd2MergeSql)
+    "q_scd2_bucketed" -> scd2MergeSql,
+    "q_pit_join" -> pitJoinSql)
 }
