@@ -249,7 +249,35 @@ object SetGroupOps {
       |  ${Num.moneySumSql("o_totalprice")} AS sum_price
       |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin
 
+  /** ORDERED STRING AGGREGATION (group_concat / string_agg): per
+    * (segment, nation) group, the count plus a '|'-joined sample of the
+    * 3 lexicographically-first customer names. `collect_list` is
+    * arrival-order-nondeterministic, so the list is sorted then sliced
+    * BEFORE joining — the only formulation whose output is partition-
+    * invariant (DuckDB mirrors it with `array_agg(... ORDER BY ...)`).
+    *
+    * SCALE: collect_list buffers each group in executor memory — fine for
+    * bounded groups (here |customers| per (segment, nation) ≈ hundreds);
+    * for unbounded groups the engine's `graft_topk` heap aggregate is the
+    * bounded-memory drop-in (keeps k, spills nothing), which is why the
+    * sample is capped at 3 names rather than concatenating the group.
+    */
+  def groupConcat: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(slice(array_sort(collect_list(col("c_name"))), 1, 3), "|")
+          .as("sample_names"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  val groupConcatSql: String =
+    """SELECT c_mktsegment, c_nationkey, count(*) AS n_customers,
+      |  array_to_string((array_agg(c_name ORDER BY c_name))[1:3], '|')
+      |    AS sample_names
+      |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_group_concat" -> groupConcat,
     "q_histogram" -> histogram,
     "q_unpivot" -> unpivotMetrics,
     "q_union_all" -> unionAll,
@@ -263,6 +291,7 @@ object SetGroupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_group_concat" -> groupConcatSql,
     "q_histogram" -> histogramSql,
     "q_unpivot" -> unpivotMetricsSql,
     "q_union_all" -> unionAllSql,

@@ -244,6 +244,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("RocksDB state store: the at-scale backend reproduces the default provider's result") {
+    // The HDFS-backed store keeps every key in executor heap — at 100 TB
+    // stream volumes (billions of dedup/session keys) the JVM heap is the
+    // ceiling; RocksDBStateStoreProvider spills state to local SSD with
+    // bounded memory, which is what production sizes for. The gate:
+    // identical results from the same multi-micro-batch pipeline under
+    // both providers.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val dir = graft.queries.Scratch.dir("spec_rocksdb_events")
+    graft.queries.Scratch.wipe(dir)
+    spark.read.parquet(sf + "/events.parquet")
+      .repartition(6).write.mode("overwrite").parquet(dir)
+    val default = graft.queries.EventOps.streamWindowOver(
+      spark, dir, glob = "*.parquet", sink = "spec_rocks_base_sink")
+      .collect().toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val rocks = graft.queries.EventOps.streamWindowOver(
+        spark, dir, glob = "*.parquet", sink = "spec_rocks_sink")
+        .collect().toSeq
+      assert(rocks.size > 10)
+      assert(rocks == default, "RocksDB state store changed the result")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("stream restart: mid-stream stop + cold restart from checkpoint equals batch") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
