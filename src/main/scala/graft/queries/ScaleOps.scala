@@ -223,7 +223,71 @@ object ScaleOps {
       |FROM big JOIN small USING (k)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Hive-partitioned orders (directory per order year) under scratch,
+    * written once per data dir — the partitioned-fact fixture for the
+    * dynamic-partition-pruning gate.
+    */
+  private def ordersByYearDir(s: SparkSession, d: String): String = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val dir = Scratch.dir(s"orders_by_year_$tag")
+    if (!new java.io.File(dir, "_SUCCESS").exists) {
+      Scratch.wipe(dir)
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    }
+    dir
+  }
+
+  /** Year dimension as a PARQUET relation (not a local relation —
+    * `ConvertToLocalRelation` would fold the filter into the relation
+    * before the `PartitionPruning` rule looks for a selective predicate,
+    * and DPP would never fire). The selectable column is an INT compared
+    * with `===` because `isLikelySelective` recognizes binary comparisons
+    * but not bare boolean attributes. Year range covers every SF's order
+    * span with headroom.
+    */
+  private def yearDimDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val dir = Scratch.dir(s"year_dim_$tag")
+    if (!new java.io.File(dir, "_SUCCESS").exists) {
+      Scratch.wipe(dir)
+      (1990 to 2010).map(y => (y, y % 3)).toDF("y", "y_mod")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** DYNAMIC PARTITION PRUNING: the fact is hive-partitioned by order
+    * year; the filter lives on the DIM side (selected years), so static
+    * pruning can't fire — at runtime Spark builds the dim's key set from
+    * the broadcast exchange and injects it as a partition filter
+    * (`dynamicpruning` InSubquery) into the fact scan, which then reads
+    * only the matching year directories. THE mechanism that makes
+    * star-schema queries over a date-partitioned 100 TB fact read days,
+    * not the table; the gate proves result-correctness, `PlanSpec` pins
+    * the pruning subquery's presence in the scan.
+    */
+  def dppJoin: Q = (s, d) => {
+    val fact = s.read.parquet(ordersByYearDir(s, d))
+    val dim = s.read.parquet(yearDimDir(s, d))
+    fact.join(broadcast(dim.filter(col("y_mod") === 0)), col("o_year") === col("y"))
+      .groupBy(col("o_year").cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  val dppJoinSql: String =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  count(*) AS n_orders,
+      |  ${Num.moneySumSql("o_totalprice")} AS revenue
+      |FROM orders WHERE year(o_orderdate) % 3 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dpp_join" -> dppJoin,
     "q_salted_join" -> saltedJoin,
     "q_bucketed_join" -> bucketedJoin,
     "q_bloom_semi_join" -> bloomSemiJoin,
@@ -232,6 +296,7 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dpp_join" -> dppJoinSql,
     "q_salted_join" -> saltedJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_bloom_semi_join" -> bloomSemiJoinSql,

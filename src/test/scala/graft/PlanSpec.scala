@@ -170,4 +170,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
     assert(!plan.contains("SortMergeJoin"), "token stream shuffle-joined")
   }
+
+  test("dpp join: the fact scan carries a runtime dynamic-pruning partition filter") {
+    // q_dpp_join's 100 TB guarantee: the year filter lives on the dim
+    // side, so only DYNAMIC partition pruning can keep the fact scan from
+    // reading every year directory — the scan's PartitionFilters must
+    // contain the runtime dynamicpruning subquery fed by the dim's
+    // broadcast exchange.
+    // size-based benefit estimation says "don't bother" on KB test data;
+    // disable stats-based estimation so the rewrite itself is what's
+    // under test (at real fact sizes the stats path reaches the same
+    // decision)
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.queries.ScaleOps.dppJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning in plan:\n${plan.take(3000)}")
+      assert(df.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
