@@ -217,7 +217,57 @@ object Relational {
       |    coalesce(c_mktsegment, 'NULL'))) AS surrogate_key
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q3 shape — the classic "filter three tables, shuffle-join,
+    * aggregate, top-k" plan: BUILDING-segment customers' orders placed
+    * before the cutoff with lines still shipping after it, top-10 by
+    * revenue. What the plan must show (PLANS.md): the three selective
+    * filters pushed into their scans, the customer side broadcast (it
+    * shrinks ~5x before the join), partial aggregation before the
+    * (l_orderkey)-keyed exchange, and TakeOrderedAndProject — never a
+    * global sort of the aggregated output. Revenue ranks on exact cents,
+    * ties broken by order key, so the top-10 is deterministic at every
+    * partitioning.
+    */
+  def shippingPriority: Q = (s, d) => {
+    val cutoff = "1998-03-15"
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Num.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"),
+        col("revenue"),
+        col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
+  val shippingPrioritySql: String =
+    s"""SELECT l_orderkey,
+      |  ${Num.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+      |  o_orderpriority
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_shipping_priority" -> shippingPriority,
     "q_agg_lineitem" -> aggLineitem,
     "q_filter_project" -> filterProject,
     "q_join_revenue_nation" -> joinRevenueByNation,
@@ -230,6 +280,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_shipping_priority" -> shippingPrioritySql,
     "q_agg_lineitem" -> aggLineitemSql,
     "q_filter_project" -> filterProjectSql,
     "q_join_revenue_nation" -> joinRevenueByNationSql,

@@ -455,7 +455,73 @@ object SourceOps {
       |  ${Num.moneySumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END")} AS revenue
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** PERMISSIVE-mode CORRUPT-RECORD QUARANTINE: the ingest contract the
+    * reference's CSV readers rely on (PERMISSIVE + explicit schema,
+    * SURVEY §2.1 S1) taken to its failure path. Customer rows are written
+    * as $-separated text with every 5th row deliberately malformed (a
+    * non-numeric key AND an extra column); the typed read captures each
+    * malformed line whole in `_corrupt_record` while good rows parse
+    * normally. The gate hash-checks the split: good/quarantined counts,
+    * the good-side key checksum, and the quarantined lines' length sum —
+    * wrong on any row that leaked across the boundary in either
+    * direction.
+    *
+    * The `cache()` is load-bearing, not an optimization: Spark refuses
+    * queries that filter the internal corrupt-record column of an
+    * un-materialized CSV relation (the column exists only during parse),
+    * so a quarantine split ALWAYS materializes first — at 100 TB that is
+    * the landing-zone write (parse once, fork good/bad to separate
+    * sinks), exactly what this shape stands in for.
+    */
+  def csvQuarantine: Q = (s, d) => {
+    val tmp = Scratch.dir("graft_csv_quarantine")
+    Tables.customer(s, d)
+      .select(when(col("c_custkey") % 5 === 0,
+          concat(lit("BAD_"), col("c_custkey").cast("string"), lit("$"),
+            col("c_name"), lit("$"), col("c_nationkey").cast("string"),
+            lit("$EXTRA")))
+        .otherwise(concat(col("c_custkey").cast("string"), lit("$"),
+          col("c_name"), lit("$"), col("c_nationkey").cast("string")))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", LongType),
+      StructField("_corrupt_record", StringType)))
+    val parsed = s.read
+      .option("sep", "$").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(tmp)
+      .cache()
+    parsed.agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("_corrupt_record").isNull, col("c_custkey"))
+          .otherwise(0L)).as("good_key_checksum"),
+        sum(when(col("_corrupt_record").isNotNull,
+          length(col("_corrupt_record")).cast("long")).otherwise(0L))
+          .as("quarantined_chars"))
+  }
+
+  /** Closed-form oracle: the corruption rule is deterministic, so both
+    * counts and checksums derive straight from the customer table.
+    */
+  val csvQuarantineSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN c_custkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(sum(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |  CAST(sum(CASE WHEN c_custkey % 5 <> 0 THEN c_custkey ELSE 0 END) AS BIGINT)
+      |    AS good_key_checksum,
+      |  CAST(sum(CASE WHEN c_custkey % 5 = 0 THEN
+      |      length('BAD_' || CAST(c_custkey AS VARCHAR) || '$' || c_name || '$'
+      |        || CAST(c_nationkey AS VARCHAR) || '$EXTRA')
+      |    ELSE 0 END) AS BIGINT) AS quarantined_chars
+      |FROM customer""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_csv_quarantine" -> csvQuarantine,
     "q_dynamic_overwrite" -> dynamicOverwrite,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_schema_evolution" -> schemaEvolution,
@@ -471,6 +537,7 @@ object SourceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_csv_quarantine" -> csvQuarantineSql,
     "q_dynamic_overwrite" -> dynamicOverwriteSql,
     "q_json_roundtrip" -> jsonRoundtripSql,
     "q_schema_evolution" -> schemaEvolutionSql,
