@@ -639,8 +639,13 @@ object Dedup {
     cands
       .join(base.select(col("id").as("id_a"), col("str").as("str_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("str").as("str_b")), "id_b")
-      .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("int"))
-      .filter(col("dist") <= maxDist)
+      // bounded verify: the 3-arg levenshtein runs the banded DP
+      // (O(maxDist·n) per pair, early exit) and returns -1 past the
+      // bound — same distances for kept pairs as the full O(n·m) form,
+      // a large constant-factor win when candidates are near-misses
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b"), maxDist).cast("int"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"), col("dist"))
   }
 }

@@ -769,8 +769,10 @@ object DedupOps {
     val b = ranked.select(col("blk"), col("rn").as("rn_b"),
       col("doc_id").as("id_b"), col("probe").as("probe_b"))
     succ.join(b, Seq("blk", "rn_b"))
-      .withColumn("dist", levenshtein(col("probe_a"), col("probe_b")))
-      .filter(col("dist") <= 5)
+      // bounded banded DP (returns -1 past the threshold) — same kept
+      // pairs/distances as the full form, cheaper on near-miss neighbors
+      .withColumn("dist", levenshtein(col("probe_a"), col("probe_b"), 5))
+      .filter(col("dist") >= 0 && col("dist") <= 5)
       .select(col("id_a"), col("id_b"), col("gap").cast("int").as("gap"),
         col("dist").cast("int").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
