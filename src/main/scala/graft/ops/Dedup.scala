@@ -603,10 +603,61 @@ object Dedup {
   def edJoinPairs(df: DataFrame, idCol: String, strCol: String,
                   blockCols: Seq[String], maxDist: Int = 2,
                   q: Int = 3): DataFrame = {
-    val prefixLen = maxDist * q + 1
-    val base = df.select(
+    // EXACT-DUPLICATE COLLAPSE. Real corpora (and any scaled-up test dir)
+    // carry heavy exact-duplicate mass: k copies of one string yield
+    // k·k' candidate pairs against every partner — the candidate join and
+    // the levenshtein verify both grow quadratically in multiplicity even
+    // though the distance computation is identical for every copy. So the
+    // expensive part (gram explode, rarity ranking, candidate join,
+    // banded-DP verify) runs once per DISTINCT (block, string), and the
+    // result expands back by group membership afterwards:
+    //   - cross-group pairs: every (member of A) × (member of B), the
+    //     verified distance attached verbatim;
+    //   - intra-group pairs: all C(m,2) id pairs at distance 0 (identical
+    //     strings — exactly what the naive quadratic form emits for them).
+    // Ten-fold exact duplication leaves the distinct-string core UNCHANGED;
+    // only the final (output-sized) expansion joins grow.
+    val w = Window.partitionBy((blockCols.map(col) :+ col("str")): _*)
+    val members = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         col(strCol).as("str"): _*)
+      .withColumn("gid", min(col("id")).over(w))
+      .transform(graft.core.Checkpoint.apply)
+    val reps = members.filter(col("id") === col("gid")).drop("gid")
+    val repPairs = edJoinPairsDistinct(reps, blockCols, maxDist, q)
+    val crossPairs = repPairs
+      .join(members.select(col("gid").as("gid_a"), col("id").as("ia")), "gid_a")
+      .join(members.select(col("gid").as("gid_b"), col("id").as("ib")), "gid_b")
+      .select(
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        when(col("ia") < col("ib"), col("sa")).otherwise(col("sb")).as("str_a"),
+        when(col("ia") < col("ib"), col("sb")).otherwise(col("sa")).as("str_b"),
+        col("dist"))
+    // Intra-group pairs must replicate the naive join's `=` semantics: a
+    // NULL block value (or NULL string) never matches itself there, so
+    // groups keyed on NULLs emit nothing.
+    val nonNull = (blockCols.map(col(_).isNotNull) :+ col("str").isNotNull)
+      .reduce(_ && _)
+    val x = members.filter(nonNull).alias("x")
+    val y = members.select(col("gid"), col("id")).alias("y")
+    val intraPairs = x.join(y,
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.str").as("str_a"), col("x.str").as("str_b"),
+        lit(0).cast("int").as("dist"))
+    crossPairs.unionByName(intraPairs)
+  }
+
+  /** Ed-Join core over rows whose (block, str) are already distinct —
+    * see [[edJoinPairs]] for the collapse/expand wrapper. Input columns:
+    * `id`, the block columns, `str`. Output: `gid_a`, `gid_b`, `sa`,
+    * `sb`, `dist` with `gid_a < gid_b`.
+    */
+  private def edJoinPairsDistinct(rows: DataFrame, blockCols: Seq[String],
+                                  maxDist: Int, q: Int): DataFrame = {
+    val prefixLen = maxDist * q + 1
+    val base = rows
       .withColumn("len", length(col("str")))
       .transform(graft.core.Checkpoint.apply)
     // positional q-grams; strings shorter than q emit the whole string at
@@ -646,6 +697,7 @@ object Dedup {
       .withColumn("dist",
         levenshtein(col("str_a"), col("str_b"), maxDist).cast("int"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"), col("dist"))
+      .select(col("id_a").as("gid_a"), col("id_b").as("gid_b"),
+        col("str_a").as("sa"), col("str_b").as("sb"), col("dist"))
   }
 }

@@ -178,4 +178,40 @@ class DedupSpec extends SparkSpec {
     val pd = Dedup.ngramContainmentPairsPrefix(docs, "doc_id", "text", Seq.empty, 3, 0.8)
     assert(pd.exceptAll(nd).isEmpty && nd.exceptAll(pd).isEmpty)
   }
+
+  test("ed-join with exact-duplicate collapse equals the naive quadratic join") {
+    // Duplicate-heavy fixture: the collapse path must reproduce the naive
+    // block-quadratic join exactly — cross-group distances, intra-group
+    // dist-0 pairs, NULL block/string never matching, and short strings
+    // (< q) still pairing when identical.
+    val rows = Seq(
+      (1L, "B1", "promise burnished metallic slate"),
+      (2L, "B1", "promise burnished metallic slate"),   // exact dup of 1
+      (3L, "B1", "promise burnished metallic slatt"),   // dist 1 from 1/2
+      (4L, "B1", "promise burnished metallic plate"),   // dist 2 twins vs slate
+      (5L, "B1", "entirely unrelated string content"),  // beyond threshold
+      (6L, "B2", "promise burnished metallic slate"),   // other block: no cross pair
+      (7L, "B2", "promise burnished metallic slate"),   // intra-pair with 6
+      (8L, null.asInstanceOf[String], "same text null block"),
+      (9L, null.asInstanceOf[String], "same text null block"), // null block: nothing
+      (10L, "B3", null.asInstanceOf[String]),
+      (11L, "B3", null.asInstanceOf[String]),            // null string: nothing
+      (12L, "B4", "ab"),
+      (13L, "B4", "ab"),                                 // short (< q) exact dup
+    ).toDF("id", "blk", "s")
+    val fast = Dedup.edJoinPairs(rows, "id", "s", Seq("blk"), maxDist = 2, q = 3)
+    val a = rows.toDF("id_a", "blk_a", "str_a")
+    val b = rows.toDF("id_b", "blk_b", "str_b")
+    val naive = a.join(b, $"blk_a" === $"blk_b" && $"id_a" < $"id_b" &&
+        levenshtein($"str_a", $"str_b") <= 2)
+      .select($"id_a", $"id_b", $"str_a", $"str_b",
+        levenshtein($"str_a", $"str_b").cast("int").as("dist"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // the planted pair set sanity: (1,2) dist 0, (1,3)/(2,3) dist 1, (6,7) 0
+    val got = fast.select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 0)) && got.contains((1L, 3L, 1)))
+    assert(got.contains((6L, 7L, 0)) && got.contains((12L, 13L, 0)))
+    assert(!got.exists(p => p._1 >= 8L && p._1 <= 11L))
+  }
 }
