@@ -122,6 +122,32 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the top-k
+    * MOST similar corpus vectors whose (rounded) cosine stays BELOW
+    * `maxSim` — similar enough to be informative negatives, dissimilar
+    * enough not to be unlabeled positives/near-duplicates (the standard
+    * false-negative screen in dense-retrieval training, cf. DPR/ANCE).
+    *
+    * Same distribution shape as [[bruteForceKnn]]: anchors broadcast
+    * against the partitioned corpus, the ceiling rides the scored stream
+    * before the per-anchor top-k heap, so the shuffle carries only
+    * k rows per anchor. The ceiling compares the ROUNDED cosine —
+    * bit-reproducible across engines.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, maxSim: Double,
+                    roundTo: Int = 6): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol).as("nbr_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_sim",
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), roundTo))
+      .filter(col("cos_sim") < maxSim)
+    topkPerQuery(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k: queries only probe corpus rows whose
     * sign-bucket matches. Trades recall for a 2^bits candidate reduction.
     * `probeHamming = 1` adds multi-probe over the one-sign-flip neighbor

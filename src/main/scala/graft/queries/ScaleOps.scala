@@ -286,7 +286,45 @@ object ScaleOps {
       |FROM orders WHERE year(o_orderdate) % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Z-order (Morton) clustering key over (p_partkey, retail-price cents)
+    * — the 2-D layout key behind [[graft.core.Maintenance.compact]]'s
+    * multi-dimension clustering (Delta's OPTIMIZE ZORDER BY role). The
+    * gate hash-checks the codegen'd native `graft_zorder` bit interleave
+    * against the oracle's arithmetic expansion, plus each row's
+    * coarse bucket along the curve (top 10 key bits) — the quantity data-skipping actually uses
+    * (rows close in both dimensions share high key bits → same file).
+    *
+    * Scale shape: pure projection (no shuffle); the sort by the key is
+    * what Maintenance does at write time, not here.
+    */
+  def zorderKey: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey"),
+        call_function("graft_zorder", col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long")).as("zkey"))
+      .withColumn("z_bucket", shiftright(col("zkey"), 52).cast("int"))
+      .orderBy(col("p_partkey"))
+
+  val zorderKeySql: String = {
+    // key = Σ_i ((x>>i & 1) << (2i+1)) + ((y>>i & 1) << 2i), i = 0..30,
+    // inputs masked to 31 bits — the same MSB-first interleave as
+    // ZOrderUtil.interleave2
+    val terms = (0 to 30).flatMap(i => Seq(
+      s"(((x >> $i) & 1) << ${2 * i + 1})",
+      s"(((y >> $i) & 1) << ${2 * i})")).mkString(" + ")
+    s"""WITH src AS (SELECT p_partkey,
+      |    p_partkey & 2147483647 AS x,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) & 2147483647 AS y
+      |  FROM part WHERE p_partkey % 97 = 0),
+      |k AS (SELECT p_partkey, CAST($terms AS BIGINT) AS zkey FROM src)
+      |SELECT p_partkey, zkey,
+      |  CAST(zkey >> 52 AS INTEGER) AS z_bucket
+      |FROM k ORDER BY p_partkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zorder_key" -> zorderKey,
     "q_dpp_join" -> dppJoin,
     "q_salted_join" -> saltedJoin,
     "q_bucketed_join" -> bucketedJoin,
@@ -296,6 +334,7 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_key" -> zorderKeySql,
     "q_dpp_join" -> dppJoinSql,
     "q_salted_join" -> saltedJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,

@@ -590,6 +590,45 @@ object SimilarityOps {
       |    AS l1_err_micro
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Hard-negative mining over the near-dup-augmented corpus (the
+    * q_dedup_embedding fixture: embeddings ∪ perturbed copies of
+    * vec_id % 9 == 0): per anchor, the 5 most-similar vectors with
+    * rounded cosine BELOW 0.85 — near-duplicates are screened out as
+    * likely unlabeled positives (see [[Similarity.hardNegatives]]).
+    */
+  def hardNegativesQ: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val perturbed = base.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.5)),
+          slice(col("v"), 2, 63)).as("v"))
+    val corpus = base.unionByName(perturbed)
+    val anchors = corpus.filter(col("vec_id") % 100 === 0 && col("vec_id") < ParamCap)
+    Similarity.hardNegatives(corpus, anchors, "vec_id", "v", k = 5, maxSim = 0.85)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String = {
+    val dotQC = Similarity.dotSql("q.v", "c.v", 64)
+    val dotVV = Similarity.dotSql("v", "v", 64)
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000, [v[1] + 0.5] || v[2:64] FROM base WHERE vec_id % 9 = 0),
+      |n AS (SELECT vec_id, v, sqrt($dotVV) AS nrm FROM corpus),
+      |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+      |    round($dotQC / (q.nrm * c.nrm), 6) AS cos_sim
+      |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id < 2000 AND c.vec_id <> q.vec_id),
+      |neg AS (SELECT * FROM scored WHERE cos_sim < 0.85),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
+      |  FROM neg)
+      |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank, cos_sim
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_embed_quantize" -> embedQuantize,
     "q_eval_ndcg" -> evalNdcg,
@@ -602,6 +641,7 @@ object SimilarityOps {
     "q_knn_ivf" -> knnIvf,
     "q_knn_pq" -> knnPq,
     "q_kmeans_step" -> kmeansStep,
+    "q_hard_negatives" -> hardNegativesQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -616,5 +656,6 @@ object SimilarityOps {
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_pq" -> knnPqSql,
     "q_kmeans_step" -> kmeansStepSql,
+    "q_hard_negatives" -> hardNegativesSql,
   )
 }
