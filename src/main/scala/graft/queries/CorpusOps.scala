@@ -362,7 +362,63 @@ object CorpusOps {
       |SELECT norm_url, count(*) AS n_variants, min(doc_id) AS canonical_id
       |FROM norm GROUP BY norm_url ORDER BY norm_url""".stripMargin
 
+  /** Gopher-style document hard rules (Rae et al. 2021, public): word
+    * count in [50, 100k], mean word length in [3, 10] characters, and at
+    * least 2 stopword hits — the published pre-training doc screen, with
+    * first-failing-reason accounting per source. Complements
+    * [[repetitionFilter]] (that one is Gopher's REPETITION section; this
+    * is the length/lexical section) and [[TrainPrepOps.qualityFilter]]
+    * (ratio-threshold soft score) — three screens a real pipeline stacks.
+    *
+    * Entirely scan-side: tokens, lengths, and stopword hits are per-row
+    * HOF projections inside codegen; the only shuffle is the final
+    * (source, verdict) rollup with map-side combine. Mean-word-length
+    * thresholds compare integer cross-products (`sum_len < 3·n`), so the
+    * verdict is exact at the boundary in both engines.
+    */
+  def gopherRules: Q = (s, d) => {
+    val toks = TA.tokens(col("text"))
+    val sw = array(TA.stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("source"), size(toks).as("n"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .as("sum_len"),
+        size(filter(toks, t => array_contains(sw, t))).as("n_sw"))
+      .withColumn("verdict",
+        when(col("n") < 50, "drop:too_few_words")
+          .when(col("n") > 100000, "drop:too_many_words")
+          .when(col("sum_len") < col("n") * 3, "drop:short_words")
+          .when(col("sum_len") > col("n") * 10, "drop:long_words")
+          .when(col("n_sw") < 2, "drop:no_stopwords")
+          .otherwise("keep"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("sum_words"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
+  val gopherRulesSql: String = {
+    val toks = TA.tokensSql("text")
+    val swList = TA.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH s AS (SELECT source, $toks AS toks FROM documents),
+      |m AS (SELECT source, len(toks) AS n,
+      |    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS sum_len,
+      |    len(list_filter(toks, t -> list_contains($swList, t))) AS n_sw
+      |  FROM s),
+      |v AS (SELECT source, n,
+      |    CASE WHEN n < 50 THEN 'drop:too_few_words'
+      |         WHEN n > 100000 THEN 'drop:too_many_words'
+      |         WHEN sum_len < 3*n THEN 'drop:short_words'
+      |         WHEN sum_len > 10*n THEN 'drop:long_words'
+      |         WHEN n_sw < 2 THEN 'drop:no_stopwords'
+      |         ELSE 'keep' END AS verdict
+      |  FROM m)
+      |SELECT source, verdict, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS sum_words
+      |FROM v GROUP BY source, verdict ORDER BY source, verdict""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_gopher_rules" -> gopherRules,
     "q_url_normalize" -> urlNormalize,
     "q_distribution_drift" -> distributionDrift,
     "q_feature_hashing" -> featureHashing,
@@ -373,6 +429,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gopher_rules" -> gopherRulesSql,
     "q_url_normalize" -> urlNormalizeSql,
     "q_distribution_drift" -> distributionDriftSql,
     "q_feature_hashing" -> featureHashingSql,

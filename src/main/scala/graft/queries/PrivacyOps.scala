@@ -94,6 +94,67 @@ object PrivacyOps {
       |    + len(regexp_extract_all(text, '${reSql(IpRe)}')) > 0
       |ORDER BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("q_pii_scan" -> piiScan)
-  val oracles: Map[String, String] = Map("q_pii_scan" -> piiScanSql)
+  /** k-anonymity / l-diversity audit — the re-identification-risk check a
+    * governance layer runs before releasing (or training on) user-linked
+    * records. Quasi-identifier = (nation, account-balance band); sensitive
+    * attribute = market segment. Every row lands in one equivalence class;
+    * the report histograms class sizes (`k`) into policy buckets and
+    * carries the worst-case l-diversity (`min_l`, distinct sensitive values
+    * in the class) per bucket — `k=1` rows are fully re-identifiable,
+    * `k<5` is what a k=5 suppression policy would drop, and `min_l=1`
+    * means the sensitive value is disclosed even when k is large.
+    *
+    * Shape: ONE hash aggregate on the QI (map-side combine; the class
+    * count is bounded by the QI domain, not the row count) + a tiny
+    * re-aggregation over classes. The band edges compare integer cents, so
+    * class membership is exact in both engines; `share_micro` is an
+    * integer micro-share of rows per bucket (`div`, no float).
+    */
+  def kAnonymity: Q = (s, d) => {
+    val cents = graft.queries.Num.cents(col("c_acctbal"))
+    val band = when(cents < 0, "neg").when(cents < 250000L, "b0")
+      .when(cents < 500000L, "b1").when(cents < 750000L, "b2")
+      .otherwise("b3")
+    val cls = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), band.as("band"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("c_mktsegment")).as("l"))
+    val tot = cls.agg(sum(col("k")).as("tot"))
+    cls.crossJoin(broadcast(tot))
+      .withColumn("k_bucket",
+        when(col("k") === 1, "k=1").when(col("k") < 5, "k=2-4")
+          .when(col("k") < 10, "k=5-9").otherwise("k>=10"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"),
+        min(col("l")).as("min_l"), max(col("tot")).as("tot"))
+      .withColumn("share_micro", expr("(n_rows * 1000000) div tot"))
+      .select(col("k_bucket"), col("n_classes"), col("n_rows"),
+        col("min_l"), col("share_micro"))
+      .orderBy(col("k_bucket"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH cls AS (SELECT c_nationkey,
+      |    CASE WHEN round(c_acctbal*100) < 0 THEN 'neg'
+      |         WHEN round(c_acctbal*100) < 250000 THEN 'b0'
+      |         WHEN round(c_acctbal*100) < 500000 THEN 'b1'
+      |         WHEN round(c_acctbal*100) < 750000 THEN 'b2'
+      |         ELSE 'b3' END AS band,
+      |    count(*) AS k, count(DISTINCT c_mktsegment) AS l
+      |  FROM customer GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(k) AS BIGINT) AS tot FROM cls)
+      |SELECT CASE WHEN k = 1 THEN 'k=1' WHEN k < 5 THEN 'k=2-4'
+      |         WHEN k < 10 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
+      |  count(*) AS n_classes, CAST(sum(k) AS BIGINT) AS n_rows,
+      |  CAST(min(l) AS BIGINT) AS min_l,
+      |  CAST((sum(k) * 1000000) // any_value(tot) AS BIGINT) AS share_micro
+      |FROM cls, t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_pii_scan" -> piiScan,
+    "q_k_anonymity" -> kAnonymity,
+  )
+  val oracles: Map[String, String] = Map(
+    "q_pii_scan" -> piiScanSql,
+    "q_k_anonymity" -> kAnonymitySql,
+  )
 }

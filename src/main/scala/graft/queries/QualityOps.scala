@@ -290,15 +290,81 @@ object QualityOps {
       |FROM c JOIN b USING (l_returnflag)
       |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin
 
+  /** Two-sample Kolmogorov-Smirnov drift test between two order epochs
+    * (pre/post 1998) on `o_totalprice` — the numeric companion to
+    * [[CorpusOps.distributionDrift]]'s categorical share deltas: "did the
+    * price distribution move between snapshots?" is the standard
+    * drift-monitoring question for any feature/metric column.
+    *
+    * Binned-ECDF formulation: prices bucket into fixed $1000-wide bins
+    * (integer cents `div`, exact in both engines), per-bin epoch counts
+    * aggregate with map-side combine, and the KS statistic
+    * `D = max |ECDF_a - ECDF_b|` comes from ONE cumulative window over the
+    * aggregated bins — provably bounded input (≤ ~500 bins regardless of
+    * row count), never a row-level global sort. The max is located on the
+    * integer cross-product `|cum_a·tot_b - cum_b·tot_a|` so the argmax bin
+    * is exact (no float epsilon at the tie boundary); the only double is
+    * the final presentation ratio. At 100 TB the shape is unchanged: the
+    * scan-side bin/flag projection dominates and the window covers the
+    * same ≤ 500 rows. (For counts where `tot_a·tot_b` would exceed int64,
+    * locate the max on the double ECDF delta and keep the integer form per
+    * partition — the bin grid makes either formulation deterministic.)
+    */
+  def ksDrift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perBin = Tables.orders(s, d)
+      .select(
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000").as("bin"),
+        when(col("o_orderdate") < to_timestamp(lit("1998-01-01")), 1L)
+          .otherwise(0L).as("in_a"))
+      .groupBy(col("bin"))
+      .agg(sum(col("in_a")).as("a"),
+        (count(lit(1)) - sum(col("in_a"))).as("b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin.select(col("bin"),
+      sum(col("a")).over(w).as("ca"), sum(col("b")).over(w).as("cb"))
+    val tot = perBin.agg(sum(col("a")).as("tot_a"), sum(col("b")).as("tot_b"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("ks_num",
+        abs(col("ca") * col("tot_b") - col("cb") * col("tot_a")))
+      .orderBy(col("ks_num").desc, col("bin").asc).limit(1)
+      .select(col("tot_a"), col("tot_b"), col("ks_num"),
+        Num.roundAt(6)(col("ks_num").cast("double")
+          / (col("tot_a").cast("double") * col("tot_b").cast("double")))
+          .as("ks_stat"),
+        col("bin").as("at_bin"))
+  }
+
+  val ksDriftSql: String =
+    s"""WITH b AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bin,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS in_a
+      |  FROM orders),
+      |c AS (SELECT bin, CAST(sum(in_a) AS BIGINT) AS a,
+      |    CAST(count(*) - sum(in_a) AS BIGINT) AS bb
+      |  FROM b GROUP BY 1),
+      |cum AS (SELECT bin, CAST(sum(a) OVER (ORDER BY bin) AS BIGINT) AS ca,
+      |    CAST(sum(bb) OVER (ORDER BY bin) AS BIGINT) AS cb FROM c),
+      |t AS (SELECT CAST(sum(a) AS BIGINT) AS tot_a,
+      |    CAST(sum(bb) AS BIGINT) AS tot_b FROM c)
+      |SELECT tot_a, tot_b, CAST(abs(ca*tot_b - cb*tot_a) AS BIGINT) AS ks_num,
+      |  ${Num.roundAtSql(6, "CAST(abs(ca*tot_b - cb*tot_a) AS DOUBLE) / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE))")} AS ks_stat,
+      |  bin AS at_bin
+      |FROM cum, t
+      |ORDER BY abs(ca*tot_b - cb*tot_a) DESC, bin ASC LIMIT 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_data_profile" -> dataProfile,
     "q_data_profile_approx" -> dataProfileApprox,
     "q_dq_checks" -> dqChecks,
     "q_mad_outliers" -> madOutliers,
     "q_winsorize" -> winsorize,
+    "q_ks_drift" -> ksDrift,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ks_drift" -> ksDriftSql,
     "q_data_profile" -> dataProfileSql,
     "q_data_profile_approx" -> dataProfileApproxSql,
     "q_dq_checks" -> dqChecksSql,
