@@ -796,7 +796,86 @@ object DedupOps {
       |WHERE levenshtein(a.probe, b.probe) <= 5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------- exact-substring coverage (Lee et al.)
+
+  /** Per-document duplicated-span coverage — the REMOVAL-POLICY side of
+    * exact-substring dedup (Lee et al. 2022): for every document, what
+    * fraction of its tokens sits inside a verbatim span that also occurs
+    * elsewhere in the corpus? [[commonSubstrings]] answers "which PAIRS
+    * share text"; this answers "how much of THIS doc is boilerplate /
+    * copy", which is what the drop/trim decision actually consumes.
+    *
+    * Fixed-length approximation of the suffix-array formulation, exactly
+    * as deployed in practice: every L-token shingle (L=8, the fused
+    * `graft_shingles` kernel — one call per doc) is an anchor; anchors
+    * whose corpus occurrence count ≥ 2 (including same-doc repeats, per
+    * the paper) mark the span [i, i+L) as duplicated, and per-doc coverage
+    * is the measure of the UNION of flagged spans — a running-max interval
+    * sweep in ONE window partitioned by doc_id (bounded by document
+    * length, never corpus-global).
+    *
+    * Scale: explode is linear in total tokens; the occurrence count is a
+    * hash aggregate with map-side combine; the flag returns via one
+    * equi-join on the shingle value (skew-safe: boilerplate shingles with
+    * huge df cost df rows each here — NOT df², unlike the pair join, which
+    * is why the coverage form needs no stop-shingle screen). Verdicts
+    * compare integer cross-products; `permille` is an integer `div`.
+    */
+  def substringCoverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val L = 8
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), size(TA.tokens(col("text"))).as("n"),
+        posexplode(call_function("graft_shingles", col("text"), lit(L))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"), col("col").as("sh"))
+      .filter(col("sh") =!= "")
+    val occ = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val flagged = pos.join(occ, "sh")
+      .withColumn("end", least(col("i") + L, col("n") + 1))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("newly", greatest(lit(0),
+        col("end") - greatest(coalesce(max(col("end")).over(w), lit(0L)), col("i"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        sum(col("newly")).cast("long").as("covered_tokens"))
+      .withColumn("permille", expr("(covered_tokens * 1000) div n_tokens"))
+      .withColumn("verdict",
+        when(col("covered_tokens") * 1000 >= col("n_tokens") * 800, "drop:mostly_dup")
+          .when(col("covered_tokens") * 1000 >= col("n_tokens") * 200, "trim:partial_dup")
+          .otherwise("keep:minor_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringCoverageSql: String = {
+    val toks = TA.tokensSql("text")
+    s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+      |pos AS (SELECT doc_id, len(toks) AS n, i,
+      |    array_to_string(toks[i:i+7], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i)
+      |  WHERE array_to_string(toks[i:i+7], ' ') <> ''),
+      |occ AS (SELECT sh, count(*) AS occ FROM pos GROUP BY 1 HAVING count(*) >= 2),
+      |flagged AS (SELECT p.doc_id, p.n, p.i, least(p.i + 8, p.n + 1) AS e
+      |  FROM pos p JOIN occ USING (sh)),
+      |cov AS (SELECT doc_id, n, i,
+      |    greatest(0, e - greatest(coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), i)) AS newly
+      |  FROM flagged),
+      |perdoc AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+      |    CAST(sum(newly) AS BIGINT) AS covered_tokens
+      |  FROM cov GROUP BY 1)
+      |SELECT doc_id, n_tokens, covered_tokens,
+      |  CAST((covered_tokens * 1000) // n_tokens AS BIGINT) AS permille,
+      |  CASE WHEN covered_tokens * 1000 >= n_tokens * 800 THEN 'drop:mostly_dup'
+      |       WHEN covered_tokens * 1000 >= n_tokens * 200 THEN 'trim:partial_dup'
+      |       ELSE 'keep:minor_dup' END AS verdict
+      |FROM perdoc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_substring" -> substringCoverage,
     "q_sorted_neighborhood" -> sortedNeighborhood,
     "q_dedup_paragraph" -> dedupParagraph,
     "q_dup_clusters" -> dupClusters,
@@ -815,6 +894,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_substring" -> substringCoverageSql,
     "q_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q_dedup_paragraph" -> dedupParagraphSql,
     "q_dup_clusters" -> dupClustersSql,
