@@ -824,11 +824,18 @@ object DedupOps {
   def substringCoverage: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val L = 8
+    // anchors travel as 60-bit shingle HASHES (the fused kernel, one call
+    // per doc), not strings: the occurrence shuffle and the flag join move
+    // 8 bytes per anchor instead of a ~50-char shingle — ~6x less shuffle
+    // at corpus scale. Both engines hash identically (md5-prefix family,
+    // kernel ≡ md5LongSql per the green q_doc_fingerprint gate), so a
+    // collision — ~(anchors²)/2⁶¹, negligible — would be the SAME merge on
+    // both sides, never an oracle mismatch.
     val pos = Tables.documents(s, d)
       .select(col("doc_id"), size(TA.tokens(col("text"))).as("n"),
-        posexplode(call_function("graft_shingles", col("text"), lit(L))))
+        posexplode(call_function("graft_shingle_hashes", col("text"), lit(L))))
+      .filter(col("n") > 0) // empty docs contribute one ""-shingle; drop them
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"), col("col").as("sh"))
-      .filter(col("sh") =!= "")
     val occ = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
     val flagged = pos.join(occ, "sh")
@@ -851,11 +858,11 @@ object DedupOps {
 
   val substringCoverageSql: String = {
     val toks = TA.tokensSql("text")
+    val h = Hashing.md5LongSql("array_to_string(toks[i:i+7], ' ')")
     s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
-      |pos AS (SELECT doc_id, len(toks) AS n, i,
-      |    array_to_string(toks[i:i+7], ' ') AS sh
+      |pos AS (SELECT doc_id, len(toks) AS n, i, $h AS sh
       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i)
-      |  WHERE array_to_string(toks[i:i+7], ' ') <> ''),
+      |  WHERE len(toks) > 0),
       |occ AS (SELECT sh, count(*) AS occ FROM pos GROUP BY 1 HAVING count(*) >= 2),
       |flagged AS (SELECT p.doc_id, p.n, p.i, least(p.i + 8, p.n + 1) AS e
       |  FROM pos p JOIN occ USING (sh)),
