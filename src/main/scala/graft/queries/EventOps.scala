@@ -518,6 +518,172 @@ object EventOps {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Typed rows/state for the custom-SESSION gate ([[streamSessionsCustom]]).
+    * `ts` rides along only to carry the watermark metadata into the
+    * stateful operator; the session math uses the exact epoch micros.
+    */
+  final case class SEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
+  /** One open/closed session interval: [s_us, e_us] epoch micros, n events. */
+  final case class SIv(s_us: Long, e_us: Long, n: Long)
+  final case class SState(ivs: Seq[SIv])
+  final case class SOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Merge session intervals under the gap rule. The gap compares
+    * SECOND-floored endpoints (`us div 1e6`), matching the batch oracle's
+    * `date_diff('second', …) > 1800` exactly — the chain rule over sorted
+    * events is equivalent to interval merging because a cut happens iff
+    * one consecutive gap exceeds the threshold.
+    */
+  private[graft] def mergeSessions(ivs: Seq[SIv], gapSec: Long): Seq[SIv] =
+    ivs.sortBy(iv => (iv.s_us, iv.e_us))
+      .foldLeft(List.empty[SIv]) { (acc, iv) =>
+        acc match {
+          case h :: t if iv.s_us / 1000000L - h.e_us / 1000000L <= gapSec =>
+            SIv(h.s_us, math.max(h.e_us, iv.e_us), h.n + iv.n) :: t
+          case _ => iv :: acc
+        }
+      }.reverse
+
+  /** 4-file hash-split events + two future "flush sentinel" files (fake
+    * users −1/−2, event time far past the real span). Modification times
+    * force the source order data → sentinel1 → sentinel2: the first
+    * sentinel advances the event-time watermark past every real session's
+    * close horizon, and the second triggers the micro-batch in which
+    * those EventTimeTimeout callbacks actually fire — the standard flush
+    * pattern for draining open sessions at end-of-input.
+    */
+  private[graft] def sessionFilesDir(s: SparkSession, d: String): String = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val dir = Scratch.dir(s"stream_sess_src_$tag")
+    val ready = new java.io.File(dir, "_READY")
+    if (!ready.exists) {
+      Scratch.wipe(dir)
+      s.read.schema(eventSchema).parquet(d + "/events.parquet")
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(dir)
+      val maxUs = s.read.parquet(dir)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val day = 86400L * 1000000L
+      def sentinel(uid: Long, tsUs: Long, name: String): Unit = {
+        val tmp = Scratch.dir(s"stream_sess_sent_${tag}_$name")
+        Scratch.wipe(tmp)
+        s.range(1).select(lit(uid).as("event_id"),
+            timestamp_micros(lit(tsUs)).as("ts"), lit(uid).as("user_id"),
+            lit("flush").as("event_type"), lit(0.0).as("value"),
+            lit("{}").as("props"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(dir, s"part-$name.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      sentinel(-1L, maxUs + 41 * day, "zzsent1")
+      sentinel(-2L, maxUs + 42 * day, "zzsent2")
+      val base = System.currentTimeMillis()
+      new java.io.File(dir).listFiles.filter(_.getName.startsWith("part-"))
+        .foreach { f =>
+          val t = if (f.getName.contains("zzsent1")) base + 60000L
+          else if (f.getName.contains("zzsent2")) base + 120000L
+          else base
+          f.setLastModified(t)
+        }
+      ready.createNewFile()
+    }
+    dir
+  }
+
+  /** CUSTOM-STATE SESSIONIZATION via `flatMapGroupsWithState` +
+    * `EventTimeTimeout`, hash-gated — the arbitrary-state twin of
+    * [[streamSessions]] (which uses the built-in `session_window`): the
+    * USER CODE owns the interval-merge (out-of-order events across
+    * micro-batches land in the right session), sessions are emitted
+    * exactly once when the watermark proves no future event can extend
+    * them (wm past end + gap — late rows are filtered before the
+    * operator, so the proof is airtight), and idle users flush through
+    * timeout callbacks, not data arrival. Append-mode memory sink; the
+    * final table must hash-match the batch gaps-and-islands oracle.
+    *
+    * SCALE: state is the per-user OPEN interval set (bounded by the gap
+    * rule — merged intervals collapse to one row each), sharded by the
+    * groupByKey shuffle; the watermark bounds state lifetime exactly as
+    * in production session stores. The 40-day watermark delay is the
+    * fixture's "accept everything" setting; production would use the
+    * real lateness SLA and the same code drops the stragglers.
+    */
+  def streamSessionsCustom: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val srcDir = sessionFilesDir(s, d)
+    val gapSec = 1800L
+    val typed = s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .withWatermark("ts", "40 days")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[SEvent]
+    val out = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SState, SOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SEvent], state: GroupState[SState]) =>
+          val prev = state.getOption.map(_.ivs).getOrElse(Seq.empty)
+          val merged = mergeSessions(
+            prev ++ batch.map(e => SIv(e.ts_us, e.ts_us, 1L)), gapSec)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // closable: no on-time event can extend (its ts would be < wm)
+          val (ready, open) = merged.partition(iv =>
+            wmUs > (iv.e_us / 1000000L + gapSec + 1) * 1000000L)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SState(open))
+            state.setTimeoutTimestamp(
+              open.map(iv => (iv.e_us / 1000000L + gapSec + 1) * 1000L + 1).min)
+          }
+          ready.iterator.map(iv => SOut(uid, iv.s_us, iv.e_us, iv.n))
+      }
+    val sink = sinkFor("graft_stream_sess_custom_sink", d)
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    withStatePartitions(s, StatePartitions) {
+      val q = out.toDF().writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(sink).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(timestamp_micros(col("end_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val streamSessionsCustomSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Typed event row for the custom-state gate: micro-units and epoch
     * micros are computed COLUMN-side (the same expressions the batch
     * oracle uses), so the typed fold only does exact integer arithmetic.
@@ -660,6 +826,7 @@ object EventOps {
     "q_sliding_window" -> slidingWindow,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
+    "q_stream_sessions_custom" -> streamSessionsCustom,
     "q_stream_dedup" -> streamDedup,
     "q_stream_restart" -> streamRestart,
     "q_stream_join" -> streamJoin,
@@ -675,6 +842,7 @@ object EventOps {
     "q_sliding_window" -> slidingWindowSql,
     "q_stream_window" -> streamWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
+    "q_stream_sessions_custom" -> streamSessionsCustomSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_restart" -> streamWindowSql,
     "q_stream_join" -> streamJoinSql,
