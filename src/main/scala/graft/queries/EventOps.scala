@@ -684,6 +684,102 @@ object EventOps {
       |FROM sessions GROUP BY user_id, session_idx
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** 4-file split of events by `event_id % 4` (an assignment the SQL
+    * oracle can reproduce — unlike a hash repartition), modification
+    * times forcing source order 0→3. Built once per data dir.
+    */
+  private[graft] def lateFilesDir(s: SparkSession, d: String): String = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val dir = Scratch.dir(s"stream_late_src_$tag")
+    val ready = new java.io.File(dir, "_READY")
+    if (!ready.exists) {
+      Scratch.wipe(dir)
+      new java.io.File(dir).mkdirs()
+      val ev = s.read.schema(eventSchema).parquet(d + "/events.parquet")
+      val base = System.currentTimeMillis()
+      (0 until 4).foreach { i =>
+        val tmp = Scratch.dir(s"stream_late_tmp_${tag}_$i")
+        Scratch.wipe(tmp)
+        ev.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(dir, s"part-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(base + i * 60000L)
+      }
+      ready.createNewFile()
+    }
+    dir
+  }
+
+  /** LATE-DATA DROP SEMANTICS, hash-gated: the one watermark behavior the
+    * other streaming gates deliberately avoid (their delays accept
+    * everything). Here the delay is 2 days against a 30-day event span,
+    * files arrive in a deterministic order, and every file after the
+    * first carries rows that are LATE relative to the watermark the
+    * previous files established — Spark must drop exactly the rows whose
+    * 1-day window closed (window end ≤ watermark at batch start), no
+    * more, no fewer. The oracle REPLAYS the watermark protocol in SQL:
+    * per-file running max event time, floored to millis (Spark tracks
+    * event time in ms), minus the delay — a row survives iff its window
+    * end exceeds the watermark its batch began with. Update-mode memory
+    * sink; a window's final count is its last update (counts only grow).
+    *
+    * SCALE: this is the state-bound contract at 100 TB/day — the
+    * watermark is what keeps the window state store O(horizon) instead
+    * of O(history), and this gate pins the exact drop boundary that
+    * bound is bought with.
+    *
+    * Watermark LAG: the watermark applied while processing batch k is
+    * derived from event-time stats through batch k−2, not k−1 — the
+    * engine computes the new watermark when PLANNING the next batch from
+    * the previous batch's recorded stats, so an update takes effect one
+    * batch after the data that produced it (verified empirically here:
+    * the k−1 model over-drops). The oracle's running max therefore lags
+    * TWO files behind.
+    */
+  def streamLateData: Q = (s, d) => {
+    val srcDir = lateFilesDir(s, d)
+    val stream = s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val agg = stream.withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("string").as("window_start"), col("n_events"))
+    val sink = sinkFor("graft_stream_late_sink", d)
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    withStatePartitions(s, StatePartitions) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(sink).groupBy(col("window_start"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(col("window_start"))
+  }
+
+  val streamLateDataSql: String =
+    """WITH f AS (SELECT ts, event_id % 4 AS fno FROM events),
+      |fm AS (SELECT fno, max(epoch_us(ts)) AS mx FROM f GROUP BY 1),
+      |wm AS (SELECT fno,
+      |    ((max(mx) OVER (ORDER BY fno ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND 2 PRECEDING)) // 1000 - 172800000) * 1000 AS wm_us
+      |  FROM fm),
+      |kept AS (SELECT ts FROM f JOIN wm USING (fno)
+      |  WHERE wm_us IS NULL
+      |     OR epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) > wm_us)
+      |SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,
+      |  count(*) AS n_events
+      |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Typed event row for the custom-state gate: micro-units and epoch
     * micros are computed COLUMN-side (the same expressions the batch
     * oracle uses), so the typed fold only does exact integer arithmetic.
@@ -827,6 +923,7 @@ object EventOps {
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_sessions_custom" -> streamSessionsCustom,
+    "q_stream_late_data" -> streamLateData,
     "q_stream_dedup" -> streamDedup,
     "q_stream_restart" -> streamRestart,
     "q_stream_join" -> streamJoin,
@@ -843,6 +940,7 @@ object EventOps {
     "q_stream_window" -> streamWindowSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_sessions_custom" -> streamSessionsCustomSql,
+    "q_stream_late_data" -> streamLateDataSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_restart" -> streamWindowSql,
     "q_stream_join" -> streamJoinSql,
