@@ -281,6 +281,73 @@ object EventOps {
       |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER join, hash-gated — the semantic the inner
+    * join gate can't exercise: a purchase with NO qualifying click must
+    * still come out, null-extended, and that row can only be emitted once
+    * the watermark PROVES no matching click can ever arrive (the engine
+    * holds the unmatched row in state until the join-condition horizon
+    * expires). The fixture reuses [[sessionFilesDir]]'s flush sentinels:
+    * `withWatermark` sits BEFORE the event-type filter so the sentinel
+    * rows advance both sides' watermarks past every real horizon, and the
+    * second sentinel triggers the batch in which the null-extensions
+    * actually flush. The append-mode sink must hash-match the batch LEFT
+    * JOIN oracle exactly: a lost state row drops a null-extension, a
+    * premature expiry null-extends a purchase that HAD a match (two rows
+    * where the oracle has one).
+    *
+    * SCALE: same bounded-state contract as the inner join — both sides'
+    * buffers expire at watermark + interval; the outer side additionally
+    * emits its expiring rows instead of just dropping them.
+    */
+  def streamOuterJoin: Q = (s, d) => {
+    val srcDir = sessionFilesDir(s, d)
+    def src: DataFrame = s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val clicks = src.withWatermark("ts", "40 days")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val purchases = src.withWatermark("ts", "40 days")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val joined = purchases.join(clicks,
+        col("click_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"),
+        "leftOuter")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("lag_sec"))
+    val sink = sinkFor("graft_stream_outer_join_sink", d)
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    withStatePartitions(s, StatePartitions) {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // sentinel purchases (negative users) surface as null-extended rows —
+    // excluded by user, the only column the sentinels are allowed to mark
+    s.table(sink).filter(col("user_id") >= 0)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val streamOuterJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id AS user_id,
+      |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_sec
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** RESTART RECOVERY, hash-gated: the events table is split into 4 files;
     * run 1 ingests only the first two (then the query is STOPPED — a
     * mid-stream shutdown with durable checkpoint state: offsets in the
@@ -544,18 +611,30 @@ object EventOps {
         }
       }.reverse
 
-  /** 4-file hash-split events + two future "flush sentinel" files (fake
-    * users −1/−2, event time far past the real span). Modification times
-    * force the source order data → sentinel1 → sentinel2: the first
-    * sentinel advances the event-time watermark past every real session's
-    * close horizon, and the second triggers the micro-batch in which
-    * those EventTimeTimeout callbacks actually fire — the standard flush
-    * pattern for draining open sessions at end-of-input.
+  /** 4-file hash-split events + FOUR future "flush sentinel" files (fake
+    * users −1..−4, event times far past the real span). Modification
+    * times force the source order data → sentinels in sequence. Two
+    * engine behaviors shape the construction:
+    *
+    *  1. Watermark LAG — an update only takes effect one batch after the
+    *     data that produced it (see [[streamLateData]]), so the LAST
+    *     sentinels guarantee data batches that actually run under the
+    *     advanced watermark, firing timeout callbacks / state expiries
+    *     without relying on the engine scheduling an extra empty batch.
+    *  2. PUSHDOWN vs the watermark — consumers that filter on
+    *     `event_type` BEFORE their stateful operator get that predicate
+    *     pushed into the parquet scan, and a single-row sentinel file
+    *     whose type matches nothing is eliminated by ROW-GROUP STATISTICS
+    *     (min = max = the type) before the watermark node ever sees its
+    *     event time: the watermark silently stalls. Sentinels therefore
+    *     alternate the REAL types 'click' / 'purchase' so each filtered
+    *     branch's scan keeps its own sentinel stream; consumers exclude
+    *     them by `user_id >= 0`, never by type.
     */
   private[graft] def sessionFilesDir(s: SparkSession, d: String): String = {
     val tag = java.lang.Integer.toHexString(d.hashCode)
     val dir = Scratch.dir(s"stream_sess_src_$tag")
-    val ready = new java.io.File(dir, "_READY")
+    val ready = new java.io.File(dir, "_READY_V3")
     if (!ready.exists) {
       Scratch.wipe(dir)
       s.read.schema(eventSchema).parquet(d + "/events.parquet")
@@ -564,12 +643,12 @@ object EventOps {
       val maxUs = s.read.parquet(dir)
         .agg(max(unix_micros(col("ts")))).head.getLong(0)
       val day = 86400L * 1000000L
-      def sentinel(uid: Long, tsUs: Long, name: String): Unit = {
+      def sentinel(uid: Long, tsUs: Long, typ: String, name: String): Unit = {
         val tmp = Scratch.dir(s"stream_sess_sent_${tag}_$name")
         Scratch.wipe(tmp)
         s.range(1).select(lit(uid).as("event_id"),
             timestamp_micros(lit(tsUs)).as("ts"), lit(uid).as("user_id"),
-            lit("flush").as("event_type"), lit(0.0).as("value"),
+            lit(typ).as("event_type"), lit(0.0).as("value"),
             lit("{}").as("props"))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles
@@ -578,14 +657,14 @@ object EventOps {
           new java.io.File(dir, s"part-$name.parquet").toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      sentinel(-1L, maxUs + 41 * day, "zzsent1")
-      sentinel(-2L, maxUs + 42 * day, "zzsent2")
+      (1 to 4).foreach(i =>
+        sentinel(-i.toLong, maxUs + (40 + i) * day,
+          if (i % 2 == 1) "click" else "purchase", s"zzsent$i"))
       val base = System.currentTimeMillis()
       new java.io.File(dir).listFiles.filter(_.getName.startsWith("part-"))
         .foreach { f =>
-          val t = if (f.getName.contains("zzsent1")) base + 60000L
-          else if (f.getName.contains("zzsent2")) base + 120000L
-          else base
+          val t = "zzsent([0-9])".r.findFirstMatchIn(f.getName)
+            .map(m => base + m.group(1).toLong * 60000L).getOrElse(base)
           f.setLastModified(t)
         }
       ready.createNewFile()
@@ -927,6 +1006,7 @@ object EventOps {
     "q_stream_dedup" -> streamDedup,
     "q_stream_restart" -> streamRestart,
     "q_stream_join" -> streamJoin,
+    "q_stream_outer_join" -> streamOuterJoin,
     "q_stream_static_join" -> streamStaticJoin,
     "q_stream_user_state" -> streamUserState,
     "q_stream_available_now" -> streamAvailableNow,
@@ -944,6 +1024,7 @@ object EventOps {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_restart" -> streamWindowSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_outer_join" -> streamOuterJoinSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_stream_user_state" -> streamUserStateSql,
     "q_stream_available_now" -> streamAvailableNowSql,
