@@ -307,4 +307,30 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(full == batch)
   }
+
+  test("custom-state session merge: out-of-order arrival, exact gap boundary") {
+    import graft.queries.EventOps.{SIv, mergeSessions}
+    val gap = 1800L
+    def us(sec: Long): Long = sec * 1000000L
+    // out-of-order singletons chain into one session when each hole <= gap
+    val chained = mergeSessions(
+      Seq(SIv(us(4000), us(4000), 1), SIv(us(1000), us(1000), 1),
+        SIv(us(2500), us(2500), 1)), gap)
+    assert(chained == Seq(SIv(us(1000), us(4000), 3)))
+    // a gap of exactly 1800s CONTINUES the session (batch rule is > 1800)
+    assert(mergeSessions(
+      Seq(SIv(us(0), us(0), 1), SIv(us(1800), us(1800), 1)), gap).size == 1)
+    // 1801s splits
+    assert(mergeSessions(
+      Seq(SIv(us(0), us(0), 1), SIv(us(1801), us(1801), 1)), gap).size == 2)
+    // the gap compares SECOND-FLOORED endpoints: 1800.9s raw is 1800s
+    // floored -> still one session (matching date_diff('second') exactly)
+    assert(mergeSessions(
+      Seq(SIv(0, 0, 1), SIv(1800900000L, 1800900000L, 1)), gap).size == 1)
+    // a bridging event merges two established intervals and sums counts
+    val bridged = mergeSessions(
+      Seq(SIv(us(0), us(1000), 3), SIv(us(4000), us(5000), 2),
+        SIv(us(2500), us(2500), 1)), gap)
+    assert(bridged == Seq(SIv(us(0), us(5000), 6)))
+  }
 }
