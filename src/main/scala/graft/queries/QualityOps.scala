@@ -354,7 +354,54 @@ object QualityOps {
       |FROM cum, t
       |ORDER BY abs(ca*tot_b - cb*tot_a) DESC, bin ASC LIMIT 1""".stripMargin
 
+  /** In-flight metrics via the `Observation` API (`Dataset.observe`):
+    * quality counters collected DURING a real pass — here a filtered
+    * projection that would feed a downstream sink — with zero extra
+    * scans. The observed aggregates (row count, null count, integer-cents
+    * sum, min/max) ride the task metrics channel, not a second job; the
+    * gate materializes them as a one-row DataFrame that must hash-match
+    * the oracle computing the same statistics the ordinary way. This is
+    * the Deequ-runtime-metrics / "write + audit in one pass" shape: at
+    * 100 TB a separate audit scan doubles the job, an observation is
+    * free.
+    */
+  def observeMetrics: Q = (s, d) => {
+    val obs = new org.apache.spark.sql.Observation()
+    val pass = Tables.orders(s, d)
+      .filter(col("o_orderstatus") =!= "P")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("n_urgent"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    // the real work the metrics ride on (dir salted per data dir so
+    // concurrent SF runs don't collide)
+    pass.write.mode("overwrite").parquet(Scratch.dir(
+      s"observe_pass_sink_${java.lang.Integer.toHexString(d.hashCode)}"))
+    val m = obs.get
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        m("n_rows").asInstanceOf[Long], m("n_urgent").asInstanceOf[Long],
+        m("sum_cents").asInstanceOf[Long], m("min_key").asInstanceOf[Long],
+        m("max_key").asInstanceOf[Long])),
+      org.apache.spark.sql.types.StructType(
+        Seq("n_rows", "n_urgent", "sum_cents", "min_key", "max_key")
+          .map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType))))
+  }
+
+  val observeMetricsSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_observe_metrics" -> observeMetrics,
     "q_data_profile" -> dataProfile,
     "q_data_profile_approx" -> dataProfileApprox,
     "q_dq_checks" -> dqChecks,
@@ -364,6 +411,7 @@ object QualityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_observe_metrics" -> observeMetricsSql,
     "q_ks_drift" -> ksDriftSql,
     "q_data_profile" -> dataProfileSql,
     "q_data_profile_approx" -> dataProfileApproxSql,
