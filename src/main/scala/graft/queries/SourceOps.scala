@@ -143,6 +143,53 @@ object SourceOps {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** The fixed-width feed again, but through the engine's own
+    * DATASOURCE V2 implementation ([[graft.sources.FixedWidthSource]])
+    * instead of `text`+substring: `spark.read.format(...)` with a layout
+    * spec, a filter that PUSHES INTO the custom scan (evaluated during
+    * record parse — `.explain` shows it under `PushedFilters`, asserted
+    * in PlanSpec), and column pruning so only referenced byte ranges are
+    * parsed. Money rides as offset cents exactly like
+    * [[fixedWidthRoundtrip]]; the oracle recomputes the filtered rollup
+    * from the raw table, so parse/pushdown/pruning asymmetries all break
+    * the hash.
+    */
+  def fixedWidthDsv2: Q = (s, d) => {
+    val tmp = Scratch.dir(
+      s"graft_fixedwidth_dsv2_${java.lang.Integer.toHexString(d.hashCode)}")
+    val Offset = 1000000000L
+    Tables.supplier(s, d)
+      .select(concat(
+        lpad(col("s_suppkey").cast("string"), 10, "0"),
+        lpad(col("s_nationkey").cast("string"), 5, "0"),
+        lpad((Num.cents(col("s_acctbal")) + Offset).cast("string"), 15, "0"))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val back = s.read.format("graft.sources.FixedWidthSource")
+      .option("path", tmp)
+      .option("fields",
+        "s_suppkey:long:0:10,s_nationkey:int:10:5,cents_off:long:15:15")
+      .load()
+      .filter(col("s_nationkey") < 13) // pushed into the custom scan
+      .select(col("s_suppkey"), col("s_nationkey"),
+        ((col("cents_off") - Offset).cast("double") / 100.0).as("s_acctbal"))
+    back.join(broadcast(Tables.nation(s, d)),
+        back("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        Num.moneySum(col("s_acctbal")).as("sum_acctbal"),
+        min(col("s_suppkey")).as("min_suppkey"))
+      .orderBy(col("n_name"))
+  }
+
+  val fixedWidthDsv2Sql: String =
+    s"""SELECT n_name, count(*) AS n_suppliers,
+      |  ${Num.moneySumSql("s_acctbal")} AS sum_acctbal,
+      |  CAST(min(s_suppkey) AS BIGINT) AS min_suppkey
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_nationkey < 13
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** The manifest-log table format end-to-end: lineitem appended as three
     * committed versions, then aggregated from BOTH the version-2 snapshot
     * (time travel: first two slices only) and the tip (all rows). The
@@ -527,6 +574,7 @@ object SourceOps {
     "q_schema_evolution" -> schemaEvolution,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_fixedwidth_roundtrip" -> fixedWidthRoundtrip,
+    "q_fixedwidth_dsv2" -> fixedWidthDsv2,
     "q_table_log" -> tableLog,
     "q_table_log_stream" -> tableLogStream,
     "q_table_log_partitioned" -> tableLogPartitioned,
@@ -543,6 +591,7 @@ object SourceOps {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
+    "q_fixedwidth_dsv2" -> fixedWidthDsv2Sql,
     "q_table_log" -> tableLogSql,
     "q_table_log_stream" -> tableLogStreamSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,

@@ -197,4 +197,39 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("custom DSv2 fixed-width scan: filter pushed into the source, columns pruned") {
+    val dir = graft.queries.Scratch.dir("plan_fixedwidth_dsv2")
+    graft.core.Tables.supplier(spark, sf)
+      .select(concat(
+        lpad(col("s_suppkey").cast("string"), 10, "0"),
+        lpad(col("s_nationkey").cast("string"), 5, "0"),
+        lpad((graft.queries.Num.cents(col("s_acctbal")) + 1000000000L)
+          .cast("string"), 15, "0")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val df = spark.read.format("graft.sources.FixedWidthSource")
+      .option("path", dir)
+      .option("fields",
+        "s_suppkey:long:0:10,s_nationkey:int:10:5,cents_off:long:15:15")
+      .load()
+      .filter(col("s_nationkey") < 13)
+      .select(col("s_suppkey"))
+    val plan = executed(df)
+    // the comparison filter reached the custom scan...
+    assert(plan.contains("PushedFilters=[") && plan.contains("LessThan(s_nationkey,13)"),
+      plan.take(2000))
+    // ...and was CONSUMED there: no post-scan Filter node re-applies it
+    assert(!plan.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") || l.trim.startsWith("Filter")), plan.take(2000))
+    // column pruning: the scan's output schema is just the projected field
+    assert(plan.contains("fields=s_suppkey") || plan.contains("ReadSchema: struct<s_suppkey:bigint>"),
+      plan.take(2000))
+    // and the source agrees with the text+substring formulation
+    val viaText = spark.read.text(dir)
+      .select(substring(col("value"), 1, 10).cast("long").as("s_suppkey"),
+        substring(col("value"), 11, 5).cast("int").as("s_nationkey"))
+      .filter(col("s_nationkey") < 13).select(col("s_suppkey"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      viaText.collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
