@@ -158,17 +158,19 @@ object SourceOps {
     val tmp = Scratch.dir(
       s"graft_fixedwidth_dsv2_${java.lang.Integer.toHexString(d.hashCode)}")
     val Offset = 1000000000L
+    val layout = "s_suppkey:long:0:10,s_nationkey:int:10:5,cents_off:long:15:15"
+    // write THROUGH the custom sink: per-task staged files renamed on task
+    // commit, _SUCCESS on job commit (the protocol a failed write hides
+    // behind), records encoded by the source's own layout writer
     Tables.supplier(s, d)
-      .select(concat(
-        lpad(col("s_suppkey").cast("string"), 10, "0"),
-        lpad(col("s_nationkey").cast("string"), 5, "0"),
-        lpad((Num.cents(col("s_acctbal")) + Offset).cast("string"), 15, "0"))
-        .as("value"))
-      .coalesce(1).write.mode("overwrite").text(tmp)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        (Num.cents(col("s_acctbal")) + Offset).as("cents_off"))
+      .write.format("graft.sources.FixedWidthSource")
+      .option("path", tmp).option("fields", layout)
+      .mode("overwrite").save()
     val back = s.read.format("graft.sources.FixedWidthSource")
       .option("path", tmp)
-      .option("fields",
-        "s_suppkey:long:0:10,s_nationkey:int:10:5,cents_off:long:15:15")
+      .option("fields", layout)
       .load()
       .filter(col("s_nationkey") < 13) // pushed into the custom scan
       .select(col("s_suppkey"), col("s_nationkey"),

@@ -139,7 +139,8 @@ class FixedWidthSource extends TableProvider {
 }
 
 class FixedWidthTable(options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import FixedWidthSource._
 
   private val fields = parseFields(options.get("fields"))
@@ -149,10 +150,15 @@ class FixedWidthTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"fixedwidth($path)"
   override def schema(): StructType = schemaOf(fields)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new FixedWidthScanBuilder(path, fields)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FixedWidthWriteBuilder(path, fields, info.schema())
 }
 
 class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidthSource.Field])
@@ -247,6 +253,134 @@ class FixedWidthReaderFactory(parseFields: Seq[FixedWidthSource.Field],
 
       override def get(): InternalRow = row
       override def close(): Unit = in.close()
+    }
+  }
+}
+
+// ----------------------------------------------------------- write path
+
+/** Fixed-width BATCH WRITE with the standard two-phase task-commit
+  * protocol: every task encodes its partition to a UUID-staged temp file
+  * (`.staged-<task>-<attempt>`), the TASK commit renames it to its final
+  * `part-` name (rename is the atomic primitive — a speculative duplicate
+  * attempt loses the rename race and aborts cleanly), and the JOB commit
+  * drops a `_SUCCESS` marker after all task commits are in. Driver-side
+  * abort sweeps staged files, so a failed write never leaves partial
+  * records visible to the reader (which ignores `_`/`.` files).
+  *
+  * Encoding mirrors [[FixedWidthSource.parse]]: zero-padded right-aligned
+  * numerics, space-padded left-aligned strings, all fields clipped to
+  * their layout width — a round trip through write→read is lossless for
+  * in-range values (proven by the DSv2 gate's hash).
+  */
+class FixedWidthWriteBuilder(path: String, fields: Seq[FixedWidthSource.Field],
+                             schema: StructType)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new FixedWidthBatchWrite(path, fields, schema, doTruncate)
+    }
+}
+
+class FixedWidthBatchWrite(path: String, fields: Seq[FixedWidthSource.Field],
+                           schema: StructType, truncate: Boolean)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new FixedWidthWriterFactory(path, fields, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith(".staged-"))
+      .foreach(s => fs.delete(s.getPath, false))
+  }
+}
+
+final case class FixedWidthCommit(file: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class FixedWidthWriterFactory(path: String, fields: Seq[FixedWidthSource.Field],
+                              schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.DataWriter
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // field position in the incoming rows, resolved by name once per task
+    val idx = fields.map(f => schema.fieldIndex(f.name))
+    new DataWriter[InternalRow] {
+      private val dir = new Path(path)
+      private val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val staged = new Path(dir, f".staged-$partitionId%05d-$taskId")
+      private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+
+      override def write(row: InternalRow): Unit = {
+        val sb = new java.lang.StringBuilder()
+        fields.zip(idx).foreach { case (f, i) =>
+          val raw =
+            if (row.isNullAt(i)) ""
+            else f.dt match {
+              case LongType => row.getLong(i).toString
+              case IntegerType => row.getInt(i).toString
+              case _ => row.getUTF8String(i).toString
+            }
+          val clipped = if (raw.length > f.len) raw.substring(0, f.len) else raw
+          f.dt match {
+            case StringType => // left-aligned, space-padded
+              sb.append(clipped)
+              (clipped.length until f.len).foreach(_ => sb.append(' '))
+            case _ => // right-aligned, zero-padded
+              (clipped.length until f.len).foreach(_ => sb.append('0'))
+              sb.append(clipped)
+          }
+        }
+        out.write(sb.toString); out.newLine()
+      }
+
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        out.close()
+        // the final name is keyed by PARTITION only: rename is the atomic
+        // claim, so of two speculative attempts exactly one wins and the
+        // loser deletes its staged copy — duplicate attempts can never
+        // both publish (a taskId-keyed name would leave both files live)
+        val fin = new Path(dir, f"part-$partitionId%05d.fw")
+        if (!fs.rename(staged, fin)) {
+          fs.delete(staged, false)
+        }
+        FixedWidthCommit(fin.toString)
+      }
+
+      override def abort(): Unit = {
+        out.close()
+        fs.delete(staged, false)
+      }
+
+      override def close(): Unit = ()
     }
   }
 }
