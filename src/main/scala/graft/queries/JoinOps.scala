@@ -190,10 +190,90 @@ object JoinOps {
       |FROM buys b FULL OUTER JOIN errs e ON b.day = e.day
       |ORDER BY day""".stripMargin
 
+  /** The same as-of semantics through graft's NATIVE operator
+    * ([[graft.plans.AsOfJoin]]: custom LogicalPlan → SparkStrategy →
+    * single-pass sort-merge SparkPlan) instead of the union+window
+    * composition above. Payload carries TWO right columns (value + the
+    * purchase's event_id) to exercise multi-column attach, and the
+    * explicit tieBreak pins duplicate-timestamp resolution to the
+    * highest purchase event_id — bit-identical to the oracle's
+    * `ORDER BY ts DESC, event_id DESC LIMIT 1` lateral.
+    */
+  def asofNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value"))
+    graft.plans.AsOfJoin(clicks, purchases, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("value", "p_event_id"),
+        tieBreak = Seq("p_event_id"),
+        // pin the co-partitioned sort-merge form: the plan this gate
+        // certifies is the one that runs when BOTH sides are fact-sized
+        broadcast = Some(false))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        round(coalesce(col("value"), lit(-1.0)), 6).as("last_purchase_value"),
+        coalesce(col("p_event_id"), lit(-1L)).as("purchase_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** STRICT as-of (`rightTime < leftTime`) through the size-driven
+    * planner path — at sf0.01 the purchases side sits under the broadcast
+    * threshold, so this executes [[graft.plans.BroadcastAsOfJoinExec]]:
+    * zero shuffle and zero sort on the click side, binary-search lookups
+    * against the broadcast (key → time-sorted payloads) index. Strictness
+    * makes same-instant purchases invisible, which the oracle mirrors
+    * with `p.ts < c.ts`.
+    */
+  def asofBroadcast: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value"))
+    graft.plans.AsOfJoin(clicks, purchases, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("value", "p_event_id"),
+        tieBreak = Seq("p_event_id"), strict = true)
+      .select(col("event_id"), col("user_id"),
+        round(coalesce(col("value"), lit(-1.0)), 6).as("prior_purchase_value"),
+        coalesce(col("p_event_id"), lit(-1L)).as("purchase_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofBroadcastSql: String =
+    """SELECT c.event_id, c.user_id,
+      |  round(coalesce(lp.value, -1.0), 6) AS prior_purchase_value,
+      |  CAST(coalesce(lp.p_event_id, -1) AS BIGINT) AS purchase_event_id
+      |FROM events c LEFT JOIN LATERAL (
+      |  SELECT p.value, p.event_id AS p_event_id FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts < c.ts
+      |  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) lp ON TRUE
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
+  val asofNativeSql: String =
+    """SELECT c.event_id, c.user_id,
+      |  strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  round(coalesce(lp.value, -1.0), 6) AS last_purchase_value,
+      |  CAST(coalesce(lp.p_event_id, -1) AS BIGINT) AS purchase_event_id
+      |FROM events c LEFT JOIN LATERAL (
+      |  SELECT p.value, p.event_id AS p_event_id FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts <= c.ts
+      |  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) lp ON TRUE
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_asof_join" -> asofJoin,
+    "q_asof_native" -> asofNative,
+    "q_asof_broadcast" -> asofBroadcast,
     "q_range_join" -> rangeJoin,
     "q_full_outer_join" -> fullOuterJoin,
   )
@@ -202,6 +282,8 @@ object JoinOps {
     "q_semi_join" -> semiJoinSql,
     "q_anti_join" -> antiJoinSql,
     "q_asof_join" -> asofJoinSql,
+    "q_asof_native" -> asofNativeSql,
+    "q_asof_broadcast" -> asofBroadcastSql,
     "q_range_join" -> rangeJoinSql,
     "q_full_outer_join" -> fullOuterJoinSql,
   )
