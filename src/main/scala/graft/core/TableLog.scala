@@ -44,6 +44,12 @@ import org.apache.spark.sql.functions.col
   *  - **Copy-on-write DELETE / MERGE**: [[deleteWhere]] and [[upsert]]
   *    rewrite only the data files containing affected rows; everything
   *    else carries into the new version untouched.
+  *  - **Merge-on-read DELETE (deletion vectors)**: [[deleteWhereDv]]
+  *    records (file, row-index) sidecars under `_graft_dv/` and touches
+  *    NO data file; [[read]] hides the rows via an anti-join on parquet
+  *    `_metadata.row_index`, rewrite paths read through the vectors (no
+  *    resurrection), [[compact]] materializes and retires them, and
+  *    [[vacuum]] reclaims unreferenced sidecars.
   *  - **Data skipping**: `append(statsCol=...)` records per-file min/max
   *    in the manifest (`#stats=` lines, carried forward with their
   *    files); `read(skip=(col,lo,hi))` drops files whose range cannot
@@ -60,6 +66,7 @@ import org.apache.spark.sql.functions.col
 object TableLog {
 
   private val LogDir = "_graft_log"
+  private val DvDir = "_graft_dv"
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,6 +114,52 @@ object TableLog {
 
   private def statsLine(f: String, s: (String, Long, Long)): String =
     s"#stats=$f|${s._1}|${s._2}|${s._3}"
+
+  /** `#dvp=<relpath>` manifest metadata: deletion-vector sidecar files
+    * (parquet of `_dv_file` STRING, `_dv_idx` LONG — manifest-relative
+    * data-file path + parquet row index). A snapshot's visible rows are
+    * its data files MINUS the union of its dv entries; entries whose data
+    * file left the snapshot (rewritten/compacted away) are inert.
+    */
+  private def dvLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith("#dvp="))
+
+  private def dvFiles(lines: Seq[String]): Seq[String] =
+    dvLines(lines).map(_.stripPrefix("#dvp="))
+
+  /** Scan `files` with row lineage attached: `_dv_file` (manifest-relative
+    * source path) + `_dv_idx` (row index inside the file) via the parquet
+    * `_metadata` column — deterministic and join-safe, unlike
+    * `input_file_name()` which loses meaning after the first join.
+    */
+  private def lineageScan(spark: SparkSession, dir: String,
+                          files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.substring_index
+    val qd = qualifiedDir(spark, dir)
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", dir)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+      .withColumn("_dv_file",
+        substring_index(col("_metadata.file_path"), qd + "/", -1))
+      .withColumn("_dv_idx", col("_metadata.row_index"))
+  }
+
+  /** Drop rows listed in the snapshot's deletion vectors (merge-on-read):
+    * an anti-join of the lineage-tagged scan against the union of the dv
+    * sidecars. No-op (and no plan overhead) when the manifest carries no
+    * dv lines. The dv side is deleted-row-count–sized, so the join
+    * broadcast-resolves under AQE for the selective deletes dvs exist
+    * for.
+    */
+  private def applyDv(spark: SparkSession, dir: String,
+                      tagged: DataFrame, dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) tagged
+    else {
+      val dv = spark.read.parquet(dvs.map(f => s"$dir/$f"): _*)
+        .select(col("_dv_file"), col("_dv_idx"))
+      tagged.join(dv, Seq("_dv_file", "_dv_idx"), "left_anti")
+    }
 
   /** Whole-segment hive-partition match: `market=2/et=1/f` satisfies
     * (market,2) and (et,1), and nothing else — substring matching once
@@ -246,7 +299,11 @@ object TableLog {
                      mkFiles: Seq[String] => Seq[String],
                      txn: Option[String] = None,
                      freshStats: Map[String, (String, Long, Long)] = Map.empty,
-                     op: String = "write")
+                     op: String = "write",
+                     // tip's #dvp lines -> the new manifest's (re-evaluated
+                     // per retry, like mkFiles, so dv commits rebase on a
+                     // racing writer's). Default: carry them forward.
+                     mkDv: Seq[String] => Seq[String] = identity)
       : Option[Long] = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(dir, LogDir))
@@ -267,7 +324,8 @@ object TableLog {
       val carried = fileStats(tipLines)
       val stats = files.flatMap(f =>
         freshStats.get(f).orElse(carried.get(f)).map(statsLine(f, _)))
-      val all = files ++ stats ++ txn.map(t => s"#txn=$t") ++ Seq(s"#op=$op")
+      val dv = mkDv(dvLines(tipLines))
+      val all = files ++ stats ++ dv ++ txn.map(t => s"#txn=$t") ++ Seq(s"#op=$op")
       val bytes = (all.mkString("\n") + "\n").getBytes("UTF-8")
       if (atomicPutIfAbsent(fs, manifestPath(dir, v), bytes)) committed = v
     }
@@ -348,7 +406,10 @@ object TableLog {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
     val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
-    commit(spark, dir, _ => fresh, freshStats = stats, op = "overwrite").get
+    // a full overwrite replaces the row set wholesale — prior deletion
+    // vectors are void and must not leak into the new snapshot
+    commit(spark, dir, _ => fresh, freshStats = stats, op = "overwrite",
+      mkDv = _ => Seq.empty).get
   }
 
   /** Snapshot read: the latest version, or a pinned one (time travel).
@@ -381,16 +442,22 @@ object TableLog {
         case Some((sc, mn, mx)) if sc == c => mx >= lo && mn <= hi
         case _ => true
       })
-    }.map(f => s"$dir/$f")
+    }
     require(all.nonEmpty, s"version $v has an empty manifest")
     // mergeSchema: additive schema evolution — a snapshot may span commits
     // written before and after a column was added; rows from old files
     // surface the new column as null (Delta's mergeSchema semantics).
     // basePath re-derives hive-style partition columns from file paths.
-    def scan(fl: Seq[String]) = spark.read
-      .option("mergeSchema", "true")
-      .option("basePath", dir)
-      .parquet(fl: _*)
+    val dvs = dvFiles(lines)
+    def scan(fl: Seq[String]) = // fl: manifest-RELATIVE names
+      // dv-free tables take the plain scan — zero plan overhead; with dvs
+      // the lineage-tagged anti-join hides deleted rows (merge-on-read)
+      if (dvs.isEmpty) spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", dir)
+        .parquet(fl.map(f => s"$dir/$f"): _*)
+      else applyDv(spark, dir, lineageScan(spark, dir, fl), dvs)
+        .drop("_dv_file", "_dv_idx")
     // a filter matching zero files is a legitimate empty partition/range,
     // not an error: return an empty frame with the snapshot's schema —
     // derived from ONE representative file per directory (mergeSchema
@@ -399,7 +466,7 @@ object TableLog {
     else {
       val reps = all.groupBy(f => f.take(f.lastIndexOf('/') + 1))
         .values.map(_.head).toSeq
-      scan(reps.map(f => s"$dir/$f"))
+      scan(reps)
         .where(org.apache.spark.sql.functions.lit(false))
     }
   }
@@ -435,8 +502,10 @@ object TableLog {
     // snapshot read and ABORTS if a racing overwrite/compact removed any
     // of the snapshot's files (committing would resurrect deleted rows —
     // Delta aborts OPTIMIZE on conflicting overwrites the same way)
+    // the rewrite reads through read() = dv-applied, so compaction
+    // MATERIALIZES outstanding deletes; the vectors retire with it
     val (v, fresh) = replaceFiles(spark, dir, current.toSet, arranged,
-      Seq.empty, statsCol, op = "compact")
+      Seq.empty, statsCol, op = "compact", mkDv = _ => Seq.empty)
     (current.size, fresh.size, v)
   }
 
@@ -466,10 +535,14 @@ object TableLog {
     // later partitionFilter on it. The affected files' own path segments
     // carry the complete ordered column list.
     val partCols = affected.head.split('/').init.map(_.split('=')(0)).toSeq
-    // basePath re-derives the partition columns, partitionBy re-lays out
-    val rows = spark.read
-      .option("mergeSchema", "true").option("basePath", dir)
-      .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
+    // basePath re-derives the partition columns, partitionBy re-lays out.
+    // dv-applied: the partition rewrite materializes ITS deletes; dv
+    // lines stay (other partitions may still need them — the rewritten
+    // files' entries go inert with the rename).
+    val rows = applyDv(spark, dir,
+        lineageScan(spark, dir, affected.toSeq),
+        dvFiles(manifestLines(spark, dir, tip)))
+      .drop("_dv_file", "_dv_idx")
       .repartition(nFiles)
     val (v, fresh) = replaceFiles(spark, dir, affected, rows, partCols,
       statsCol, op = "compact")
@@ -507,22 +580,94 @@ object TableLog {
                   cond: org.apache.spark.sql.Column,
                   partitionBy: Seq[String] = Seq.empty): (Long, Int) = {
     val tip = versions(spark, dir).last
-    val snap = read(spark, dir, Some(tip))
-    val affected = snap.filter(cond)
-      .select(org.apache.spark.sql.functions.input_file_name())
-      .distinct().collect().map(r => toRelative(spark, dir, r.getString(0))).toSet
+    val lines = manifestLines(spark, dir, tip)
+    val dvs = dvFiles(lines)
+    // visible snapshot with row lineage: `_dv_file` (not input_file_name,
+    // which loses meaning after the dv anti-join) names each row's file
+    def visible(fl: Seq[String]) =
+      applyDv(spark, dir, lineageScan(spark, dir, fl), dvs)
+    val all = lines.filterNot(_.startsWith("#"))
+    val affected = visible(all).filter(cond)
+      .select(col("_dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet
     if (affected.isEmpty) return (tip, 0)
     // three-valued logic: for a NULL-evaluating row, !cond is NULL and a
     // bare filter would DROP it — i.e. delete rows the predicate never
-    // matched. Survivors = rows where cond is not definitely true.
-    val survivors = spark.read
-      .option("mergeSchema", "true").option("basePath", dir)
-      .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
+    // matched. Survivors = rows where cond is not definitely true —
+    // computed over the dv-APPLIED view, so rewriting a file never
+    // resurrects its previously dv-deleted rows.
+    val survivors = visible(affected.toSeq)
       .filter(org.apache.spark.sql.functions.not(
         org.apache.spark.sql.functions.coalesce(
           cond, org.apache.spark.sql.functions.lit(false))))
+      .drop("_dv_file", "_dv_idx")
     replaceFiles(spark, dir, affected, survivors, partitionBy,
       op = "delete")._1 -> affected.size
+  }
+
+  /** Merge-on-read DELETE — deletion vectors instead of file rewrites:
+    * matching rows are recorded as (file, row-index) entries in a parquet
+    * sidecar under `_graft_dv/`, referenced by a `#dvp=` manifest line;
+    * every data file carries into the new version UNTOUCHED. [[read]]
+    * hides dv-listed rows with an anti-join; [[compact]] materializes the
+    * deletes and clears the vectors.
+    *
+    * This is the Delta/Iceberg deletion-vector trade: a selective delete
+    * on a 100 TB table touches kilobytes of sidecar instead of rewriting
+    * every file that holds a matching row, at the price of a per-read
+    * anti-join whose build side is the deleted-row count. Use
+    * [[deleteWhere]] (copy-on-write) when deleting a large fraction;
+    * [[compact]] (or any rewrite of the file) retires the entries.
+    *
+    * Conflict rule: aborts if a racing overwrite/compact removed any file
+    * this delete's row-indexes were computed against (committing would
+    * target rows that moved — same rule as [[compact]]). Racing APPENDS
+    * and racing dv-deletes of OTHER rows compose fine: the commit retry
+    * re-bases both the file list and the dv line set on the new tip.
+    * Returns (newVersion, rowsDeleted); version unchanged when nothing
+    * matched.
+    */
+  def deleteWhereDv(spark: SparkSession, dir: String,
+                    cond: org.apache.spark.sql.Column): (Long, Long) = {
+    val tip = versions(spark, dir).last
+    val lines = manifestLines(spark, dir, tip)
+    val all = lines.filterNot(_.startsWith("#"))
+    val snapFiles = all.toSet
+    val matches = applyDv(spark, dir, lineageScan(spark, dir, all),
+        dvFiles(lines))
+      .filter(org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false)))
+      .select(col("_dv_file"), col("_dv_idx"))
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dvDir = s"$DvDir/$commitId"
+    matches.write.parquet(s"$dir/$dvDir")
+    val fs = fsOf(spark, dir)
+    val freshDv = fs.listStatus(new Path(dir, dvDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s"$dvDir/${s.getPath.getName}")
+    // row count from the written sidecar's parquet metadata — no second
+    // evaluation of the predicate
+    val nDeleted = spark.read.parquet(s"$dir/$dvDir").count()
+    if (nDeleted == 0) {
+      fs.delete(new Path(dir, dvDir), true)
+      return (tip, 0L)
+    }
+    val v = try {
+      commit(spark, dir,
+        mkFiles = base => {
+          if (!snapFiles.subsetOf(base.toSet))
+            throw new java.util.ConcurrentModificationException(
+              s"files under $dir were rewritten during deleteWhereDv; aborting")
+          base
+        },
+        mkDv = tipDv => tipDv ++ freshDv.map(f => s"#dvp=$f"),
+        op = "delete_dv")
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        fs.delete(new Path(dir, dvDir), true) // orphan sidecar cleanup
+        throw e
+    }
+    (v.get, nDeleted)
   }
 
   /** MERGE/upsert by key: rows of `updates` replace same-keyed rows,
@@ -533,20 +678,24 @@ object TableLog {
              keyCols: Seq[String],
              partitionBy: Seq[String] = Seq.empty): (Long, Int) = {
     val tip = versions(spark, dir).last
-    val snap = read(spark, dir, Some(tip))
-    // bind input_file_name to the snapshot scan BEFORE the join — after
-    // it the expression has two sources and refuses to resolve
-    val affected = snap
-      .withColumn("_file", org.apache.spark.sql.functions.input_file_name())
+    val lines = manifestLines(spark, dir, tip)
+    val dvs = dvFiles(lines)
+    // lineage (`_dv_file` from parquet _metadata) instead of
+    // input_file_name: survives the dv anti-join AND the key semi-join
+    def visible(fl: Seq[String]) =
+      applyDv(spark, dir, lineageScan(spark, dir, fl), dvs)
+    val all = lines.filterNot(_.startsWith("#"))
+    val affected = visible(all)
       .join(org.apache.spark.sql.functions.broadcast(
         updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
-      .select(col("_file"))
-      .distinct().collect().map(r => toRelative(spark, dir, r.getString(0))).toSet
+      .select(col("_dv_file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // survivors come from the dv-APPLIED view of the rewritten files, so
+    // a merge never resurrects rows a deletion vector already hid
     val survivors =
       if (affected.isEmpty) updates
-      else spark.read
-        .option("mergeSchema", "true").option("basePath", dir)
-        .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
+      else visible(affected.toSeq)
+        .drop("_dv_file", "_dv_idx")
         .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
     replaceFiles(spark, dir, affected, survivors, partitionBy,
@@ -562,13 +711,15 @@ object TableLog {
                            replaced: Set[String], replacement: DataFrame,
                            partitionBy: Seq[String],
                            statsCol: Option[String] = None,
-                           op: String = "write"): (Long, Seq[String]) = {
+                           op: String = "write",
+                           mkDv: Seq[String] => Seq[String] = identity)
+      : (Long, Seq[String]) = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, replacement, commitId, partitionBy)
     val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
     val v = try {
       commit(spark, dir, rebaseCompaction(dir, replaced, fresh),
-        freshStats = stats, op = op).get
+        freshStats = stats, op = op, mkDv = mkDv).get
     } catch {
       case e: java.util.ConcurrentModificationException =>
         val fs = fsOf(spark, dir)
@@ -640,6 +791,24 @@ object TableLog {
         .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-")
           && s.getModificationTime < cutoff)
         .foreach(s => fs.delete(s.getPath, false))
+    // deletion-vector sidecars no retained manifest references (from
+    // vacuumed delete_dv versions, compactions that materialized them, or
+    // crashed deletes) — same age guard as data files, since a dv commit
+    // writes its sidecar BEFORE its manifest exists
+    val dvRoot = new Path(dir, DvDir)
+    if (fs.exists(dvRoot)) {
+      val referencedDv = keep
+        .flatMap(v => dvFiles(manifestLines(spark, dir, v))).toSet
+      val dvIt = fs.listFiles(dvRoot, true)
+      val staleDv = scala.collection.mutable.ListBuffer.empty[Path]
+      while (dvIt.hasNext) {
+        val s = dvIt.next()
+        val rel = s.getPath.toUri.getPath.stripPrefix(dirUri).stripPrefix("/")
+        if (s.isFile && s.getModificationTime < cutoff
+          && !referencedDv.contains(rel)) staleDv += s.getPath
+      }
+      staleDv.foreach(fs.delete(_, false))
+    }
   }
 
   /** Roll the table back to `version` — Delta's `RESTORE TABLE ... TO
@@ -655,10 +824,10 @@ object TableLog {
       s"version $version not in ${vs.mkString(",")} (vacuumed?)")
     val target = manifestLines(spark, dir, version)
     val files = target.filterNot(_.startsWith("#"))
-    // stats come from the TARGET manifest, not the tip: a file dropped at
-    // the tip (deleted/compacted away) keeps its skipping stats on restore
+    // stats AND deletion vectors come from the TARGET manifest, not the
+    // tip: restoring re-instates exactly the target's visible row set
     commit(spark, dir, _ => files, freshStats = fileStats(target),
-      op = s"restore($version)").get
+      op = s"restore($version)", mkDv = _ => dvLines(target)).get
   }
 
   /** The table's commit history, newest first — `DESCRIBE HISTORY`:

@@ -228,6 +228,62 @@ object SourceOps {
       |FROM v2 JOIN tip USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Deletion vectors end-to-end, hash-gated: lineitem committed once,
+    * then TWO merge-on-read deletes (`deleteWhereDv`) that never touch a
+    * data file — each writes only a (file, row-index) sidecar. The gate
+    * reads the tip (both deletes applied), time-travels to the
+    * first-delete version (second delete invisible), and aggregates both;
+    * the oracle recomputes the two views from the raw table with the
+    * matching NOT-predicates. Hash equality proves the anti-join hides
+    * EXACTLY the deleted rows — across accumulated vectors and version
+    * pinning — and that the second delete's matching ran against the
+    * already-dv-applied view.
+    *
+    * SCALE: the whole point of the feature — a selective DELETE on a
+    * 100 TB table commits kilobytes of sidecar instead of rewriting every
+    * file holding a matching row; the read-side cost is one anti-join
+    * whose build side is the deleted-row count (broadcast-sized for the
+    * selective deletes dvs exist for). Bulk deletes use the
+    * copy-on-write path; OPTIMIZE materializes and retires the vectors.
+    */
+  def tableLogDv: Q = (s, d) => {
+    val dir = Scratch.dir("tlog_dv_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"))
+    graft.core.TableLog.append(s, dir, li)                              // v1
+    graft.core.TableLog.deleteWhereDv(s, dir,
+      col("l_returnflag") === "R" && col("l_quantity") > 45)            // v2
+    graft.core.TableLog.deleteWhereDv(s, dir,
+      col("l_linestatus") === "F" && col("l_quantity") < 5)             // v3
+    val afterFirst = graft.core.TableLog.read(s, dir, version = Some(2L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_v2"), sum(col("l_quantity")).as("qty_v2"))
+    val tip = graft.core.TableLog.read(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_tip"), sum(col("l_quantity")).as("qty_tip"))
+    afterFirst.join(tip, "l_returnflag").orderBy(col("l_returnflag"))
+  }
+
+  val tableLogDvSql: String =
+    """WITH v2 AS (SELECT l_returnflag, count(*) AS n_v2,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty_v2
+      |  FROM lineitem
+      |  WHERE NOT (l_returnflag = 'R' AND l_quantity > 45)
+      |  GROUP BY l_returnflag),
+      |tip AS (SELECT l_returnflag, count(*) AS n_tip,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
+      |  FROM lineitem
+      |  WHERE NOT (l_returnflag = 'R' AND l_quantity > 45)
+      |    AND NOT (l_linestatus = 'F' AND l_quantity < 5)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_v2, qty_v2, n_tip, qty_tip
+      |FROM v2 JOIN tip USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   /** The TABLE FORMAT as a streaming sink, exactly-once, hash-gated: the
     * events file streams through `foreachBatch` into TableLog with one
     * idempotent transaction token per micro-batch, and EVERY batch is
@@ -578,6 +634,7 @@ object SourceOps {
     "q_fixedwidth_roundtrip" -> fixedWidthRoundtrip,
     "q_fixedwidth_dsv2" -> fixedWidthDsv2,
     "q_table_log" -> tableLog,
+    "q_table_log_dv" -> tableLogDv,
     "q_table_log_stream" -> tableLogStream,
     "q_table_log_partitioned" -> tableLogPartitioned,
     "q_table_log_merge" -> tableLogMerge,
@@ -595,6 +652,7 @@ object SourceOps {
     "q_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "q_fixedwidth_dsv2" -> fixedWidthDsv2Sql,
     "q_table_log" -> tableLogSql,
+    "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_stream" -> tableLogStreamSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
     "q_table_log_merge" -> tableLogMergeSql,
