@@ -471,6 +471,57 @@ object TableLog {
     }
   }
 
+  /** Snapshot read through [[graft.sources.TableLogFileIndex]] — the
+    * AUTO-pruning twin of [[read]]: no `skip=`/`partitionFilter=`
+    * arguments; Spark's planner hands the query's own WHERE conjuncts to
+    * the index, which answers partition pruning (hive path segments) and
+    * min/max data skipping (`#stats=` lines) from the manifest alone.
+    * Deletion vectors apply as in [[read]]. Prefer this entry point for
+    * analytical reads; [[read]] remains for callers that pin file subsets
+    * programmatically.
+    */
+  def table(spark: SparkSession, dir: String,
+            version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")} (vacuumed?)")
+    val lines = manifestLines(spark, dir, v)
+    val all = lines.filterNot(_.startsWith("#"))
+    require(all.nonEmpty, s"version $v has an empty manifest")
+    val fs = fsOf(spark, dir)
+    val qd = qualifiedDir(spark, dir)
+    val entries = all.map { rel =>
+      val st = fs.getFileStatus(new Path(dir, rel))
+      (rel, st.getLen, st.getModificationTime)
+    }
+    val partSchema =
+      if (all.head.contains("/"))
+        graft.sources.TableLogFileIndex.inferPartitionSchema(all)
+      else new org.apache.spark.sql.types.StructType()
+    // data schema from one representative file per directory (their
+    // footers only), minus the path-encoded partition columns
+    val reps = all.groupBy(f => f.take(f.lastIndexOf('/') + 1))
+      .values.map(_.head).toSeq
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      spark.read.option("mergeSchema", "true")
+        .parquet(reps.map(f => s"$dir/$f"): _*)
+        .schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val index = new graft.sources.TableLogFileIndex(
+      spark, qd, entries, fileStats(lines), partSchema)
+    val base = graft.sources.TableLogFileIndex.relation(spark, index, dataSchema)
+    val dvs = dvFiles(lines)
+    if (dvs.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.substring_index
+      val tagged = base
+        .withColumn("_dv_file",
+          substring_index(col("_metadata.file_path"), qd + "/", -1))
+        .withColumn("_dv_idx", col("_metadata.row_index"))
+      applyDv(spark, dir, tagged, dvs).drop("_dv_file", "_dv_idx")
+    }
+  }
+
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and
     * commit the new layout as a new version. Old data files stay for time
     * travel until vacuumed. `clusterBy` range-partitions + sorts the

@@ -284,6 +284,54 @@ object SourceOps {
       |FROM v2 JOIN tip USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The manifest-backed FileIndex (`TableLog.table`) hash-gated:
+    * lineitem lands in THREE commits of disjoint orderkey thirds (per-file
+    * `#stats=` min/max recorded) partitioned by return flag, and the gate
+    * queries it with a plain WHERE on BOTH the partition column and the
+    * stats column — no manual `skip`/`partitionFilter` arguments. Spark's
+    * planner hands those conjuncts to the custom FileIndex, which prunes
+    * partitions from hive path segments and files from manifest stats
+    * before any footer is opened (spec asserts the numFiles metric). The
+    * oracle recomputes from the raw table — hash equality proves
+    * automatic pruning is exactly lossless.
+    *
+    * SCALE: planning cost is manifest-resident (no object-store listing),
+    * and a selective predicate reads only matching files' bytes — the
+    * lakehouse data-skipping contract, engaged by the optimizer rather
+    * than the caller.
+    */
+  def tableLogAuto: Q = (s, d) => {
+    val dir = Scratch.dir("tlog_auto_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"))
+    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val third = maxKey / 3 + 1
+    (0 until 3).foreach(i => graft.core.TableLog.append(s, dir,
+      li.filter(col("l_orderkey") >= i * third &&
+        col("l_orderkey") < (i + 1) * third),
+      partitionBy = Seq("l_returnflag"), statsCol = Some("l_orderkey")))
+    graft.core.TableLog.table(s, dir)
+      .filter(col("l_returnflag") === "A" && col("l_orderkey") <= third)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val tableLogAutoSql: String =
+    """SELECT l_linestatus, count(*) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS qty,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_returnflag = 'A'
+      |  AND l_orderkey <= (SELECT max(l_orderkey) // 3 + 1 FROM lineitem)
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   /** The TABLE FORMAT as a streaming sink, exactly-once, hash-gated: the
     * events file streams through `foreachBatch` into TableLog with one
     * idempotent transaction token per micro-batch, and EVERY batch is
@@ -635,6 +683,7 @@ object SourceOps {
     "q_fixedwidth_dsv2" -> fixedWidthDsv2,
     "q_table_log" -> tableLog,
     "q_table_log_dv" -> tableLogDv,
+    "q_table_log_auto" -> tableLogAuto,
     "q_table_log_stream" -> tableLogStream,
     "q_table_log_partitioned" -> tableLogPartitioned,
     "q_table_log_merge" -> tableLogMerge,
@@ -653,6 +702,7 @@ object SourceOps {
     "q_fixedwidth_dsv2" -> fixedWidthDsv2Sql,
     "q_table_log" -> tableLogSql,
     "q_table_log_dv" -> tableLogDvSql,
+    "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_stream" -> tableLogStreamSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
     "q_table_log_merge" -> tableLogMergeSql,

@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Attribute, BoundReference, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, FileStatusWithMetadata, HadoopFsRelation, LogicalRelation,
+  PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{
+  ByteType, DateType, IntegerType, LongType, ShortType, StringType,
+  StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-driven [[FileIndex]] for TableLog snapshots — the mechanism
+  * that makes partition pruning and min/max data skipping engage
+  * AUTOMATICALLY from query predicates (the Delta `TahoeFileIndex` role,
+  * built from the public FileIndex contract).
+  *
+  * `TableLog.read(skip=..., partitionFilter=...)` prunes only when the
+  * caller hand-delivers the predicate twice. Here, Spark's own
+  * FileSourceStrategy splits the query's WHERE into partitionFilters +
+  * dataFilters and passes both to [[listFiles]]; we answer from the
+  * MANIFEST alone — partition values parsed from the hive-style relative
+  * paths, value ranges from the `#stats=` lines — before a single footer
+  * is opened or a directory listed. Everything downstream (vectorized
+  * parquet reading, whole-stage codegen, AQE) is the stock engine: the
+  * index only decides which files exist.
+  *
+  * At 100 TB this is the difference between planning over a manifest in
+  * driver memory and listing object-store prefixes: listing cost is
+  * O(manifest lines), pruning cost is O(files) comparisons, and a
+  * selective predicate on the stats column reads only the matching
+  * files' bytes.
+  */
+class TableLogFileIndex(
+    spark: SparkSession,
+    dir: String,
+    // (manifest-relative path, size bytes, modification time)
+    fileEntries: Seq[(String, Long, Long)],
+    // rel path -> (stats column, min, max) from #stats= lines
+    stats: Map[String, (String, Long, Long)],
+    override val partitionSchema: StructType) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(new Path(dir))
+
+  private def partValues(rel: String): Seq[String] =
+    rel.split('/').init.map(_.split("=", 2)(1)).toSeq
+
+  private def partRow(rel: String): InternalRow = {
+    val vs = partValues(rel).zip(partitionSchema.fields).map {
+      case (s, f) => f.dataType match {
+        case IntegerType => Int.box(s.toInt)
+        case LongType    => Long.box(s.toLong)
+        case _           => UTF8String.fromString(s)
+      }
+    }
+    InternalRow.fromSeq(vs)
+  }
+
+  /** Integral bounds implied by the pushed conjuncts, per column name —
+    * the same simple shapes parquet footer skipping understands. Anything
+    * else (strings, nulls checks, ORs, casts) is conservatively ignored:
+    * pruning may keep too much, never too little.
+    */
+  private def bounds(filters: Seq[Expression]): Map[String, (Long, Long)] = {
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType)  => Some(v.toLong)
+      case Literal(v: Long, LongType)    => Some(v)
+      case Literal(v: Short, ShortType)  => Some(v.toLong)
+      case Literal(v: Byte, ByteType)    => Some(v.toLong)
+      case Literal(v: Int, DateType)     => Some(v.toLong)
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, Long, Long)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a: Attribute, v) => lit(v).toSeq.map(x => (a.name, x, x))
+      case EqualTo(v, a: Attribute) => lit(v).toSeq.map(x => (a.name, x, x))
+      case GreaterThan(a: Attribute, v) =>
+        lit(v).toSeq.map(x => (a.name, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a: Attribute, v) =>
+        lit(v).toSeq.map(x => (a.name, x, Long.MaxValue))
+      case LessThan(a: Attribute, v) =>
+        lit(v).toSeq.map(x => (a.name, Long.MinValue, x - 1))
+      case LessThanOrEqual(a: Attribute, v) =>
+        lit(v).toSeq.map(x => (a.name, Long.MinValue, x))
+      case GreaterThan(v, a: Attribute) =>
+        lit(v).toSeq.map(x => (a.name, Long.MinValue, x - 1))
+      case GreaterThanOrEqual(v, a: Attribute) =>
+        lit(v).toSeq.map(x => (a.name, Long.MinValue, x))
+      case LessThan(v, a: Attribute) =>
+        lit(v).toSeq.map(x => (a.name, x + 1, Long.MaxValue))
+      case LessThanOrEqual(v, a: Attribute) =>
+        lit(v).toSeq.map(x => (a.name, x, Long.MaxValue))
+      case _ => Seq.empty
+    }
+    filters.flatMap(walk)
+      .groupBy(_._1)
+      .map { case (c, bs) =>
+        c -> ((bs.map(_._2).max, bs.map(_._3).min)) // intersect conjuncts
+      }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    // partition pruning: bind the filters to the partition schema and
+    // evaluate them against each directory's parsed values
+    val bound = partitionFilters.map(_.transform {
+      case a: Attribute =>
+        val i = partitionSchema.fieldIndex(a.name)
+        BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+    })
+    val b = bounds(dataFilters)
+    val kept = fileEntries.filter { case (rel, _, _) =>
+      val partOk = partitionFilters.isEmpty || {
+        val row = partRow(rel)
+        bound.forall(_.eval(row) == true)
+      }
+      // data skipping: a file survives unless its recorded [min,max] for
+      // some bounded column cannot intersect the predicate's range
+      val statsOk = stats.get(rel) match {
+        case Some((c, mn, mx)) => b.get(c).forall { case (lo, hi) =>
+          mx >= lo && mn <= hi
+        }
+        case None => true
+      }
+      partOk && statsOk
+    }
+    kept.groupBy { case (rel, _, _) => partValues(rel) }
+      .map { case (_, group) =>
+        PartitionDirectory(
+          if (partitionSchema.isEmpty) InternalRow.empty
+          else partRow(group.head._1),
+          group.map { case (rel, len, mod) =>
+            FileStatusWithMetadata(new FileStatus(
+              len, false, 1, 128L * 1024 * 1024, mod, new Path(dir, rel)))
+          })
+      }.toSeq
+  }
+
+  override def inputFiles: Array[String] =
+    fileEntries.map { case (rel, _, _) => s"$dir/$rel" }.toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = fileEntries.map(_._2).sum
+}
+
+object TableLogFileIndex {
+
+  /** Infer a hive-partition schema from the manifest's relative paths:
+    * column names from the `col=val` segments, IntegerType when every
+    * value parses as an Int, LongType when every value parses as a Long,
+    * StringType otherwise — the same ladder Spark's own partition
+    * inference walks.
+    */
+  def inferPartitionSchema(rels: Seq[String]): StructType = {
+    val segs = rels.head.split('/').init.map(_.split("=", 2)(0))
+    StructType(segs.zipWithIndex.map { case (name, i) =>
+      val values = rels.map(_.split('/')(i).split("=", 2)(1))
+      val dt =
+        if (values.forall(v => scala.util.Try(v.toInt).isSuccess)) IntegerType
+        else if (values.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+        else StringType
+      StructField(name, dt)
+    })
+  }
+
+  /** Assemble the DataFrame over a [[TableLogFileIndex]]: a stock
+    * parquet [[HadoopFsRelation]] whose only custom part is WHICH files
+    * exist — wrapped in a [[LogicalRelation]] the way every table format
+    * integration does it.
+    */
+  def relation(spark: SparkSession, index: TableLogFileIndex,
+               dataSchema: StructType): DataFrame = {
+    val rel = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map("mergeSchema" -> "true"))(spark)
+    GraftShim.ofRows(spark, LogicalRelation(rel))
+  }
+}
