@@ -127,6 +127,11 @@ object TableLog {
   private def dvFiles(lines: Seq[String]): Seq[String] =
     dvLines(lines).map(_.stripPrefix("#dvp="))
 
+  /** `#layout=` lines parsed into hidden-partitioning transforms. */
+  private def layoutTransforms(lines: Seq[String]): Seq[graft.sources.PartTransform] =
+    lines.filter(_.startsWith("#layout="))
+      .flatMap(l => graft.sources.PartTransform.parse(l.stripPrefix("#layout=")))
+
   /** Scan `files` with row lineage attached: `_dv_file` (manifest-relative
     * source path) + `_dv_idx` (row index inside the file) via the parquet
     * `_metadata` column — deterministic and join-safe, unlike
@@ -303,7 +308,11 @@ object TableLog {
                      // tip's #dvp lines -> the new manifest's (re-evaluated
                      // per retry, like mkFiles, so dv commits rebase on a
                      // racing writer's). Default: carry them forward.
-                     mkDv: Seq[String] => Seq[String] = identity)
+                     mkDv: Seq[String] => Seq[String] = identity,
+                     // `#layout=` hidden-partitioning transforms: a table
+                     // property — declared by the first transformed append,
+                     // carried forward by every later commit
+                     layout: Seq[String] = Seq.empty)
       : Option[Long] = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(dir, LogDir))
@@ -325,7 +334,11 @@ object TableLog {
       val stats = files.flatMap(f =>
         freshStats.get(f).orElse(carried.get(f)).map(statsLine(f, _)))
       val dv = mkDv(dvLines(tipLines))
-      val all = files ++ stats ++ dv ++ txn.map(t => s"#txn=$t") ++ Seq(s"#op=$op")
+      val lay =
+        if (layout.nonEmpty) layout
+        else tipLines.filter(_.startsWith("#layout="))
+      val all = files ++ stats ++ dv ++ lay ++
+        txn.map(t => s"#txn=$t") ++ Seq(s"#op=$op")
       val bytes = (all.mkString("\n") + "\n").getBytes("UTF-8")
       if (atomicPutIfAbsent(fs, manifestPath(dir, v), bytes)) committed = v
     }
@@ -364,12 +377,22 @@ object TableLog {
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
              partitionBy: Seq[String] = Seq.empty,
-             statsCol: Option[String] = None): Long = {
+             statsCol: Option[String] = None,
+             // Iceberg-style hidden partitioning: each transform derives a
+             // layout column (days/bucket/truncate of a source column),
+             // written as a hive directory and recorded as `#layout=`
+             // metadata; [[table]] hides the derived column and prunes it
+             // from predicates on the SOURCE column
+             transforms: Seq[graft.sources.PartTransform] = Seq.empty): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
+    val derived = transforms.foldLeft(df)((d, t) =>
+      d.withColumn(t.dirCol, t.derive))
+    val fresh = writeDataFiles(spark, dir, derived, commitId,
+      partitionBy ++ transforms.map(_.dirCol))
     val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
     commit(spark, dir, base => base ++ fresh, freshStats = stats,
-      op = "append").get
+      op = "append",
+      layout = transforms.map(t => s"#layout=${t.line}")).get
   }
 
   /** Exactly-once append: a no-op returning None when a commit carrying
@@ -462,13 +485,16 @@ object TableLog {
     // not an error: return an empty frame with the snapshot's schema —
     // derived from ONE representative file per directory (mergeSchema
     // over all N files would read every footer just to plan empty)
-    if (files.nonEmpty) scan(files)
-    else {
-      val reps = all.groupBy(f => f.take(f.lastIndexOf('/') + 1))
-        .values.map(_.head).toSeq
-      scan(reps)
-        .where(org.apache.spark.sql.functions.lit(false))
-    }
+    val out =
+      if (files.nonEmpty) scan(files)
+      else {
+        val reps = all.groupBy(f => f.take(f.lastIndexOf('/') + 1))
+          .values.map(_.head).toSeq
+        scan(reps)
+          .where(org.apache.spark.sql.functions.lit(false))
+      }
+    // hidden-partitioning layout columns stay hidden on this path too
+    layoutTransforms(lines).foldLeft(out)((d, t) => d.drop(t.dirCol))
   }
 
   /** Snapshot read through [[graft.sources.TableLogFileIndex]] — the
@@ -507,19 +533,23 @@ object TableLog {
       spark.read.option("mergeSchema", "true")
         .parquet(reps.map(f => s"$dir/$f"): _*)
         .schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val transforms = layoutTransforms(lines)
     val index = new graft.sources.TableLogFileIndex(
-      spark, qd, entries, fileStats(lines), partSchema)
+      spark, qd, entries, fileStats(lines), partSchema, transforms)
     val base = graft.sources.TableLogFileIndex.relation(spark, index, dataSchema)
     val dvs = dvFiles(lines)
-    if (dvs.isEmpty) base
-    else {
-      import org.apache.spark.sql.functions.substring_index
-      val tagged = base
-        .withColumn("_dv_file",
-          substring_index(col("_metadata.file_path"), qd + "/", -1))
-        .withColumn("_dv_idx", col("_metadata.row_index"))
-      applyDv(spark, dir, tagged, dvs).drop("_dv_file", "_dv_idx")
-    }
+    val withDv =
+      if (dvs.isEmpty) base
+      else {
+        import org.apache.spark.sql.functions.substring_index
+        val tagged = base
+          .withColumn("_dv_file",
+            substring_index(col("_metadata.file_path"), qd + "/", -1))
+          .withColumn("_dv_idx", col("_metadata.row_index"))
+        applyDv(spark, dir, tagged, dvs).drop("_dv_file", "_dv_idx")
+      }
+    // HIDDEN partitioning: the derived layout columns never reach users
+    transforms.foldLeft(withDv)((d, t) => d.drop(t.dirCol))
   }
 
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and

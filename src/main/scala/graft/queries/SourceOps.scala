@@ -332,6 +332,56 @@ object SourceOps {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** HIDDEN partitioning hash-gated: events land with a `days(ts)` +
+    * `bucket(16, user_id)` layout (derived at write, recorded as
+    * `#layout=` metadata, invisible to readers — the schema the gate
+    * reads is exactly the raw one), and the query filters on the RAW
+    * `ts` column over a one-week window. The FileIndex translates that
+    * predicate to epoch-day directory bounds — pruning Spark cannot do
+    * itself, since nothing relates `_tp_day_ts` to `ts` — and the oracle
+    * recomputes from the raw table. Hash equality proves the
+    * transform-pruned read is lossless at the window edges (inclusive /
+    * exclusive boundaries land mid-directory).
+    *
+    * SCALE: the Iceberg hidden-partitioning contract — queries keep
+    * writing `WHERE ts >= X`, operators re-layout by day or week or
+    * bucket count without breaking a single query, and a time-window scan
+    * touches only the matching day directories of a 100 TB table.
+    */
+  def tableLogHidden: Q = (s, d) => {
+    val dir = Scratch.dir("tlog_hp_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.core.TableLog.append(s, dir, ev,
+      transforms = Seq(graft.sources.DaysOf("ts"),
+        graft.sources.BucketOf(16, "user_id")))
+    graft.core.TableLog.table(s, dir)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Num.moneySum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("event_type"))
+  }
+
+  val tableLogHiddenSql: String =
+    s"""SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  ${Num.moneySumSql("value")} AS sum_value,
+      |  min(event_id) AS min_event, max(event_id) AS max_event
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** The TABLE FORMAT as a streaming sink, exactly-once, hash-gated: the
     * events file streams through `foreachBatch` into TableLog with one
     * idempotent transaction token per micro-batch, and EVERY batch is
@@ -684,6 +734,7 @@ object SourceOps {
     "q_table_log" -> tableLog,
     "q_table_log_dv" -> tableLogDv,
     "q_table_log_auto" -> tableLogAuto,
+    "q_table_log_hidden" -> tableLogHidden,
     "q_table_log_stream" -> tableLogStream,
     "q_table_log_partitioned" -> tableLogPartitioned,
     "q_table_log_merge" -> tableLogMerge,
@@ -703,6 +754,7 @@ object SourceOps {
     "q_table_log" -> tableLogSql,
     "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_auto" -> tableLogAutoSql,
+    "q_table_log_hidden" -> tableLogHiddenSql,
     "q_table_log_stream" -> tableLogStreamSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
     "q_table_log_merge" -> tableLogMergeSql,

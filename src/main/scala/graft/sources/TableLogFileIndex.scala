@@ -44,7 +44,10 @@ class TableLogFileIndex(
     fileEntries: Seq[(String, Long, Long)],
     // rel path -> (stats column, min, max) from #stats= lines
     stats: Map[String, (String, Long, Long)],
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    // hidden-partitioning transforms (`#layout=` lines): map predicates on
+    // SOURCE columns to constraints on the derived layout directories
+    transforms: Seq[PartTransform] = Seq.empty) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(new Path(dir))
 
@@ -105,6 +108,62 @@ class TableLogFileIndex(
       }
   }
 
+  /** Literal bounds for TRANSFORM pruning — wider type set than
+    * [[bounds]] (adds TimestampType micros, since `days(ts)` translates
+    * them itself), kept separate so timestamp literals never get compared
+    * against the seconds-encoded `#stats=` ranges.
+    */
+  private def transformBounds(filters: Seq[Expression])
+      : (Map[String, (Long, Long)], Map[String, Any]) = {
+    import org.apache.spark.sql.types.TimestampType
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType)     => Some(v.toLong)
+      case Literal(v: Long, LongType)       => Some(v)
+      case Literal(v: Short, ShortType)     => Some(v.toLong)
+      case Literal(v: Byte, ByteType)       => Some(v.toLong)
+      case Literal(v: Int, DateType)        => Some(v.toLong)
+      case Literal(v: Long, TimestampType)  => Some(v) // epoch micros
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, Long, Long)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a: Attribute, v) => lit(v).toSeq.map(x => (a.name, x, x))
+      case EqualTo(v, a: Attribute) => lit(v).toSeq.map(x => (a.name, x, x))
+      case GreaterThan(a: Attribute, v) =>
+        lit(v).toSeq.map(x => (a.name, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a: Attribute, v) =>
+        lit(v).toSeq.map(x => (a.name, x, Long.MaxValue))
+      case LessThan(a: Attribute, v) =>
+        lit(v).toSeq.map(x => (a.name, Long.MinValue, x - 1))
+      case LessThanOrEqual(a: Attribute, v) =>
+        lit(v).toSeq.map(x => (a.name, Long.MinValue, x))
+      case GreaterThan(v, a: Attribute) =>
+        lit(v).toSeq.map(x => (a.name, Long.MinValue, x - 1))
+      case GreaterThanOrEqual(v, a: Attribute) =>
+        lit(v).toSeq.map(x => (a.name, Long.MinValue, x))
+      case LessThan(v, a: Attribute) =>
+        lit(v).toSeq.map(x => (a.name, x + 1, Long.MaxValue))
+      case LessThanOrEqual(v, a: Attribute) =>
+        lit(v).toSeq.map(x => (a.name, x, Long.MaxValue))
+      case _ => Seq.empty
+    }
+    val rb = filters.flatMap(walk).groupBy(_._1).map { case (c, bs) =>
+      c -> ((bs.map(_._2).max, bs.map(_._3).min))
+    }
+    // equality literals (incl. strings) for hash-bucket pruning
+    def eqWalk(e: Expression): Seq[(String, Any)] = e match {
+      case And(l, r) => eqWalk(l) ++ eqWalk(r)
+      case EqualTo(a: Attribute, Literal(v: UTF8String, StringType)) =>
+        Seq(a.name -> v.toString)
+      case EqualTo(Literal(v: UTF8String, StringType), a: Attribute) =>
+        Seq(a.name -> v.toString)
+      case EqualTo(a: Attribute, v) => lit(v).toSeq.map(x => a.name -> (x: Any))
+      case EqualTo(v, a: Attribute) => lit(v).toSeq.map(x => a.name -> (x: Any))
+      case _ => Seq.empty
+    }
+    (rb, filters.flatMap(eqWalk).toMap)
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
@@ -116,6 +175,8 @@ class TableLogFileIndex(
         BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
     })
     val b = bounds(dataFilters)
+    val (tb, teq) = transformBounds(dataFilters)
+    val dirColIdx = partitionSchema.fieldNames.zipWithIndex.toMap
     val kept = fileEntries.filter { case (rel, _, _) =>
       val partOk = partitionFilters.isEmpty || {
         val row = partRow(rel)
@@ -129,7 +190,20 @@ class TableLogFileIndex(
         }
         case None => true
       }
-      partOk && statsOk
+      // hidden partitioning: a predicate on the SOURCE column constrains
+      // the file's derived layout value — pruning Spark can't see, since
+      // nothing in the schema relates the two columns
+      val transformOk = transforms.forall { t =>
+        dirColIdx.get(t.dirCol).forall { i =>
+          val dirValue = partValues(rel)(i)
+          val eqOk = teq.get(t.source).forall(t.mayContainEq(dirValue, _))
+          val rangeOk = tb.get(t.source).forall { case (lo, hi) =>
+            t.mayContain(dirValue, lo, hi)
+          }
+          eqOk && rangeOk
+        }
+      }
+      partOk && statsOk && transformOk
     }
     kept.groupBy { case (rel, _, _) => partValues(rel) }
       .map { case (_, group) =>

@@ -17,12 +17,7 @@ class TableLogFileIndexSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory("graft_tli").toString
 
   /** numFiles the executed scan actually planned over. */
-  private def scannedFiles(df: DataFrame): Long = {
-    df.collect()
-    val scans = df.queryExecution.executedPlan.collectLeaves()
-      .filter(_.nodeName.toLowerCase.contains("scan"))
-    scans.flatMap(_.metrics.get("numFiles").map(_.value)).sum
-  }
+  private def scannedFiles(df: DataFrame): Long = graft.TestPlans.scannedFiles(df)
 
   test("table() equals read() on a flat table") {
     val dir = freshDir()
