@@ -100,20 +100,26 @@ object TableLog {
   private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
     manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
 
-  /** Parse `#stats=<file>|<col>|<min>|<max>` metadata into a per-file
-    * map. Manifests are self-contained: every commit re-emits the stats
-    * of each file it lists, so the TIP manifest alone answers skipping.
+  /** Parse `#stats=<file>|<col>|<min>|<max>` metadata into a per-file,
+    * per-COLUMN map (one manifest line per file×column — multi-column
+    * skipping, the Delta default for its leading columns). Manifests are
+    * self-contained: every commit re-emits the stats of each file it
+    * lists, so the TIP manifest alone answers skipping.
     */
-  private def fileStats(lines: Seq[String]): Map[String, (String, Long, Long)] =
+  private[core] def fileStats(lines: Seq[String])
+      : Map[String, Map[String, (Long, Long)]] =
     lines.filter(_.startsWith("#stats=")).flatMap {
       _.stripPrefix("#stats=").split('|') match {
-        case Array(f, c, mn, mx) => Some(f -> ((c, mn.toLong, mx.toLong)))
+        case Array(f, c, mn, mx) => Some((f, c, mn.toLong, mx.toLong))
         case _ => None
       }
-    }.toMap
+    }.groupBy(_._1)
+      .map { case (f, es) =>
+        f -> es.map { case (_, c, mn, mx) => c -> ((mn, mx)) }.toMap
+      }
 
-  private def statsLine(f: String, s: (String, Long, Long)): String =
-    s"#stats=$f|${s._1}|${s._2}|${s._3}"
+  private def statsLines(f: String, m: Map[String, (Long, Long)]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"#stats=$f|$c|$mn|$mx" }
 
   /** `#dvp=<relpath>` manifest metadata: deletion-vector sidecar files
     * (parquet of `_dv_file` STRING, `_dv_idx` LONG — manifest-relative
@@ -303,7 +309,7 @@ object TableLog {
   private def commit(spark: SparkSession, dir: String,
                      mkFiles: Seq[String] => Seq[String],
                      txn: Option[String] = None,
-                     freshStats: Map[String, (String, Long, Long)] = Map.empty,
+                     freshStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                      op: String = "write",
                      // tip's #dvp lines -> the new manifest's (re-evaluated
                      // per retry, like mkFiles, so dv commits rebase on a
@@ -332,7 +338,8 @@ object TableLog {
       // carried files inherit the tip's (keeps manifests self-contained)
       val carried = fileStats(tipLines)
       val stats = files.flatMap(f =>
-        freshStats.get(f).orElse(carried.get(f)).map(statsLine(f, _)))
+        freshStats.get(f).orElse(carried.get(f))
+          .toSeq.flatMap(statsLines(f, _)))
       val dv = mkDv(dvLines(tipLines))
       val lay =
         if (layout.nonEmpty) layout
@@ -345,27 +352,39 @@ object TableLog {
     Some(committed)
   }
 
-  /** Per-file min/max of `statsCol` for freshly staged files, recorded as
-    * `#stats=<relpath>|<col>|<min>|<max>` manifest metadata — Delta-style
-    * file statistics, computed in ONE job (group by input_file_name) at
-    * write time, consulted by [[read]]'s `skip` without opening a single
-    * parquet footer at plan time.
+  /** Per-file min/max of each of `cols` for freshly staged files,
+    * recorded as `#stats=<relpath>|<col>|<min>|<max>` manifest metadata
+    * (one line per file×column) — Delta-style file statistics, computed
+    * in ONE job regardless of column count (group by input_file_name,
+    * paired min/max aggregates), consulted by [[read]]'s `skip` and
+    * [[table]]'s automatic pruning without opening a single parquet
+    * footer at plan time.
     */
   private def collectStats(spark: SparkSession, dir: String,
-                           fresh: Seq[String], statsCol: String)
-      : Map[String, (String, Long, Long)] = {
+                           fresh: Seq[String], cols: Seq[String])
+      : Map[String, Map[String, (Long, Long)]] = {
     import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
-    if (fresh.isEmpty) Map.empty
-    else spark.read.option("basePath", dir)
-      .parquet(fresh.map(f => s"$dir/$f"): _*)
-      .groupBy(input_file_name().as("_f"))
-      .agg(fmin(col(statsCol)).cast("long").as("mn"),
-        fmax(col(statsCol)).cast("long").as("mx"))
-      .collect().toSeq
-      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map(r => toRelative(spark, dir, r.getString(0)) ->
-        ((statsCol, r.getLong(1), r.getLong(2))))
-      .toMap
+    if (fresh.isEmpty || cols.isEmpty) Map.empty
+    else {
+      val aggs = cols.flatMap(c => Seq(
+        fmin(col(c)).cast("long").as(s"mn_$c"),
+        fmax(col(c)).cast("long").as(s"mx_$c")))
+      spark.read.option("basePath", dir)
+        .parquet(fresh.map(f => s"$dir/$f"): _*)
+        .groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().toSeq
+        .map { r =>
+          val perCol = cols.zipWithIndex.flatMap { case (c, i) =>
+            val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+            else Some(c -> ((r.getLong(mnI), r.getLong(mxI))))
+          }.toMap
+          toRelative(spark, dir, r.getString(0)) -> perCol
+        }
+        .filter(_._2.nonEmpty)
+        .toMap
+    }
   }
 
   /** Append `df` to the table; returns the new version. `partitionBy`
@@ -383,13 +402,17 @@ object TableLog {
              // written as a hive directory and recorded as `#layout=`
              // metadata; [[table]] hides the derived column and prunes it
              // from predicates on the SOURCE column
-             transforms: Seq[graft.sources.PartTransform] = Seq.empty): Long = {
+             transforms: Seq[graft.sources.PartTransform] = Seq.empty,
+             // additional skipping columns: one #stats= line per
+             // file×column, all consulted by [[table]]'s auto-pruning
+             statsCols: Seq[String] = Seq.empty): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val derived = transforms.foldLeft(df)((d, t) =>
       d.withColumn(t.dirCol, t.derive))
     val fresh = writeDataFiles(spark, dir, derived, commitId,
       partitionBy ++ transforms.map(_.dirCol))
-    val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
+    val stats = collectStats(spark, dir, fresh,
+      (statsCol.toSeq ++ statsCols).distinct)
     commit(spark, dir, base => base ++ fresh, freshStats = stats,
       op = "append",
       layout = transforms.map(t => s"#layout=${t.line}")).get
@@ -428,7 +451,7 @@ object TableLog {
                 statsCol: Option[String] = None): Long = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
-    val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
+    val stats = collectStats(spark, dir, fresh, statsCol.toSeq)
     // a full overwrite replaces the row set wholesale — prior deletion
     // vectors are void and must not leak into the new snapshot
     commit(spark, dir, _ => fresh, freshStats = stats, op = "overwrite",
@@ -461,9 +484,9 @@ object TableLog {
       fs0.filter(inPartition(_, c, value))
     }
     val files = skip.fold(afterPart) { case (c, lo, hi) =>
-      afterPart.filter(f => stats.get(f) match {
-        case Some((sc, mn, mx)) if sc == c => mx >= lo && mn <= hi
-        case _ => true
+      afterPart.filter(f => stats.get(f).flatMap(_.get(c)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
       })
     }
     require(all.nonEmpty, s"version $v has an empty manifest")
@@ -797,7 +820,7 @@ object TableLog {
       : (Long, Seq[String]) = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, replacement, commitId, partitionBy)
-    val stats = statsCol.map(collectStats(spark, dir, fresh, _)).getOrElse(Map.empty)
+    val stats = collectStats(spark, dir, fresh, statsCol.toSeq)
     val v = try {
       commit(spark, dir, rebaseCompaction(dir, replaced, fresh),
         freshStats = stats, op = op, mkDv = mkDv).get

@@ -4,8 +4,9 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, BoundReference, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  And, Attribute, BoundReference, EqualNullSafe, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual,
+  Literal, Or}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, FileStatusWithMetadata, HadoopFsRelation, LogicalRelation,
   PartitionDirectory}
@@ -42,8 +43,8 @@ class TableLogFileIndex(
     dir: String,
     // (manifest-relative path, size bytes, modification time)
     fileEntries: Seq[(String, Long, Long)],
-    // rel path -> (stats column, min, max) from #stats= lines
-    stats: Map[String, (String, Long, Long)],
+    // rel path -> per-column (min, max) from #stats= lines
+    stats: Map[String, Map[String, (Long, Long)]],
     override val partitionSchema: StructType,
     // hidden-partitioning transforms (`#layout=` lines): map predicates on
     // SOURCE columns to constraints on the derived layout directories
@@ -81,8 +82,30 @@ class TableLogFileIndex(
     }
     def walk(e: Expression): Seq[(String, Long, Long)] = e match {
       case And(l, r) => walk(l) ++ walk(r)
+      // OR of bounds on the SAME single column → the union range; any
+      // other disjunction prunes nothing (conservative)
+      case Or(l, r) =>
+        val (a, b) = (walk(l), walk(r))
+        (a.map(_._1).distinct, b.map(_._1).distinct) match {
+          case (Seq(c1), Seq(c2)) if c1 == c2 && a.nonEmpty && b.nonEmpty =>
+            Seq((c1, (a ++ b).map(_._2).min, (a ++ b).map(_._3).max))
+          case _ => Seq.empty
+        }
       case EqualTo(a: Attribute, v) => lit(v).toSeq.map(x => (a.name, x, x))
       case EqualTo(v, a: Attribute) => lit(v).toSeq.map(x => (a.name, x, x))
+      case EqualNullSafe(a: Attribute, v) => lit(v).toSeq.map(x => (a.name, x, x))
+      case EqualNullSafe(v, a: Attribute) => lit(v).toSeq.map(x => (a.name, x, x))
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(lit(_).isDefined) =>
+        val xs = vs.flatMap(lit)
+        Seq((a.name, xs.min, xs.max))
+      case InSet(a: Attribute, hs) if hs.nonEmpty =>
+        val xs = hs.toSeq.collect {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long    => l.longValue
+          case s: java.lang.Short   => s.longValue
+          case b: java.lang.Byte    => b.longValue
+        }
+        if (xs.size == hs.size) Seq((a.name, xs.min, xs.max)) else Seq.empty
       case GreaterThan(a: Attribute, v) =>
         lit(v).toSeq.map(x => (a.name, x + 1, Long.MaxValue))
       case GreaterThanOrEqual(a: Attribute, v) =>
@@ -114,7 +137,7 @@ class TableLogFileIndex(
     * against the seconds-encoded `#stats=` ranges.
     */
   private def transformBounds(filters: Seq[Expression])
-      : (Map[String, (Long, Long)], Map[String, Any]) = {
+      : (Map[String, (Long, Long)], Map[String, Seq[Seq[Any]]]) = {
     import org.apache.spark.sql.types.TimestampType
     def lit(e: Expression): Option[Long] = e match {
       case Literal(v: Int, IntegerType)     => Some(v.toLong)
@@ -150,18 +173,26 @@ class TableLogFileIndex(
     val rb = filters.flatMap(walk).groupBy(_._1).map { case (c, bs) =>
       c -> ((bs.map(_._2).max, bs.map(_._3).min))
     }
-    // equality literals (incl. strings) for hash-bucket pruning
-    def eqWalk(e: Expression): Seq[(String, Any)] = e match {
+    // equality conjuncts (incl. strings and IN-lists) for hash-bucket
+    // pruning: each conjunct contributes its set of allowed values; a
+    // file must satisfy EVERY conjunct through at least one value
+    def one(e: Expression): Option[Any] = e match {
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
+      case other => lit(other).map(x => x: Any)
+    }
+    def eqWalk(e: Expression): Seq[(String, Seq[Any])] = e match {
       case And(l, r) => eqWalk(l) ++ eqWalk(r)
-      case EqualTo(a: Attribute, Literal(v: UTF8String, StringType)) =>
-        Seq(a.name -> v.toString)
-      case EqualTo(Literal(v: UTF8String, StringType), a: Attribute) =>
-        Seq(a.name -> v.toString)
-      case EqualTo(a: Attribute, v) => lit(v).toSeq.map(x => a.name -> (x: Any))
-      case EqualTo(v, a: Attribute) => lit(v).toSeq.map(x => a.name -> (x: Any))
+      case EqualTo(a: Attribute, v) => one(v).toSeq.map(x => a.name -> Seq(x))
+      case EqualTo(v, a: Attribute) => one(v).toSeq.map(x => a.name -> Seq(x))
+      case EqualNullSafe(a: Attribute, v) => one(v).toSeq.map(x => a.name -> Seq(x))
+      case EqualNullSafe(v, a: Attribute) => one(v).toSeq.map(x => a.name -> Seq(x))
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(one(_).isDefined) =>
+        Seq(a.name -> vs.flatMap(one))
       case _ => Seq.empty
     }
-    (rb, filters.flatMap(eqWalk).toMap)
+    val eqs = filters.flatMap(eqWalk)
+      .groupBy(_._1).map { case (c, es) => c -> es.map(_._2) }
+    (rb, eqs)
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -183,12 +214,14 @@ class TableLogFileIndex(
         bound.forall(_.eval(row) == true)
       }
       // data skipping: a file survives unless its recorded [min,max] for
-      // some bounded column cannot intersect the predicate's range
-      val statsOk = stats.get(rel) match {
-        case Some((c, mn, mx)) => b.get(c).forall { case (lo, hi) =>
-          mx >= lo && mn <= hi
+      // some bounded column cannot intersect that column's predicate
+      // range — every stats column is consulted (multi-column skipping)
+      val fStats = stats.getOrElse(rel, Map.empty)
+      val statsOk = b.forall { case (c, (lo, hi)) =>
+        fStats.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
         }
-        case None => true
       }
       // hidden partitioning: a predicate on the SOURCE column constrains
       // the file's derived layout value — pruning Spark can't see, since
@@ -196,7 +229,10 @@ class TableLogFileIndex(
       val transformOk = transforms.forall { t =>
         dirColIdx.get(t.dirCol).forall { i =>
           val dirValue = partValues(rel)(i)
-          val eqOk = teq.get(t.source).forall(t.mayContainEq(dirValue, _))
+          // every equality conjunct must be satisfiable through at least
+          // one of its allowed values (EqualTo → one, In → several)
+          val eqOk = teq.get(t.source).forall(_.forall(set =>
+            set.exists(t.mayContainEq(dirValue, _))))
           val rangeOk = tb.get(t.source).forall { case (lo, hi) =>
             t.mayContain(dirValue, lo, hi)
           }

@@ -105,6 +105,55 @@ class TableLogFileIndexSpec extends SparkSpec {
     assert(TableLog.table(spark, dir).count() == 150)
   }
 
+  test("multi-column stats: predicates on EITHER column prune independently") {
+    val dir = freshDir()
+    // 4 commits; id ranges ascend while rev ranges DESCEND — a predicate
+    // on either column isolates a different single file
+    (0 until 4).foreach { i =>
+      val lo = i * 100
+      TableLog.append(spark, dir,
+        spark.range(lo, lo + 100)
+          .select($"id", (lit(1000) - $"id").as("rev")).coalesce(1),
+        statsCol = Some("id"), statsCols = Seq("rev"))
+    }
+    val q1 = TableLog.table(spark, dir).filter($"id".between(110, 120))
+    assert(scannedFiles(q1) == 1)
+    assert(q1.count() == 11)
+    val q2 = TableLog.table(spark, dir).filter($"rev".between(610, 620))
+    assert(scannedFiles(q2) == 1) // ids 380..390 → file 3
+    assert(q2.count() == 11)
+    // conjunction across BOTH columns: contradictory ranges → zero files
+    val q3 = TableLog.table(spark, dir)
+      .filter($"id" < 50 && $"rev" < 500) // id<50 → rev>950: impossible
+    assert(scannedFiles(q3) == 0)
+    assert(q3.count() == 0)
+  }
+
+  test("IN-list and OR predicates prune via union ranges") {
+    val dir = freshDir()
+    (0 until 4).foreach(i => TableLog.append(spark, dir,
+      spark.range(i * 100, (i + 1) * 100).select($"id").coalesce(1),
+      statsCol = Some("id")))
+    val in = TableLog.table(spark, dir).filter($"id".isin(105, 110, 190))
+    assert(scannedFiles(in) == 1)
+    assert(in.count() == 3)
+    val or = TableLog.table(spark, dir)
+      .filter($"id" === 105 || $"id" === 320)
+    // union range [105, 320] spans files 1..3 (not file 0)
+    assert(scannedFiles(or) == 3)
+    assert(or.count() == 2)
+  }
+
+  test("IN-list on a bucket transform scans only the matching buckets") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 1000).select($"id"),
+      transforms = Seq(graft.sources.BucketOf(8, "id")))
+    val total = scannedFiles(TableLog.table(spark, dir))
+    val q = TableLog.table(spark, dir).filter($"id".isin(3, 700))
+    assert(q.count() == 2)
+    assert(scannedFiles(q) <= total / 2)
+  }
+
   test("residual predicate still filters rows inside kept files") {
     val dir = freshDir()
     TableLog.append(spark, dir,
