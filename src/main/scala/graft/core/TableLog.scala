@@ -89,7 +89,7 @@ object TableLog {
   /** Raw manifest lines: data file names plus `#`-prefixed metadata
     * (currently `#txn=<token>` from idempotent appends).
     */
-  private[core] def manifestLines(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  private[graft] def manifestLines(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     val fs = fsOf(spark, dir)
     val in = fs.open(manifestPath(dir, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()

@@ -382,6 +382,57 @@ object SourceOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** The TABLE FORMAT as a streaming SOURCE, hash-gated — the other half
+    * of the Delta streaming story (the sink gate below proves
+    * exactly-once INGEST; this proves exactly-once TAILING). lineitem is
+    * committed as three log versions, a real streaming query tails the
+    * log through `TableLogStreamProvider` (offsets = version numbers,
+    * per-batch file sets from manifest diffs, stock parquet read path)
+    * into a memory sink, and the rollup of what ARRIVED must hash-match
+    * the batch oracle over the raw table: a dropped version, a re-emitted
+    * file, or a row lost at a batch boundary all move the counts/sums.
+    *
+    * SCALE: per-batch planning is two manifest reads and a set
+    * difference; checkpoint state is one long. No directory listing,
+    * no file-registry state — the log IS the registry.
+    */
+  def tableLogSource: Q = (s, d) => {
+    val dir = Scratch.dir("tlog_src_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    (0 to 2).foreach(i =>
+      graft.core.TableLog.append(s, dir, li.filter(col("l_orderkey") % 3 === i)))
+    val sink = "graft_tlog_source_sink_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val ckpt = Scratch.dir(s"stream_ckpt_$sink")
+    Scratch.wipe(ckpt)
+    s.catalog.dropTempView(sink)
+    val q = s.readStream
+      .format(classOf[graft.sources.TableLogStreamProvider].getName)
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val tableLogSourceSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS qty,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** The TABLE FORMAT as a streaming sink, exactly-once, hash-gated: the
     * events file streams through `foreachBatch` into TableLog with one
     * idempotent transaction token per micro-batch, and EVERY batch is
@@ -735,6 +786,7 @@ object SourceOps {
     "q_table_log_dv" -> tableLogDv,
     "q_table_log_auto" -> tableLogAuto,
     "q_table_log_hidden" -> tableLogHidden,
+    "q_table_log_source" -> tableLogSource,
     "q_table_log_stream" -> tableLogStream,
     "q_table_log_partitioned" -> tableLogPartitioned,
     "q_table_log_merge" -> tableLogMerge,
@@ -755,6 +807,7 @@ object SourceOps {
     "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_hidden" -> tableLogHiddenSql,
+    "q_table_log_source" -> tableLogSourceSql,
     "q_table_log_stream" -> tableLogStreamSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
     "q_table_log_merge" -> tableLogMergeSql,

@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.TableLog
+
+/** TableLog as a STREAMING SOURCE — the Delta streaming-source role:
+  * `readStream.format("graft.sources.TableLogStreamProvider")
+  * .option("path", dir)` tails the commit log, emitting each version's
+  * newly-added files as a micro-batch.
+  *
+  * Offsets are VERSION NUMBERS: the log is the single source of truth,
+  * manifests are immutable once committed, and a batch is re-derivable
+  * from any (startVersion, endVersion] pair — so checkpoint recovery
+  * replays exactly the unprocessed versions (same contract the
+  * exactly-once SINK gate proves from the other side; keep `vacuum`'s
+  * retention above the checkpoint horizon).
+  *
+  * A batch's DataFrame is a [[TableLogFileIndex]]-backed relation over
+  * ONLY the files the offset range added, wrapped as a STREAMING logical
+  * relation — the stock vectorized parquet read path, zero custom row
+  * decoding, partition columns re-derived, hidden layout columns
+  * dropped.
+  *
+  * Append-only contract (Delta's): a version that REMOVES files
+  * (overwrite, delete, compaction) or adds deletion vectors breaks the
+  * stream with an explanatory error unless `skipChangeCommits=true`, in
+  * which case change commits contribute only their ADDED files (their
+  * removals/dvs are ignored) — matching Delta's option of the same name.
+  * Note compaction rewrites count as changes: already-emitted rows are
+  * NOT re-emitted, new layout files of the same rows are skipped only
+  * under skipChangeCommits=false erroring, so schedule OPTIMIZE outside
+  * live tailing or accept skipChangeCommits' semantics.
+  *
+  * SCALE: per-batch planning is two manifest reads + a set difference;
+  * state is ONE long in the checkpoint. No directory listing ever
+  * happens — the log says what is new, which is the entire point of a
+  * log-structured table format under a streaming reader at 100 TB.
+  */
+class TableLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-tablelog"
+
+  private def dirOf(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      "graft-tablelog source requires .option(\"path\", <table dir>)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val dir = dirOf(parameters)
+    val s = schema.getOrElse(
+      TableLog.read(ctx.sparkSession, dir).schema)
+    (s"graft-tablelog:$dir", s)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new TableLogStreamSource(ctx.sparkSession, dirOf(parameters),
+      sourceSchema(ctx, schema, providerName, parameters)._2,
+      skipChangeCommits =
+        parameters.getOrElse("skipChangeCommits", "false").toBoolean)
+}
+
+class TableLogStreamSource(
+    spark: SparkSession,
+    dir: String,
+    override val schema: StructType,
+    skipChangeCommits: Boolean) extends Source {
+
+  private def version(o: Offset): Long = o match {
+    case LongOffset(v)      => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => throw new IllegalStateException(s"unexpected offset $other")
+  }
+
+  override def getOffset: Option[Offset] =
+    TableLog.versions(spark, dir).lastOption.map(LongOffset(_))
+
+  /** Files and dv lines of a version's manifest (empty below v1). */
+  private def snapshot(v: Long): (Set[String], Set[String]) =
+    if (v <= 0) (Set.empty, Set.empty)
+    else {
+      val lines = TableLog.manifestLines(spark, dir, v)
+      (lines.filterNot(_.startsWith("#")).toSet,
+        lines.filter(_.startsWith("#dvp=")).toSet)
+    }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val sv = start.map(version).getOrElse(0L)
+    val ev = version(end)
+    val (sFiles, sDv) = snapshot(sv)
+    val (eFiles, eDv) = snapshot(ev)
+    val removed = sFiles -- eFiles
+    val dvChanged = eDv != sDv
+    if ((removed.nonEmpty || dvChanged) && !skipChangeCommits)
+      throw new IllegalStateException(
+        s"table at $dir changed non-append between versions $sv and $ev " +
+          s"(${removed.size} files removed, dvChanged=$dvChanged); " +
+          "streaming reads require append-only commits, or set " +
+          ".option(\"skipChangeCommits\", \"true\") to emit only added files")
+    val added = (eFiles -- sFiles).toSeq.sorted
+    val lines = if (ev <= 0) Seq.empty else TableLog.manifestLines(spark, dir, ev)
+    val transforms = lines.filter(_.startsWith("#layout="))
+      .flatMap(l => PartTransform.parse(l.stripPrefix("#layout=")))
+    val hidden = transforms.map(_.dirCol).toSet
+    val partSchema =
+      if (added.nonEmpty && added.head.contains("/"))
+        TableLogFileIndex.inferPartitionSchema(added)
+      else new StructType()
+    val dataSchema = StructType(
+      schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qd = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toUri.getPath
+    val entries = added.map { rel =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, rel))
+      (rel, st.getLen, st.getModificationTime)
+    }
+    val index = new TableLogFileIndex(spark, qd, entries, Map.empty, partSchema)
+    val df = TableLogFileIndex.streamingRelation(spark, index, dataSchema)
+    hidden.foldLeft(df)((d, c) => d.drop(c))
+  }
+
+  override def stop(): Unit = ()
+}
