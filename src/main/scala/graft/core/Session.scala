@@ -54,6 +54,9 @@ object Session {
   def tune(spark: SparkSession): SparkSession = {
     commonConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     graft.functions.GraftFunctions.register(spark)
+    // whole-plan extensions ride experimental.* on live sessions (the
+    // extensions-class route needs to be present at session build)
+    graft.plans.AsOfJoin.register(spark)
     spark
   }
 }

@@ -56,7 +56,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => UnaccentExpr(cs.head)),
     (FunctionIdentifier("graft_bloom_probe"),
       new ExpressionInfo(classOf[BloomProbe].getName, "graft_bloom_probe"),
-      (cs: Seq[Expression]) => BloomProbe(cs.head, cs(1), litInt(cs(2), "k"))))
+      (cs: Seq[Expression]) => BloomProbe(cs.head, cs(1), litInt(cs(2), "k"))),
+    (FunctionIdentifier("graft_ngram_explode"),
+      new ExpressionInfo(classOf[NGramExplode].getName, "graft_ngram_explode"),
+      (cs: Seq[Expression]) => NGramExplode(cs.head, litInt(cs(1), "n"))))
 
   /** Static int parameters arrive as foldable literals (`lit(8)`). */
   private def litInt(e: Expression, name: String): Int = e match {
@@ -71,10 +74,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native functions + the whole-plan
+  * extensions (as-of join strategy and its pushdown/pruning rules).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimizations)
+  }
 }

@@ -70,7 +70,7 @@ object TextHash {
     * max(len-n+1, 1) convention: `slice` truncates at the end, an empty
     * token array yields the single empty shingle.
     */
-  private def shingleAt(toks: Array[String], i: Int, n: Int): String = {
+  private[functions] def shingleAt(toks: Array[String], i: Int, n: Int): String = {
     val end = math.min(i + n, toks.length)
     if (i >= end) "" // empty-token-array case: one "" shingle
     else {
@@ -85,7 +85,7 @@ object TextHash {
     }
   }
 
-  private def shingleCount(toks: Array[String], n: Int): Int =
+  private[functions] def shingleCount(toks: Array[String], n: Int): Int =
     math.max(toks.length - (n - 1), 1)
 
   def shingles(text: UTF8String, n: Int): ArrayData = {

@@ -511,7 +511,41 @@ object TextOps {
       |FROM ranked WHERE rnk <= 3 ORDER BY term, rnk""".stripMargin
   }
 
+  /** Custom GENERATOR expression gated end-to-end: `graft_ngram_explode`
+    * (a Catalyst `Generator`, the table-function extension point) streams
+    * (pos, shingle) rows per document WITHOUT materializing the shingle
+    * array the `explode(graft_shingles(...))` composition builds — peak
+    * per-row memory drops from O(tokens×n) to O(n), which is the
+    * difference on book-length documents at corpus scale. The rows feed
+    * straight into a partial-aggregated trigram census; the oracle
+    * rebuilds the same shingles relationally.
+    */
+  def ngramGenerate: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_ngram_explode(text, 3)"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("df"),
+        min(col("pos").cast("long")).as("first_pos"))
+      .orderBy(col("n").desc, col("shingle"))
+      .limit(20)
+  }
+
+  val ngramGenerateSql: String = {
+    val toksSql = TA.tokensSql("text")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |sh AS (SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM toks CROSS JOIN
+      |    unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i))
+      |SELECT shingle, count(*) AS n, count(DISTINCT doc_id) AS df,
+      |  min(pos) AS first_pos
+      |FROM sh GROUP BY shingle
+      |ORDER BY n DESC, shingle LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ngram_generate" -> ngramGenerate,
     "q_text_stats" -> textStats,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
@@ -527,6 +561,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ngram_generate" -> ngramGenerateSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
