@@ -138,6 +138,75 @@ object TableLog {
     lines.filter(_.startsWith("#layout="))
       .flatMap(l => graft.sources.PartTransform.parse(l.stripPrefix("#layout=")))
 
+  /** `#check=<name>|<sql>` table constraints of the tip manifest. */
+  def constraints(spark: SparkSession, dir: String): Seq[(String, String)] =
+    versions(spark, dir).lastOption.toSeq
+      .flatMap(manifestLines(spark, dir, _))
+      .filter(_.startsWith("#check="))
+      .map(_.stripPrefix("#check=").split("\\|", 2))
+      .collect { case Array(n, sql) => (n, sql) }
+
+  /** Declare a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`):
+    * a metadata-only commit recording `#check=<name>|<sql>`; every later
+    * [[append]]/[[overwrite]]/[[upsert]] REJECTS (no commit, staged files
+    * never referenced) any batch containing a row where the expression
+    * evaluates to FALSE — NULL passes, per SQL CHECK semantics. The
+    * declaring commit itself validates the CURRENT snapshot first, so a
+    * constraint can never be added to a table already violating it.
+    */
+  def addConstraint(spark: SparkSession, dir: String,
+                    name: String, sql: String): Long = {
+    require(!name.contains("|") && !sql.contains("\n"),
+      "constraint name must not contain '|'; sql must be single-line")
+    val existing = read(spark, dir)
+    val bad = violations(existing, Seq((name, sql)))
+    require(bad.isEmpty,
+      s"cannot add constraint $name: current snapshot violates it")
+    commit(spark, dir, identity[Seq[String]],
+      op = s"add_constraint($name)",
+      extraProps = Seq(s"#check=$name|$sql")).get
+  }
+
+  /** Names of constraints a batch violates (a row where the expression is
+    * definitely FALSE; NULL passes). One job over the batch regardless of
+    * constraint count.
+    */
+  private def violations(df: DataFrame,
+                         checks: Seq[(String, String)]): Seq[String] = {
+    if (checks.isEmpty) return Seq.empty
+    import org.apache.spark.sql.functions.{count, expr, when, lit}
+    val aggs = checks.map { case (n, sql) =>
+      count(when(expr(sql) === lit(false), 1)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.collect {
+      case ((n, _), i) if row.getLong(i) > 0 => n
+    }
+  }
+
+  /** Enforce the tip's CHECK constraints on a write batch or abort. */
+  private def enforceConstraints(spark: SparkSession, dir: String,
+                                 df: DataFrame): Unit = {
+    val checks = constraints(spark, dir)
+    val bad = violations(df, checks)
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"write to $dir rejected: CHECK constraint(s) violated: " +
+        bad.mkString(", "))
+  }
+
+  /** The greatest version whose manifest existed at `tsMillis` — Delta's
+    * `TIMESTAMP AS OF` resolution (manifest modification time is the
+    * commit time; manifests are immutable after the atomic create).
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val fs = fsOf(spark, dir)
+    val eligible = versions(spark, dir).filter(v =>
+      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $dir existed at $tsMillis (or it was vacuumed)")
+    eligible.max
+  }
+
   /** Scan `files` with row lineage attached: `_dv_file` (manifest-relative
     * source path) + `_dv_idx` (row index inside the file) via the parquet
     * `_metadata` column — deterministic and join-safe, unlike
@@ -318,7 +387,11 @@ object TableLog {
                      // `#layout=` hidden-partitioning transforms: a table
                      // property — declared by the first transformed append,
                      // carried forward by every later commit
-                     layout: Seq[String] = Seq.empty)
+                     layout: Seq[String] = Seq.empty,
+                     // additional `#`-metadata lines to ADD this commit
+                     // (table properties like `#check=` constraints);
+                     // existing #check= lines always carry forward
+                     extraProps: Seq[String] = Seq.empty)
       : Option[Long] = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(dir, LogDir))
@@ -344,7 +417,9 @@ object TableLog {
       val lay =
         if (layout.nonEmpty) layout
         else tipLines.filter(_.startsWith("#layout="))
-      val all = files ++ stats ++ dv ++ lay ++
+      val props =
+        (tipLines.filter(_.startsWith("#check=")) ++ extraProps).distinct
+      val all = files ++ stats ++ dv ++ lay ++ props ++
         txn.map(t => s"#txn=$t") ++ Seq(s"#op=$op")
       val bytes = (all.mkString("\n") + "\n").getBytes("UTF-8")
       if (atomicPutIfAbsent(fs, manifestPath(dir, v), bytes)) committed = v
@@ -405,12 +480,23 @@ object TableLog {
              transforms: Seq[graft.sources.PartTransform] = Seq.empty,
              // additional skipping columns: one #stats= line per
              // file×column, all consulted by [[table]]'s auto-pruning
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             // Delta's "optimized writes": shuffle the batch onto its
+             // partition values first, so each partition directory
+             // receives ONE file per commit instead of one per task —
+             // the small-files guard for wide clusters writing many
+             // partitions (trade: one extra shuffle per append)
+             optimizeWrite: Boolean = false): Long = {
+    enforceConstraints(spark, dir, df)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val derived = transforms.foldLeft(df)((d, t) =>
       d.withColumn(t.dirCol, t.derive))
-    val fresh = writeDataFiles(spark, dir, derived, commitId,
-      partitionBy ++ transforms.map(_.dirCol))
+    val layoutCols = partitionBy ++ transforms.map(_.dirCol)
+    val arranged =
+      if (optimizeWrite && layoutCols.nonEmpty)
+        derived.repartition(layoutCols.map(col): _*)
+      else derived
+    val fresh = writeDataFiles(spark, dir, arranged, commitId, layoutCols)
     val stats = collectStats(spark, dir, fresh,
       (statsCol.toSeq ++ statsCols).distinct)
     commit(spark, dir, base => base ++ fresh, freshStats = stats,
@@ -434,6 +520,7 @@ object TableLog {
                        txn: String,
                        partitionBy: Seq[String] = Seq.empty): Option[Long] = {
     if (txnsSeen(spark, dir).contains(txn)) return None // incremental fast path
+    enforceConstraints(spark, dir, df)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
     val v = commit(spark, dir, base => base ++ fresh, txn = Some(txn),
@@ -449,6 +536,7 @@ object TableLog {
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
                 partitionBy: Seq[String] = Seq.empty,
                 statsCol: Option[String] = None): Long = {
+    if (versions(spark, dir).nonEmpty) enforceConstraints(spark, dir, df)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
     val stats = collectStats(spark, dir, fresh, statsCol.toSeq)
@@ -466,10 +554,14 @@ object TableLog {
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None,
            partitionFilter: Seq[(String, String)] = Seq.empty,
-           skip: Option[(String, Long, Long)] = None): DataFrame = {
+           skip: Option[(String, Long, Long)] = None,
+           // Delta TIMESTAMP AS OF: greatest version committed <= ts
+           asOfTimestamp: Option[Long] = None): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions under $dir")
-    val v = version.getOrElse(vs.last)
+    val v = version
+      .orElse(asOfTimestamp.map(versionAsOf(spark, dir, _)))
+      .getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")} (vacuumed?)")
     // manifest-level pruning, twice over — both pure metadata operations
     // on the manifest, before Spark ever lists or opens a file:
@@ -530,27 +622,44 @@ object TableLog {
     * programmatically.
     */
   def table(spark: SparkSession, dir: String,
-            version: Option[Long] = None): DataFrame = {
+            version: Option[Long] = None,
+            asOfTimestamp: Option[Long] = None): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions under $dir")
-    val v = version.getOrElse(vs.last)
+    val v = version
+      .orElse(asOfTimestamp.map(versionAsOf(spark, dir, _)))
+      .getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")} (vacuumed?)")
     val lines = manifestLines(spark, dir, v)
     val all = lines.filterNot(_.startsWith("#"))
     require(all.nonEmpty, s"version $v has an empty manifest")
     val fs = fsOf(spark, dir)
     val qd = qualifiedDir(spark, dir)
+    // file sizes/mtimes via ONE listStatus per distinct parent directory
+    // (a per-file getFileStatus was 480 RPCs on a days×bucket layout)
+    val byDir = all.groupBy(f => f.take(f.lastIndexOf('/') + 1))
+    val statusOf: Map[String, org.apache.hadoop.fs.FileStatus] =
+      byDir.keys.flatMap { d =>
+        val p = if (d.isEmpty) new Path(dir) else new Path(dir, d)
+        fs.listStatus(p).toSeq
+          .filter(_.isFile)
+          .map(st => toRelative(spark, dir, st.getPath.toUri.toString) -> st)
+      }.toMap
     val entries = all.map { rel =>
-      val st = fs.getFileStatus(new Path(dir, rel))
+      val st = statusOf.getOrElse(rel, fs.getFileStatus(new Path(dir, rel)))
       (rel, st.getLen, st.getModificationTime)
     }
     val partSchema =
       if (all.head.contains("/"))
         graft.sources.TableLogFileIndex.inferPartitionSchema(all)
       else new org.apache.spark.sql.types.StructType()
-    // data schema from one representative file per directory (their
-    // footers only), minus the path-encoded partition columns
-    val reps = all.groupBy(f => f.take(f.lastIndexOf('/') + 1))
+    // data schema from one representative file per COMMIT (filename
+    // prefix), not per directory: schema can only change at commit
+    // granularity, and a days×bucket layout has hundreds of directories
+    // per commit — reading a footer for each was the dominant cost of
+    // opening a transform-partitioned table
+    val baseName = (f: String) => f.drop(f.lastIndexOf('/') + 1)
+    val reps = all.groupBy(f => baseName(f).takeWhile(_ != '-'))
       .values.map(_.head).toSeq
     val dataSchema = org.apache.spark.sql.types.StructType(
       spark.read.option("mergeSchema", "true")
@@ -781,6 +890,7 @@ object TableLog {
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
              keyCols: Seq[String],
              partitionBy: Seq[String] = Seq.empty): (Long, Int) = {
+    enforceConstraints(spark, dir, updates) // only NEW rows can violate
     val tip = versions(spark, dir).last
     val lines = manifestLines(spark, dir, tip)
     val dvs = dvFiles(lines)

@@ -356,9 +356,17 @@ object SourceOps {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
+    // optimizeWrite: the shuffle-on-layout write emits ONE file per
+    // layout directory instead of one per (task × directory) — without
+    // it this gate wrote thousands of tiny files (19s at sf0.1, mostly
+    // per-file overhead). bucket(4) sizes the days×bucket grid to the
+    // data (~120 dirs at a month of events): hidden partitioning makes
+    // layout an OPERATIONAL knob, and a right-sized grid is part of
+    // operating it.
     graft.core.TableLog.append(s, dir, ev,
       transforms = Seq(graft.sources.DaysOf("ts"),
-        graft.sources.BucketOf(16, "user_id")))
+        graft.sources.BucketOf(4, "user_id")),
+      optimizeWrite = true)
     graft.core.TableLog.table(s, dir)
       .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))

@@ -65,14 +65,17 @@ class TableLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
     new TableLogStreamSource(ctx.sparkSession, dirOf(parameters),
       sourceSchema(ctx, schema, providerName, parameters)._2,
       skipChangeCommits =
-        parameters.getOrElse("skipChangeCommits", "false").toBoolean)
+        parameters.getOrElse("skipChangeCommits", "false").toBoolean,
+      maxVersionsPerTrigger =
+        parameters.get("maxVersionsPerTrigger").map(_.toInt))
 }
 
 class TableLogStreamSource(
     spark: SparkSession,
     dir: String,
     override val schema: StructType,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   private def version(o: Offset): Long = o match {
     case LongOffset(v)      => v
@@ -80,8 +83,36 @@ class TableLogStreamSource(
     case other => throw new IllegalStateException(s"unexpected offset $other")
   }
 
-  override def getOffset: Option[Offset] =
-    TableLog.versions(spark, dir).lastOption.map(LongOffset(_))
+  /** End offset of the last batch this instance served — the base for
+    * rate-limited advancement. On restart the engine re-delivers the
+    * checkpointed range through [[getBatch]] before asking for new
+    * offsets, which re-seeds this (the V1 recovery contract
+    * FileStreamSource relies on the same way); a FRESH query starts from
+    * zero, where capping is always safe because nothing is committed.
+    */
+  private var lastEnd: Option[Long] = None
+
+  /** Rate limit (`maxVersionsPerTrigger`, the Delta `maxFilesPerTrigger`
+    * role at version granularity): advance at most k versions past the
+    * last served batch, stepping only onto RETAINED manifests so a
+    * vacuumed prefix can never strand the cursor. Under a repeating
+    * trigger the cursor drains to the tip batch by batch; under
+    * `Trigger.AvailableNow` the V1 contract snapshots this offset ONCE,
+    * so a rate-capped run processes one bounded window per invocation
+    * (checkpoint-consistent — rerun to continue).
+    */
+  override def getOffset: Option[Offset] = {
+    val vs = TableLog.versions(spark, dir)
+    vs.lastOption.map { tip =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(k) =>
+          val from = lastEnd.getOrElse(0L)
+          vs.filter(_ > from).take(k).lastOption.getOrElse(from)
+        case None => tip
+      }
+      LongOffset(capped)
+    }
+  }
 
   /** Files and dv lines of a version's manifest (empty below v1). */
   private def snapshot(v: Long): (Set[String], Set[String]) =
@@ -95,6 +126,7 @@ class TableLogStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val sv = start.map(version).getOrElse(0L)
     val ev = version(end)
+    lastEnd = Some(ev)
     val (sFiles, sDv) = snapshot(sv)
     val (eFiles, eDv) = snapshot(ev)
     val removed = sFiles -- eFiles
