@@ -57,6 +57,44 @@ import org.apache.spark.sql.graftshim.GraftShim
   * group (null-safe equality, `<=>`), and a NULL time sorts before every
   * real time (a NULL-time left row can only match a NULL-time right row).
   */
+/** Match direction — the pandas `merge_asof` surface. */
+sealed trait AsOfDirection extends Serializable
+object AsOfDirection {
+  /** Last right row with `rightTime <= leftTime` (`<` when strict). */
+  case object Backward extends AsOfDirection
+  /** First right row with `rightTime >= leftTime` (`>` when strict). */
+  case object Forward extends AsOfDirection
+  /** Whichever of backward/forward lies closer in time; equidistant ties
+    * resolve backward. Strictness is not defined for nearest.
+    */
+  case object Nearest extends AsOfDirection
+
+  def parse(s: String): AsOfDirection = s.toLowerCase match {
+    case "backward" => Backward
+    case "forward"  => Forward
+    case "nearest"  => Nearest
+    case other => throw new IllegalArgumentException(
+      s"as-of direction must be backward|forward|nearest, got $other")
+  }
+}
+
+/** Long view of a time column inside a projected row — needed only by
+  * `nearest` (distance comparison) and `tolerance` (bound check), which
+  * therefore require an integral-ordered time type; plain backward/
+  * forward work on ANY ordered type (strings included).
+  */
+private[plans] object AsOfTime {
+  import org.apache.spark.sql.types._
+  def getter(dt: DataType): (InternalRow, Int) => Long = dt match {
+    case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i)
+    case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+    case ShortType => (r, i) => r.getShort(i).toLong
+    case other => throw new IllegalArgumentException(
+      "as-of nearest/tolerance needs an integral-ordered time column " +
+        s"(timestamp/date/long/int), got $other")
+  }
+}
+
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -70,7 +108,11 @@ case class AsOfJoinPlan(
     // None → pick by right-side size statistics vs the session broadcast
     // threshold; Some(true/false) → caller-pinned physical form (the same
     // contract as SQL join hints).
-    broadcastHint: Option[Boolean] = None) extends BinaryNode {
+    broadcastHint: Option[Boolean] = None,
+    direction: AsOfDirection = AsOfDirection.Backward,
+    // max |rightTime − leftTime| in the time column's integral units
+    // (micros for timestamps, days for dates); beyond it → no match
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -94,6 +136,8 @@ case class AsOfJoinExec(
     payload: Seq[Attribute],
     tieBreak: Seq[Expression],
     strict: Boolean,
+    direction: AsOfDirection,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -137,7 +181,13 @@ case class AsOfJoinExec(
     val rTimeB = rightTime
     val payloadB = payload
     val strictB = strict
+    val dirB = direction
+    val tolB = tolerance
     val outAttrs = output
+    // nearest/tolerance need the time as a long; resolve the getter once
+    val needTime = dirB == AsOfDirection.Nearest || tolB.isDefined
+    val timeGet: (InternalRow, Int) => Long =
+      if (needTime) AsOfTime.getter(lTimeB.dataType) else null
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // Per-partition generated projections (never serialized).
       val lKeyTime = UnsafeProjection.create(lKeysB :+ lTimeB, lOut)
@@ -153,36 +203,71 @@ case class AsOfJoinExec(
         RowOrdering.createNaturalAscendingOrdering(lKeysB.map(_.dataType))
       val nullPayload = new GenericInternalRow(payloadB.length)
       val joined = new JoinedRow
+      val timeIdx = lKeysB.length // time field position in key+time rows
 
       new Iterator[InternalRow] {
-        // Single-row merge state: the next unconsumed right row, plus the
-        // payload + key of the most recent right row consumed so far.
+        // Single-row merge state: the next UNCONSUMED right row (the
+        // forward candidate), plus payload/key/time of the most recent
+        // CONSUMED right row (the backward candidate).
         private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-        private var candidate: UnsafeRow = _
-        private var candidateKey: UnsafeRow = _
+        private var bwPayload: UnsafeRow = _
+        private var bwKey: UnsafeRow = _
+        private var bwTime: Long = 0L
 
         override def hasNext: Boolean = lIter.hasNext
+
+        // Does a right row at (key,time)-comparison `c` vs the left point
+        // belong to the consumed PAST for this direction?
+        private def consumePast(c: Int): Boolean = dirB match {
+          case AsOfDirection.Backward => if (strictB) c < 0 else c <= 0
+          case AsOfDirection.Forward  => if (strictB) c <= 0 else c < 0
+          case AsOfDirection.Nearest  => c <= 0
+        }
 
         override def next(): InternalRow = {
           val l = lIter.next()
           val lkt = lKeyTime(l)
-          // Advance the right cursor through every row at-or-before the
-          // left row's (key, time) point; the last one consumed is, by the
-          // child sort order, the max-(time, tieBreak) row ≤ the point.
           var advancing = true
           while (advancing && rRow != null) {
-            val c = keyTimeOrd.compare(rKeyTime(rRow), lkt)
-            if (if (strictB) c < 0 else c <= 0) {
-              candidate = payloadProj(rRow).copy()
-              candidateKey = rKey(rRow).copy()
+            val rkt = rKeyTime(rRow)
+            if (consumePast(keyTimeOrd.compare(rkt, lkt))) {
+              bwPayload = payloadProj(rRow).copy()
+              bwKey = rKey(rRow).copy()
+              if (needTime) bwTime = timeGet(rkt, timeIdx)
               rRow = if (rIter.hasNext) rIter.next() else null
             } else advancing = false
           }
-          val matched =
-            candidateKey != null && keyOrd.compare(candidateKey, lKey(l)) == 0
+          val lk = lKey(l)
+          val bwOk = bwKey != null && keyOrd.compare(bwKey, lk) == 0
+          // rRow is the first row the consume boundary left in the
+          // future; it is this key's forward candidate iff keys match
+          lazy val fwOk = rRow != null && keyOrd.compare(rKey(rRow), lk) == 0
+          val lTime = if (needTime) timeGet(lkt, timeIdx) else 0L
+          def withinTol(dist: Long): Boolean = tolB.forall(dist <= _)
+          // (payload, matched): backward serves from the buffered copy,
+          // forward straight from the unconsumed head
+          val out: UnsafeRow = dirB match {
+            case AsOfDirection.Backward =>
+              if (bwOk && withinTol(lTime - bwTime)) bwPayload else null
+            case AsOfDirection.Forward =>
+              // tolerance guard evaluated only when set (timeGet is null
+              // for plain forward, which supports any ordered time type)
+              if (fwOk && (tolB.isEmpty ||
+                  timeGet(rKeyTime(rRow), timeIdx) - lTime <= tolB.get))
+                payloadProj(rRow)
+              else null
+            case AsOfDirection.Nearest =>
+              val bwDist = if (bwOk) lTime - bwTime else Long.MaxValue
+              val fwDist =
+                if (fwOk) timeGet(rKeyTime(rRow), timeIdx) - lTime
+                else Long.MaxValue
+              if (bwOk && bwDist <= fwDist && withinTol(bwDist)) bwPayload
+              else if (fwOk && withinTol(fwDist)) payloadProj(rRow)
+              else null
+          }
           numOutputRows += 1
-          if (matched) numMatched += 1
-          resultProj(joined(l, if (matched) candidate else nullPayload))
+          if (out != null) numMatched += 1
+          resultProj(joined(l, if (out != null) out else nullPayload))
         }
       }
     }
@@ -218,6 +303,8 @@ case class BroadcastAsOfJoinExec(
     payload: Seq[Attribute],
     tieBreak: Seq[Expression],
     strict: Boolean,
+    direction: AsOfDirection,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -286,21 +373,50 @@ case class BroadcastAsOfJoinExec(
         index.put(k, (sorted.map(_._2), sorted.map(_._3)))
       }
 
+      val dirB = direction
+      val tolB = tolerance
+      val needTime = dirB == AsOfDirection.Nearest || tolB.isDefined
+      val timeGet: (InternalRow, Int) => Long =
+        if (needTime) AsOfTime.getter(lTimeB.dataType) else null
+
       lIter.map { l =>
         val entry = index.get(lKey(l))
         numOutputRows += 1
         val out = if (entry == null) nullPayload else {
           val (times, payloads) = entry
           val lt = lTimeProj(l)
-          // binary search: count of right rows with time <= lt (< if strict)
-          var lo = 0
-          var hi = times.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            val c = timeOrd.compare(times(mid), lt)
-            if (if (strictB) c < 0 else c <= 0) lo = mid + 1 else hi = mid
+          // boundary search with predicate `cmp(t, lt) <= bound` — count
+          // of rows at-or-before (bound=0) / strictly-before (bound=-1)
+          def boundary(bound: Int): Int = {
+            var lo = 0
+            var hi = times.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(times(mid), lt) <= bound) lo = mid + 1
+              else hi = mid
+            }
+            lo
           }
-          if (lo == 0) nullPayload else { numMatched += 1; payloads(lo - 1) }
+          val lTime = if (needTime) timeGet(lt, 0) else 0L
+          def dist(i: Int): Long = math.abs(timeGet(times(i), 0) - lTime)
+          def okTol(i: Int): Boolean = tolB.forall(dist(i) <= _)
+          val chosen: Int = dirB match {
+            case AsOfDirection.Backward =>
+              val i = (if (strictB) boundary(-1) else boundary(0)) - 1
+              if (i >= 0 && okTol(i)) i else -1
+            case AsOfDirection.Forward =>
+              val i = if (strictB) boundary(0) else boundary(-1)
+              if (i < times.length && okTol(i)) i else -1
+            case AsOfDirection.Nearest =>
+              val bw = boundary(0) - 1
+              val fw = boundary(0)
+              val bwD = if (bw >= 0) dist(bw) else Long.MaxValue
+              val fwD = if (fw < times.length) dist(fw) else Long.MaxValue
+              if (bw >= 0 && bwD <= fwD && tolB.forall(bwD <= _)) bw
+              else if (fw < times.length && tolB.forall(fwD <= _)) fw
+              else -1
+          }
+          if (chosen < 0) nullPayload else { numMatched += 1; payloads(chosen) }
         }
         resultProj(joined(l, out))
       }
@@ -318,16 +434,16 @@ case class BroadcastAsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, pay, tb, strict, hint) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, pay, tb, strict, hint, dir, tol) =>
       val threshold = SQLConf.get.autoBroadcastJoinThreshold
       val canBroadcast = hint.getOrElse(
         threshold >= 0 && r.stats.sizeInBytes >= 0 &&
           r.stats.sizeInBytes <= threshold)
       if (canBroadcast)
-        BroadcastAsOfJoinExec(lk, rk, lt, rt, pay, tb, strict,
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, pay, tb, strict, dir, tol,
           planLater(l), planLater(r)) :: Nil
       else
-        AsOfJoinExec(lk, rk, lt, rt, pay, tb, strict,
+        AsOfJoinExec(lk, rk, lt, rt, pay, tb, strict, dir, tol,
           planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -428,9 +544,14 @@ object AsOfJoin {
       payload: Seq[String],
       tieBreak: Seq[String] = Nil,
       strict: Boolean = false,
-      broadcast: Option[Boolean] = None): DataFrame = {
+      broadcast: Option[Boolean] = None,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    val dir = AsOfDirection.parse(direction)
+    require(!(strict && dir == AsOfDirection.Nearest),
+      "strict is not defined for direction=nearest")
     val rCols = (on ++ Seq(rightTime) ++ payload ++ tieBreak).distinct
     // Fresh exprIds on every right-side column (Alias allocates new ids):
     // kills left/right attribute collisions at the source.
@@ -454,7 +575,12 @@ object AsOfJoin {
       payload = payload.map(rAttr),
       tieBreak = tieBreak.map(rAttr),
       strict = strict,
-      broadcastHint = broadcast)
+      broadcastHint = broadcast,
+      direction = dir,
+      tolerance = tolerance)
+    // fail fast on type mismatches nearest/tolerance can't serve
+    if (dir == AsOfDirection.Nearest || tolerance.isDefined)
+      AsOfTime.getter(lAttr(leftTime).dataType)
     val out = GraftShim.ofRows(spark, plan)
     // Surface the payload under its caller-facing names again.
     payload.foldLeft(out)((df, c) => df.withColumnRenamed(freshName(c), c))

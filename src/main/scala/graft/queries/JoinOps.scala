@@ -268,12 +268,91 @@ object JoinOps {
       |WHERE c.event_type = 'click'
       |ORDER BY c.event_id""".stripMargin
 
+  /** FORWARD as-of with a TOLERANCE bound, hash-gated: each click picks
+    * the NEXT purchase within 7 days (first at-or-after, ties to the
+    * lowest purchase id — the merge's natural order), or null when the
+    * user never buys again inside the window. Pinned to the
+    * co-partitioned sort-merge form; tolerance is micros (timestamp
+    * units). Oracle: ascending lateral with the interval bound.
+    */
+  def asofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value"))
+    graft.plans.AsOfJoin(clicks, purchases, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("value", "p_event_id"),
+        tieBreak = Seq("p_event_id"),
+        direction = "forward",
+        tolerance = Some(7L * 86400 * 1000000),
+        broadcast = Some(false))
+      .select(col("event_id"), col("user_id"),
+        round(coalesce(col("value"), lit(-1.0)), 6).as("next_purchase_value"),
+        coalesce(col("p_event_id"), lit(-1L)).as("purchase_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofForwardSql: String =
+    """SELECT c.event_id, c.user_id,
+      |  round(coalesce(np.value, -1.0), 6) AS next_purchase_value,
+      |  CAST(coalesce(np.p_event_id, -1) AS BIGINT) AS purchase_event_id
+      |FROM events c LEFT JOIN LATERAL (
+      |  SELECT p.value, p.event_id AS p_event_id FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
+      |  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) np ON TRUE
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
+  /** NEAREST as-of, hash-gated: each click attaches the purchase closest
+    * in time on either side; equidistant ties resolve BACKWARD, and
+    * within one instant backward keeps the highest purchase id while
+    * forward keeps the lowest (the merge/tie conventions) — the oracle
+    * encodes exactly that with a signed-id tie key. Physical form left
+    * to the stats-driven planner.
+    */
+  def asofNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value"))
+    graft.plans.AsOfJoin(clicks, purchases, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("value", "p_event_id"),
+        tieBreak = Seq("p_event_id"),
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        round(coalesce(col("value"), lit(-1.0)), 6).as("nearest_purchase_value"),
+        coalesce(col("p_event_id"), lit(-1L)).as("purchase_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofNearestSql: String =
+    """SELECT c.event_id, c.user_id,
+      |  round(coalesce(np.value, -1.0), 6) AS nearest_purchase_value,
+      |  CAST(coalesce(np.p_event_id, -1) AS BIGINT) AS purchase_event_id
+      |FROM events c LEFT JOIN LATERAL (
+      |  SELECT p.value, p.event_id AS p_event_id FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |  ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC, p.ts ASC,
+      |    CASE WHEN p.ts <= c.ts THEN -p.event_id ELSE p.event_id END ASC
+      |  LIMIT 1) np ON TRUE
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_asof_join" -> asofJoin,
     "q_asof_native" -> asofNative,
     "q_asof_broadcast" -> asofBroadcast,
+    "q_asof_forward" -> asofForward,
+    "q_asof_nearest" -> asofNearest,
     "q_range_join" -> rangeJoin,
     "q_full_outer_join" -> fullOuterJoin,
   )
@@ -284,6 +363,8 @@ object JoinOps {
     "q_asof_join" -> asofJoinSql,
     "q_asof_native" -> asofNativeSql,
     "q_asof_broadcast" -> asofBroadcastSql,
+    "q_asof_forward" -> asofForwardSql,
+    "q_asof_nearest" -> asofNearestSql,
     "q_range_join" -> rangeJoinSql,
     "q_full_outer_join" -> fullOuterJoinSql,
   )

@@ -193,6 +193,95 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("forward direction: first right row at-or-after, min tie-break") {
+    val s0 = spark
+    import s0.implicits._
+    val (l, r) = fixture
+    for (bc <- Seq(Some(false), Some(true))) {
+      val got = AsOfJoin(l, r, on = Seq("k"), leftTime = "t", rightTime = "t",
+          payload = Seq("p_id"), tieBreak = Seq("p_id"),
+          direction = "forward", broadcast = bc)
+        .collect().map(row => row.getAs[Long]("click_id") ->
+          Option(row.getAs[java.lang.Long]("p_id")).map(_.toLong)).toMap
+      assert(got(1L) == Some(100L), bc)  // 08:00 → next is 10:00
+      assert(got(2L) == Some(100L), bc)  // equal instant matches forward too
+      assert(got(3L) == None, bc)        // 11:00: no later purchase for a
+      assert(got(4L) == Some(202L), bc)  // b@10:30 → 12:00 row
+      // strict forward: the equal-instant row is excluded
+      val s = AsOfJoin(l, r, on = Seq("k"), leftTime = "t", rightTime = "t",
+          payload = Seq("p_id"), tieBreak = Seq("p_id"),
+          direction = "forward", strict = true, broadcast = bc)
+        .collect().map(row => row.getAs[Long]("click_id") ->
+          Option(row.getAs[java.lang.Long]("p_id")).map(_.toLong)).toMap
+      assert(s(2L) == None, bc)
+      // forward ties at the same instant pick the SMALLEST tie-break
+      val fwdTie = AsOfJoin(
+        l.filter(col("click_id") === 4L), r, on = Seq("k"),
+        leftTime = "t", rightTime = "t", payload = Seq("p_id"),
+        tieBreak = Seq("p_id"), direction = "forward", strict = true,
+        broadcast = bc)
+      // b@10:30 strict-forward → 12:00 row (202); now from 09:00 the two
+      // 10:00 ties → 200 (min), not 201
+      val fromNine = AsOfJoin(
+        Seq(("b", ts("2024-01-01 09:00:00"), 9L)).toDF("k", "t", "click_id"),
+        r, on = Seq("k"), leftTime = "t", rightTime = "t",
+        payload = Seq("p_id"), tieBreak = Seq("p_id"),
+        direction = "forward", broadcast = bc)
+      assert(fromNine.collect().head.getAs[java.lang.Long]("p_id") == 200L, bc)
+      assert(fwdTie.collect().head.getAs[java.lang.Long]("p_id") == 202L, bc)
+    }
+  }
+
+  test("nearest direction: closer side wins, equidistant resolves backward") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(
+      ("x", ts("2024-01-01 10:00:00"), 1L), // equidistant between 09 and 11
+      ("x", ts("2024-01-01 10:30:00"), 2L), // closer to 11
+      ("x", ts("2024-01-01 08:00:00"), 3L), // before all → forward only
+      ("y", ts("2024-01-01 10:00:00"), 4L)  // no right rows
+    ).toDF("k", "t", "click_id")
+    val r = Seq(
+      ("x", ts("2024-01-01 09:00:00"), 9L),
+      ("x", ts("2024-01-01 11:00:00"), 11L)
+    ).toDF("k", "t", "p_id")
+    for (bc <- Seq(Some(false), Some(true))) {
+      val got = AsOfJoin(l, r, on = Seq("k"), leftTime = "t", rightTime = "t",
+          payload = Seq("p_id"), tieBreak = Seq("p_id"),
+          direction = "nearest", broadcast = bc)
+        .collect().map(row => row.getAs[Long]("click_id") ->
+          Option(row.getAs[java.lang.Long]("p_id")).map(_.toLong)).toMap
+      assert(got(1L) == Some(9L), bc)   // tie → backward
+      assert(got(2L) == Some(11L), bc)
+      assert(got(3L) == Some(9L), bc)   // only forward exists
+      assert(got(4L) == None, bc)
+      // tolerance: 90 minutes in micros — click 3 (08:00) is 60min from
+      // 09:00 → still matches; shrink to 30min → null
+      val tol30 = AsOfJoin(l, r, on = Seq("k"), leftTime = "t",
+          rightTime = "t", payload = Seq("p_id"), tieBreak = Seq("p_id"),
+          direction = "nearest", tolerance = Some(30L * 60 * 1000000),
+          broadcast = bc)
+        .collect().map(row => row.getAs[Long]("click_id") ->
+          Option(row.getAs[java.lang.Long]("p_id")).map(_.toLong)).toMap
+      assert(tol30(3L) == None, bc)
+      assert(tol30(2L) == Some(11L), bc) // 30min exactly: inclusive
+    }
+  }
+
+  test("tolerance bounds backward matches (both physical forms)") {
+    val (l, r) = fixture
+    for (bc <- Seq(Some(false), Some(true))) {
+      // click a@11:00 is 60min after the 10:00 purchase; tol=30min → null
+      val got = AsOfJoin(l, r, on = Seq("k"), leftTime = "t", rightTime = "t",
+          payload = Seq("p_id"), tieBreak = Seq("p_id"),
+          tolerance = Some(30L * 60 * 1000000), broadcast = bc)
+        .collect().map(row => row.getAs[Long]("click_id") ->
+          Option(row.getAs[java.lang.Long]("p_id")).map(_.toLong)).toMap
+      assert(got(3L) == None, bc)
+      assert(got(2L) == Some(100L), bc) // distance 0 passes any tolerance
+    }
+  }
+
   test("broadcast equals sort-merge on the sf0.001 events self-as-of") {
     val ev = graft.core.Tables.events(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
