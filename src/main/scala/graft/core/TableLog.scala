@@ -127,11 +127,13 @@ object TableLog {
     * its data files MINUS the union of its dv entries; entries whose data
     * file left the snapshot (rewritten/compacted away) are inert.
     */
+  // BOTH delete families ride the same carry/clear lifecycle (dvp =
+  // positional vectors, dveq = equality deletes)
   private def dvLines(lines: Seq[String]): Seq[String] =
-    lines.filter(_.startsWith("#dvp="))
+    lines.filter(l => l.startsWith("#dvp=") || l.startsWith("#dveq="))
 
   private def dvFiles(lines: Seq[String]): Seq[String] =
-    dvLines(lines).map(_.stripPrefix("#dvp="))
+    lines.filter(_.startsWith("#dvp=")).map(_.stripPrefix("#dvp="))
 
   /** `#layout=` lines parsed into hidden-partitioning transforms. */
   private def layoutTransforms(lines: Seq[String]): Seq[graft.sources.PartTransform] =
@@ -608,8 +610,9 @@ object TableLog {
         scan(reps)
           .where(org.apache.spark.sql.functions.lit(false))
       }
+    val eqApplied = applyEqDeletes(spark, dir, out, lines)
     // hidden-partitioning layout columns stay hidden on this path too
-    layoutTransforms(lines).foldLeft(out)((d, t) => d.drop(t.dirCol))
+    layoutTransforms(lines).foldLeft(eqApplied)((d, t) => d.drop(t.dirCol))
   }
 
   /** Snapshot read through [[graft.sources.TableLogFileIndex]] — the
@@ -680,8 +683,9 @@ object TableLog {
           .withColumn("_dv_idx", col("_metadata.row_index"))
         applyDv(spark, dir, tagged, dvs).drop("_dv_file", "_dv_idx")
       }
+    val withEq = applyEqDeletes(spark, dir, withDv, lines)
     // HIDDEN partitioning: the derived layout columns never reach users
-    transforms.foldLeft(withDv)((d, t) => d.drop(t.dirCol))
+    transforms.foldLeft(withEq)((d, t) => d.drop(t.dirCol))
   }
 
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and
@@ -798,7 +802,8 @@ object TableLog {
     // visible snapshot with row lineage: `_dv_file` (not input_file_name,
     // which loses meaning after the dv anti-join) names each row's file
     def visible(fl: Seq[String]) =
-      applyDv(spark, dir, lineageScan(spark, dir, fl), dvs)
+      applyEqDeletes(spark, dir,
+        applyDv(spark, dir, lineageScan(spark, dir, fl), dvs), lines)
     val all = lines.filterNot(_.startsWith("#"))
     val affected = visible(all).filter(cond)
       .select(col("_dv_file")).distinct()
@@ -846,8 +851,8 @@ object TableLog {
     val lines = manifestLines(spark, dir, tip)
     val all = lines.filterNot(_.startsWith("#"))
     val snapFiles = all.toSet
-    val matches = applyDv(spark, dir, lineageScan(spark, dir, all),
-        dvFiles(lines))
+    val matches = applyEqDeletes(spark, dir,
+      applyDv(spark, dir, lineageScan(spark, dir, all), dvFiles(lines)), lines)
       .filter(org.apache.spark.sql.functions.coalesce(
         cond, org.apache.spark.sql.functions.lit(false)))
       .select(col("_dv_file"), col("_dv_idx"))
@@ -883,6 +888,62 @@ object TableLog {
     (v.get, nDeleted)
   }
 
+  /** EQUALITY delete — Iceberg's second delete format, complementing the
+    * positional deletion vectors: the predicate is a SET OF KEY VALUES
+    * (`#dveq=<sidecar>|k1,k2` manifest lines, sidecar = parquet of the
+    * key columns), and the delete commits WITHOUT READING A SINGLE DATA
+    * FILE — no scan to locate row positions, no file rewrite. Readers
+    * hide matching rows with an anti-join on the key columns.
+    *
+    * When to prefer which: a predicate delete over arbitrary columns
+    * needs [[deleteWhereDv]] (it must scan anyway to evaluate the
+    * predicate); a delete driven by an EXTERNAL key list — GDPR user ids,
+    * upstream retractions, late dedup verdicts — is exactly this
+    * operation, and at 100 TB "delete these 10k users" costs writing a
+    * 10k-row sidecar, full stop. Keys are null-safe-compared; rows
+    * appended LATER with a deleted key are deleted too (the Iceberg
+    * equality-delete sequencing caveat, simplified to: the delete applies
+    * to every snapshot from its commit on — retire it with [[compact]]).
+    * Returns the committed version.
+    */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame): Long = {
+    require(versions(spark, dir).nonEmpty, s"no committed versions under $dir")
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val eqDir = s"$DvDir/$commitId-eq"
+    keys.distinct().write.parquet(s"$dir/$eqDir")
+    val fs = fsOf(spark, dir)
+    val fresh = fs.listStatus(new Path(dir, eqDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s"$eqDir/${s.getPath.getName}")
+    commit(spark, dir, identity[Seq[String]],
+      mkDv = tipDv => tipDv ++
+        fresh.map(f => s"#dveq=$f|${keyCols.mkString(",")}"),
+      op = "delete_eq").get
+  }
+
+  /** Equality-delete lines: (sidecar rel path, key column names). */
+  private def eqLines(lines: Seq[String]): Seq[(String, Seq[String])] =
+    lines.filter(_.startsWith("#dveq=")).map { l =>
+      val Array(f, cols) = l.stripPrefix("#dveq=").split("\\|", 2)
+      (f, cols.split(',').toSeq)
+    }
+
+  /** Hide rows matching any equality-delete key set: one left_anti join
+    * per distinct key-column tuple (sidecars sharing a tuple union into
+    * one build side). Build sides are deleted-key-count sized.
+    */
+  private def applyEqDeletes(spark: SparkSession, dir: String,
+                             df: DataFrame, lines: Seq[String]): DataFrame = {
+    val groups = eqLines(lines).groupBy(_._2)
+    groups.foldLeft(df) { case (acc, (cols, entries)) =>
+      val keys = spark.read.parquet(entries.map(e => s"$dir/${e._1}"): _*)
+      val cond = cols.map(c => acc(c) <=> keys(c)).reduce(_ && _)
+      acc.join(keys, cond, "left_anti")
+    }
+  }
+
   /** MERGE/upsert by key: rows of `updates` replace same-keyed rows,
     * new keys append — in ONE commit, rewriting only the files that hold
     * a matched key (copy-on-write, like [[deleteWhere]]).
@@ -897,7 +958,8 @@ object TableLog {
     // lineage (`_dv_file` from parquet _metadata) instead of
     // input_file_name: survives the dv anti-join AND the key semi-join
     def visible(fl: Seq[String]) =
-      applyDv(spark, dir, lineageScan(spark, dir, fl), dvs)
+      applyEqDeletes(spark, dir,
+        applyDv(spark, dir, lineageScan(spark, dir, fl), dvs), lines)
     val all = lines.filterNot(_.startsWith("#"))
     val affected = visible(all)
       .join(org.apache.spark.sql.functions.broadcast(
@@ -1011,8 +1073,10 @@ object TableLog {
     // writes its sidecar BEFORE its manifest exists
     val dvRoot = new Path(dir, DvDir)
     if (fs.exists(dvRoot)) {
-      val referencedDv = keep
-        .flatMap(v => dvFiles(manifestLines(spark, dir, v))).toSet
+      val referencedDv = keep.flatMap { v =>
+        val ls = manifestLines(spark, dir, v)
+        dvFiles(ls) ++ eqLines(ls).map(_._1)
+      }.toSet
       val dvIt = fs.listFiles(dvRoot, true)
       val staleDv = scala.collection.mutable.ListBuffer.empty[Path]
       while (dvIt.hasNext) {

@@ -390,6 +390,49 @@ object SourceOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** EQUALITY deletes hash-gated: lineitem committed once, then a
+    * delete-by-KEY-LIST (`deleteKeys` — Iceberg's equality-delete format:
+    * the commit writes ONLY the key sidecar, reading and rewriting zero
+    * data files) removes every 50th orderkey. The gate aggregates the
+    * visible snapshot plus a time-travel view; the oracle recomputes with
+    * a NOT IN. Hash equality proves the key anti-join hides exactly the
+    * listed keys' rows and nothing else.
+    *
+    * SCALE: the GDPR-shaped operation — "delete these 10k users" on a
+    * 100 TB table costs writing a 10k-row sidecar; readers pay one
+    * broadcast-sized anti-join until OPTIMIZE materializes it.
+    */
+  def tableLogEq: Q = (s, d) => {
+    val dir = Scratch.dir("tlog_eq_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    graft.core.TableLog.append(s, dir, li)                              // v1
+    val doomed = li.select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") % 50 === 0)
+    graft.core.TableLog.deleteKeys(s, dir, doomed)                      // v2
+    val tip = graft.core.TableLog.read(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_tip"), sum(col("l_quantity")).as("qty_tip"))
+    val atV1 = graft.core.TableLog.read(s, dir, version = Some(1L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_v1"))
+    tip.join(atV1, "l_returnflag").orderBy(col("l_returnflag"))
+  }
+
+  val tableLogEqSql: String =
+    """WITH tip AS (SELECT l_returnflag, count(*) AS n_tip,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
+      |  FROM lineitem WHERE l_orderkey % 50 <> 0
+      |  GROUP BY l_returnflag),
+      |v1 AS (SELECT l_returnflag, count(*) AS n_v1
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_tip, qty_tip, n_v1
+      |FROM tip JOIN v1 USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   /** The TABLE FORMAT as a streaming SOURCE, hash-gated — the other half
     * of the Delta streaming story (the sink gate below proves
     * exactly-once INGEST; this proves exactly-once TAILING). lineitem is
@@ -795,6 +838,7 @@ object SourceOps {
     "q_table_log_auto" -> tableLogAuto,
     "q_table_log_hidden" -> tableLogHidden,
     "q_table_log_source" -> tableLogSource,
+    "q_table_log_eq" -> tableLogEq,
     "q_table_log_stream" -> tableLogStream,
     "q_table_log_partitioned" -> tableLogPartitioned,
     "q_table_log_merge" -> tableLogMerge,
@@ -816,6 +860,7 @@ object SourceOps {
     "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_hidden" -> tableLogHiddenSql,
     "q_table_log_source" -> tableLogSourceSql,
+    "q_table_log_eq" -> tableLogEqSql,
     "q_table_log_stream" -> tableLogStreamSql,
     "q_table_log_partitioned" -> tableLogPartitionedSql,
     "q_table_log_merge" -> tableLogMergeSql,

@@ -120,7 +120,8 @@ class TableLogStreamSource(
     else {
       val lines = TableLog.manifestLines(spark, dir, v)
       (lines.filterNot(_.startsWith("#")).toSet,
-        lines.filter(_.startsWith("#dvp=")).toSet)
+        lines.filter(l => l.startsWith("#dvp=") || l.startsWith("#dveq="))
+          .toSet)
     }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
