@@ -62,6 +62,14 @@ object Plans {
     "q_zorder_key",          // codegen'd Morton key, pure projection
     "q_dedup_substring",     // linear anchor join + doc-bounded interval sweep
     "q_ks_drift",            // bounded cumulative window over aggregated bins
+    "q_asof_native",         // custom AsOfJoinExec: one exchange+sort per side
+    "q_asof_broadcast",      // BroadcastAsOfJoin: zero left-side exchanges
+    "q_asof_nearest",        // nearest direction through the same operator
+    "q_table_log_auto",      // FileIndex pruning driven by the query's WHERE
+    "q_table_log_hidden",    // transform-translated pruning + optimized write
+    "q_table_log_dv",        // merge-on-read anti-join over dv sidecars
+    "q_table_log_eq",        // scan-free equality-delete anti-join
+    "q_ngram_generate",      // Generate node streaming shingles, no array
   )
 
   def main(args: Array[String]): Unit = {
