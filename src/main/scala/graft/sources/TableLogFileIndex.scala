@@ -199,12 +199,18 @@ class TableLogFileIndex(
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     // partition pruning: bind the filters to the partition schema and
-    // evaluate them against each directory's parsed values
-    val bound = partitionFilters.map(_.transform {
-      case a: Attribute =>
-        val i = partitionSchema.fieldIndex(a.name)
-        BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
-    })
+    // evaluate them against each directory's parsed values. Filters the
+    // index can't evaluate row-locally — subquery-bearing forms like
+    // DynamicPruningExpression — are conservatively DROPPED here (every
+    // file kept); the engine still applies them at scan/filter level.
+    val bound = partitionFilters
+      .filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      .map(_.transform {
+        case a: Attribute =>
+          val i = partitionSchema.fieldIndex(a.name)
+          BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+      })
     val b = bounds(dataFilters)
     val (tb, teq) = transformBounds(dataFilters)
     val dirColIdx = partitionSchema.fieldNames.zipWithIndex.toMap
