@@ -165,4 +165,21 @@ class TableLogFileIndexSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters"), plan)
   }
+
+  test("additive schema evolution: a column added by a later commit surfaces") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 10).select($"id"))
+    TableLog.append(spark, dir,
+      spark.range(10, 20).select($"id", ($"id" * 2).as("extra")))
+    val t = TableLog.table(spark, dir)
+    // per-COMMIT schema representatives must merge both shapes: the new
+    // column exists, old rows surface it as null
+    assert(t.columns.toSet == Set("id", "extra"), t.columns.mkString(","))
+    assert(t.filter($"extra".isNull).count() == 10)
+    assert(t.filter($"extra".isNotNull).count() == 10)
+    // and the plain read() path agrees
+    val r = TableLog.read(spark, dir)
+    assert(r.columns.toSet == Set("id", "extra"))
+    assert(r.filter($"extra".isNull).count() == 10)
+  }
 }
