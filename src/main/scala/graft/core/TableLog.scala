@@ -10,12 +10,21 @@ import org.apache.spark.sql.functions.col
   * exist in this environment, SURVEY §7.1).
   *
   * Layout: data files live flat in the table directory; `_graft_log/`
-  * holds one manifest per version (`<v>.manifest`, zero-padded), each
-  * listing the COMPLETE set of data files that make up that snapshot.
-  * Full-snapshot manifests (vs Delta's delta-actions) trade O(files) bytes
-  * per commit for replay-free reads — the right trade until file counts
-  * reach the millions, at which point compaction (below) is already
-  * bounding them.
+  * holds one log file per version — a full-snapshot CHECKPOINT manifest
+  * (`<v>.manifest`, zero-padded) listing the COMPLETE set of data files
+  * (+ state metadata) of that snapshot, or a DELTA (`<v>.delta`) holding
+  * only that commit's line edits (`+added` / `-removed`) against its
+  * predecessor. Version 1 and every k-th version checkpoint
+  * (`spark.graft.tablelog.checkpointInterval`, default 10; 1 restores
+  * the all-manifests format, which old tables on disk already have —
+  * both kinds interoperate in one log). Readers resolve a delta version
+  * by replaying at most k−1 deltas forward from the nearest checkpoint
+  * (amortized O(1) via a per-table snapshot cache keyed on the immutable
+  * log file's identity), so commit cost is O(changed lines) instead of
+  * O(files) — at a million files and thousands of commits, the
+  * difference between a metadata layer that scales and one that writes
+  * the full file listing every commit (Delta's checkpoint-plus-JSON-
+  * actions protocol, re-derived over plain text manifests).
   *
   * Guarantees, and how:
   *  - **Atomic commit**: data files are fully written (staged under a
@@ -74,6 +83,41 @@ object TableLog {
   private def manifestPath(dir: String, v: Long) =
     new Path(new Path(dir, LogDir), f"$v%020d.manifest")
 
+  private def deltaPath(dir: String, v: Long) =
+    new Path(new Path(dir, LogDir), f"$v%020d.delta")
+
+  /** The log file recording version `v`: the full checkpoint manifest if
+    * one exists, else the delta. (Both can exist for one version after
+    * [[vacuum]] materializes a checkpoint over a delta; the manifest wins
+    * and the contents are equivalent by construction.)
+    */
+  private def logFileOf(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: String, v: Long): Path = {
+    val m = manifestPath(dir, v)
+    if (fs.exists(m)) m else deltaPath(dir, v)
+  }
+
+  /** Commits between full-snapshot checkpoint manifests. Intermediate
+    * commits write `.delta` files holding only the commit's own line
+    * edits (`+added` / `-removed`), so a commit to an F-file table costs
+    * O(changed) log bytes instead of O(F) — the difference between
+    * O(V·F) and O(V·changed + V·F/K) total log bytes over a table's
+    * lifetime, which is what keeps a million-file, thousand-commit table's
+    * metadata affordable. 1 = every commit is a full manifest (the
+    * pre-checkpoint format; old tables on disk read unchanged, and the
+    * two kinds interoperate freely within one log).
+    */
+  private def checkpointInterval(spark: SparkSession): Int =
+    math.max(1,
+      spark.conf.get("spark.graft.tablelog.checkpointInterval", "10").toInt)
+
+  /** Per-VERSION metadata lines — recorded by exactly one commit, never
+    * carried forward into later snapshots (everything else in a manifest
+    * is snapshot STATE: data files, #stats, #dvp/#dveq, #layout, #check).
+    */
+  private def isPerVersion(l: String): Boolean =
+    l.startsWith("#op=") || l.startsWith("#txn=")
+
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val log = new Path(dir, LogDir)
@@ -81,20 +125,114 @@ object TableLog {
     if (!fs.exists(log)) Seq.empty
     else fs.listStatus(log).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong)
+      .filter(n => n.endsWith(".manifest") || n.endsWith(".delta"))
+      .map(_.stripSuffix(".manifest").stripSuffix(".delta").toLong)
+      .distinct
       .sorted
   }
 
-  /** Raw manifest lines: data file names plus `#`-prefixed metadata
-    * (currently `#txn=<token>` from idempotent appends).
-    */
-  private[graft] def manifestLines(spark: SparkSession, dir: String, v: Long): Seq[String] = {
-    val fs = fsOf(spark, dir)
-    val in = fs.open(manifestPath(dir, v))
+  private def rawLines(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** Resolver cache: dir -> (version, that version's log-file mtime,
+    * resolved snapshot-state lines). Log files are immutable after their
+    * atomic create, so a cached snapshot can only go stale if the table
+    * is deleted and recreated at the same path — the mtime check catches
+    * that (the recreated table's log file at the cached version is a
+    * different file). One entry per table: tip resolution (every commit,
+    * every read) is the hot path; historical resolutions walk back to the
+    * nearest checkpoint instead.
+    */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[String])]()
+
+  private def cachedSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String, v: Long): Option[Seq[String]] =
+    Option(snapCache.get(dir)).filter(_._1 == v).flatMap {
+      case (_, mtime, snap) =>
+        val ok =
+          try {
+            val m = manifestPath(dir, v)
+            val d = deltaPath(dir, v)
+            (fs.exists(m) && fs.getFileStatus(m).getModificationTime == mtime) ||
+              (fs.exists(d) && fs.getFileStatus(d).getModificationTime == mtime)
+          } catch { case _: java.io.IOException => false }
+        if (ok) Some(snap) else None
+    }
+
+  private def cacheSnapshot(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                            v: Long, logPath: Path,
+                            snapshot: Seq[String]): Unit =
+    try {
+      val mtime = fs.getFileStatus(logPath).getModificationTime
+      snapCache.merge(dir, (v, mtime, snapshot),
+        (old, nw) => if (nw._1 >= old._1) nw else old)
+    } catch { case _: java.io.IOException => () }
+
+  /** The version's full-snapshot-equivalent manifest lines: snapshot
+    * state (data files + `#`-state metadata) plus the version's own
+    * per-version lines (`#op=`, `#txn=`) — exactly what a full manifest
+    * contains. A checkpoint manifest is returned verbatim; a delta
+    * version is resolved by walking back to the nearest checkpoint (or
+    * the cached snapshot) and replaying each delta's `-removed`/`+added`
+    * line edits in commit order.
+    */
+  private[graft] def manifestLines(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val full = manifestPath(dir, v)
+    if (fs.exists(full)) {
+      val lines = rawLines(fs, full)
+      cacheSnapshot(fs, dir, v, full, lines.filterNot(isPerVersion))
+      return lines
+    }
+    val ownPath = deltaPath(dir, v)
+    if (!fs.exists(ownPath)) throw new java.io.FileNotFoundException(
+      s"version $v of $dir has no log file (vacuumed?)")
+    // newest-first stack of deltas between v and the resolution base
+    val deltas = scala.collection.mutable.ArrayBuffer(rawLines(fs, ownPath))
+    var cur = v - 1
+    var base: Seq[String] = null
+    while (base == null && cur > 0) {
+      cachedSnapshot(fs, dir, cur) match {
+        case Some(s) => base = s
+        case None =>
+          val m = manifestPath(dir, cur)
+          if (fs.exists(m)) base = rawLines(fs, m).filterNot(isPerVersion)
+          else {
+            val d = deltaPath(dir, cur)
+            if (!fs.exists(d)) throw new java.io.FileNotFoundException(
+              s"version $v of $dir unresolvable: log file for intermediate " +
+                s"version $cur missing (vacuumed?)")
+            deltas += rawLines(fs, d)
+            cur -= 1
+          }
+      }
+    }
+    val state = scala.collection.mutable.LinkedHashSet(
+      (if (base == null) Seq.empty[String] else base): _*)
+    deltas.reverseIterator.foreach { d => // oldest -> newest
+      d.foreach { l =>
+        if (l.startsWith("-")) state -= l.drop(1)
+        else if (l.startsWith("+")) state += l.drop(1)
+        // bare lines are the delta's per-version metadata — not state
+      }
+    }
+    val snapshot = state.toSeq
+    cacheSnapshot(fs, dir, v, ownPath, snapshot)
+    snapshot ++ deltas.head.filter(isPerVersion)
+  }
+
+  /** Only version `v`'s OWN per-version metadata (`#op=`, `#txn=`) — read
+    * from the single log file, never resolving the snapshot, so token and
+    * history scans stay one small file read per version in both formats.
+    */
+  private def versionMeta(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    rawLines(fs, logFileOf(fs, dir, v)).filter(isPerVersion)
   }
 
   private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
@@ -203,7 +341,7 @@ object TableLog {
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
     val fs = fsOf(spark, dir)
     val eligible = versions(spark, dir).filter(v =>
-      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+      fs.getFileStatus(logFileOf(fs, dir, v)).getModificationTime <= tsMillis)
     require(eligible.nonEmpty,
       s"no version of $dir existed at $tsMillis (or it was vacuumed)")
     eligible.max
@@ -255,7 +393,7 @@ object TableLog {
     */
   def committedTxns(spark: SparkSession, dir: String): Set[String] =
     versions(spark, dir)
-      .flatMap(manifestLines(spark, dir, _))
+      .flatMap(versionMeta(spark, dir, _))
       .filter(_.startsWith("#txn="))
       .map(_.stripPrefix("#txn="))
       .toSet
@@ -291,7 +429,7 @@ object TableLog {
           .getOrElse((0L, Set.empty[String]))
       val fresh = vs.filter(_ > scanned)
       val tokens = known ++ fresh
-        .flatMap(manifestLines(spark, dir, _))
+        .flatMap(versionMeta(spark, dir, _))
         .filter(_.startsWith("#txn="))
         .map(_.stripPrefix("#txn="))
       (fresh.lastOption.getOrElse(scanned), tokens)
@@ -421,10 +559,36 @@ object TableLog {
         else tipLines.filter(_.startsWith("#layout="))
       val props =
         (tipLines.filter(_.startsWith("#check=")) ++ extraProps).distinct
-      val all = files ++ stats ++ dv ++ lay ++ props ++
-        txn.map(t => s"#txn=$t") ++ Seq(s"#op=$op")
-      val bytes = (all.mkString("\n") + "\n").getBytes("UTF-8")
-      if (atomicPutIfAbsent(fs, manifestPath(dir, v), bytes)) committed = v
+      val state = files ++ stats ++ dv ++ lay ++ props
+      val perVersion = txn.map(t => s"#txn=$t").toSeq :+ s"#op=$op"
+      val k = checkpointInterval(spark)
+      // checkpoint cadence: v=1 is always full (a base every resolution
+      // terminates on), then every k-th version; everything between is a
+      // delta holding only this commit's line edits against the tip
+      val (target, bytes) =
+        if (k <= 1 || v == 1L || v % k == 0)
+          (manifestPath(dir, v),
+            ((state ++ perVersion).mkString("\n") + "\n").getBytes("UTF-8"))
+        else {
+          val oldState = tipLines.filterNot(isPerVersion)
+          val newSet = state.toSet
+          val oldSet = oldState.toSet
+          val edits = perVersion ++
+            oldState.filterNot(newSet).map("-" + _) ++
+            state.filterNot(oldSet).map("+" + _)
+          (deltaPath(dir, v),
+            (edits.mkString("\n") + "\n").getBytes("UTF-8"))
+        }
+      if (atomicPutIfAbsent(fs, target, bytes)) {
+        // seed the resolver cache with the snapshot we just committed —
+        // unconditional put (not merge): the winning committer KNOWS v is
+        // the table's current tip, which also self-heals a stale entry
+        // left by a delete-and-recreate at the same path
+        try snapCache.put(dir,
+          (v, fs.getFileStatus(target).getModificationTime, state))
+        catch { case _: java.io.IOException => () }
+        committed = v
+      }
     }
     Some(committed)
   }
@@ -1035,8 +1199,30 @@ object TableLog {
     val cutoff = System.currentTimeMillis() - math.max(0L, retainMs)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - math.max(1, keepVersions)))
+    // The retention floor must be self-contained: if it's a delta commit,
+    // materialize its resolved snapshot as a full checkpoint manifest
+    // FIRST (before any older log file is deleted — resolution reads
+    // through them), restoring the original commit mtime so `TIMESTAMP AS
+    // OF` resolution is unchanged. A concurrent vacuum losing the
+    // create-no-overwrite race just skips — the winner owns the swap.
+    keep.headOption.foreach { floor =>
+      val mp = manifestPath(dir, floor)
+      if (!fs.exists(mp)) {
+        val dp = deltaPath(dir, floor)
+        val mtime = fs.getFileStatus(dp).getModificationTime
+        val lines = manifestLines(spark, dir, floor)
+        if (atomicPutIfAbsent(fs, mp,
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))) {
+          fs.setTimes(mp, mtime, -1)
+          fs.delete(dp, false)
+        }
+      }
+    }
     val referenced = keep.flatMap(readManifest(spark, dir, _)).toSet
-    drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    drop.foreach { v =>
+      fs.delete(manifestPath(dir, v), false)
+      fs.delete(deltaPath(dir, v), false)
+    }
     // recursive walk so files inside partition subdirs are reclaimed too;
     // matching is on the manifest's RELATIVE path (qualified base — an
     // unqualified relative dir would make stripPrefix a no-op, nothing
@@ -1115,12 +1301,17 @@ object TableLog {
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    versions(spark, dir).reverse.map { v =>
-      val lines = manifestLines(spark, dir, v)
-      val op = lines.find(_.startsWith("#op="))
+    // op/txn come from the version's own log file (one small read each);
+    // n_files needs the resolved snapshot — oldest-first so each version
+    // resolves incrementally off its predecessor via the snapshot cache
+    // rather than walking back to a checkpoint V times
+    versions(spark, dir).map { v =>
+      val meta = versionMeta(spark, dir, v)
+      val op = meta.find(_.startsWith("#op="))
         .map(_.stripPrefix("#op=")).getOrElse("write")
-      val txn = lines.find(_.startsWith("#txn=")).map(_.stripPrefix("#txn="))
-      (v, op, lines.count(!_.startsWith("#")), txn)
-    }.toDF("version", "operation", "n_files", "txn")
+      val txn = meta.find(_.startsWith("#txn=")).map(_.stripPrefix("#txn="))
+      (v, op,
+        manifestLines(spark, dir, v).count(!_.startsWith("#")), txn)
+    }.reverse.toDF("version", "operation", "n_files", "txn")
   }
 }

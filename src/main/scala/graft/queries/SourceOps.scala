@@ -825,6 +825,61 @@ object SourceOps {
       |    ELSE 0 END) AS BIGINT) AS quarantined_chars
       |FROM customer""".stripMargin
 
+  /** The CHECKPOINTED log end-to-end, hash-gated: with
+    * `checkpointInterval=3`, five appended lineitem slices and a
+    * copy-on-write delete land as full manifests at v1/v3/v6 and `.delta`
+    * line-edit commits everywhere else; vacuum then drops v1–v3, which
+    * forces the retention floor (v4, a delta) to be MATERIALIZED into a
+    * checkpoint. The gate reads the tip (delete applied, resolved v6) and
+    * time-travels to v5 — a delta version that now replays off the
+    * vacuum-materialized v4 — and the oracle recomputes both views from
+    * the raw table. Hash equality proves delta replay, mixed
+    * manifest/delta logs, and the vacuum floor swap are all invisible to
+    * queries: the log encoding changed, the table didn't.
+    *
+    * SCALE: this is the metadata story at 100 TB — a commit to a
+    * million-file table writes O(changed-files) log bytes, not the full
+    * listing; only every k-th commit pays the checkpoint.
+    */
+  def tableLogCkpt: Q = (s, d) => {
+    val dir = Scratch.dir("tlog_ckpt_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val key = "spark.graft.tablelog.checkpointInterval"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "3")
+    try {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      (0 to 4).foreach(i => graft.core.TableLog.append(s, dir,
+        li.filter(col("l_orderkey") % 5 === i)))                       // v1..v5
+      graft.core.TableLog.deleteWhere(s, dir, col("l_quantity") >= 30) // v6
+      graft.core.TableLog.vacuum(s, dir, keepVersions = 3, retainMs = 0L)
+      val atV5 = graft.core.TableLog.read(s, dir, version = Some(5L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_v5"), sum(col("l_quantity")).as("qty_v5"))
+      val atTip = graft.core.TableLog.read(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_tip"), sum(col("l_quantity")).as("qty_tip"))
+      atV5.join(atTip, "l_returnflag").orderBy(col("l_returnflag"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  val tableLogCkptSql: String =
+    """WITH v5 AS (SELECT l_returnflag, count(*) AS n_v5,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty_v5
+      |  FROM lineitem GROUP BY l_returnflag),
+      |tip AS (SELECT l_returnflag, count(*) AS n_tip,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
+      |  FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_v5, qty_v5, n_tip, qty_tip
+      |FROM v5 JOIN tip USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_csv_quarantine" -> csvQuarantine,
     "q_dynamic_overwrite" -> dynamicOverwrite,
@@ -845,6 +900,7 @@ object SourceOps {
     "q_table_log_skipping" -> tableLogSkipping,
     "q_table_log_cdc" -> tableLogCdc,
     "q_table_log_restore" -> tableLogRestore,
+    "q_table_log_ckpt" -> tableLogCkpt,
   )
 
   val oracles: Map[String, String] = Map(
@@ -867,5 +923,6 @@ object SourceOps {
     "q_table_log_skipping" -> tableLogSkippingSql,
     "q_table_log_cdc" -> tableLogCdcSql,
     "q_table_log_restore" -> tableLogRestoreSql,
+    "q_table_log_ckpt" -> tableLogCkptSql,
   )
 }

@@ -409,12 +409,18 @@ class TableLogSpec extends SparkSpec {
     val v = TableLog.append(spark, dir, spark.range(10, 20).select($"id"))
     assert(v == 3)
     assert(TableLog.read(spark, dir, Some(3)).count() == 10) // v2 base was empty
-    // the commit primitive refuses to overwrite an existing version
+    // the commit primitive refuses to overwrite an existing version —
+    // target v3's actual log file (a checkpoint .manifest or a .delta,
+    // depending on the checkpoint interval)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v3log = Seq("manifest", "delta")
+      .map(ext => new org.apache.hadoop.fs.Path(
+        s"$dir/_graft_log/${f"${3L}%020d"}.$ext"))
+      .find(fs.exists)
+      .getOrElse(fail("version 3 has no log file"))
     intercept[java.io.IOException] {
-      fs.create(new org.apache.hadoop.fs.Path(
-        s"$dir/_graft_log/${f"${3L}%020d"}.manifest"), false).close()
+      fs.create(v3log, false).close()
     }
   }
 
