@@ -510,4 +510,105 @@ object Similarity {
       .select(col("query_id"), col("t.payload").as("nbr_id"),
         (col("rnk0") + 1).cast("int").as("rank"), col("t.value").as("approx_dot"))
   }
+
+  /** IVF-PQ ANN — the `IndexIVFPQ` two-level quantizer (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", §IVFADC)
+    * re-expressed as dataframe joins. A coarse quantizer partitions the
+    * corpus into inverted-file cells (max-cosine assignment, one cell per
+    * vector, same argmin-as-`min(long key)` map-side fold as [[ivfKnn]]),
+    * and each vector's RESIDUAL against its cell centroid is
+    * product-quantized with codebooks shared across cells — built here
+    * from the codebook source rows' own residuals, i.e. trained on the
+    * residual distribution, exactly what IVFADC prescribes. A query
+    * probes its assigned cell and scores members by the asymmetric
+    * decomposition
+    *   dot(q, x̂) = dot(q, c_cell) + Σ_m dot(q_m, cv_m(code_m(x)))
+    * — one scalar per (query, cell) plus m table lookups; the original
+    * corpus floats are never touched at query time.
+    *
+    * SCALE: the queryable index is (vec_id, cell, m codes) — ~m bytes
+    * per vector, the representation that fits a billion vectors in a
+    * cluster's memory where raw floats don't. Query-side tables (cell
+    * dots + ADC partials) are |queries|-sized broadcasts; the build side
+    * is one corpus scan with map-side argmin aggregation per stage.
+    * Determinism: micro-unit argmin keys with id tie-breaks, fixed-order
+    * partial sums, round-`roundTo` scores — bit-stable across engines and
+    * partitionings (DuckDB hash-gated as `q_knn_ivfpq`).
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, coarseSrc: DataFrame,
+               codebookSrc: DataFrame, idCol: String, vecCol: String, k: Int,
+               m: Int = 8, dim: Int = 64, roundTo: Int = 6): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val cents = withNorm(coarseSrc, vecCol)
+      .select(col(idCol).as("cell_id"), col("v").as("cellv"),
+        col("nrm").as("celln"))
+    // nearest coarse cell per vector (argmin folded to min(long) so the
+    // broadcast product partial-aggregates map-side, as in ivfKnn)
+    def assignCell(df: DataFrame, role: String): DataFrame = {
+      val base = withNorm(df, vecCol)
+        .select(col(idCol).as(s"${role}_id"), col("v"), col("nrm"))
+      val asg = base.join(broadcast(cents), lit(true))
+        .select(col(s"${role}_id"), argminKey(
+          lit(1L << 23) - micro(
+            cosine(col("v"), col("cellv"), col("nrm"), col("celln")), roundTo),
+          col("cell_id").cast("long"), maxOrd = 1L << 24).as("kk"))
+        .groupBy(col(s"${role}_id")).agg(min(col("kk")).as("kk"))
+        .select(col(s"${role}_id"), (col("kk") % IdSpan).as("cluster_id"))
+      base.join(asg, s"${role}_id")
+        .select(col(s"${role}_id"), col("v"), col("cluster_id"))
+    }
+    val cellVecs = cents.select(col("cell_id").as("cluster_id"), col("cellv"))
+    // (id, cell, m, residual subvector): x − c_cell sliced into subspaces
+    def residualSubs(df: DataFrame, role: String): DataFrame =
+      assignCell(df, role)
+        .join(broadcast(cellVecs), "cluster_id")
+        .withColumn("rv", zip_with(col("v"), col("cellv"), _ - _))
+        .select(col(s"${role}_id"), col("cluster_id"), posexplode(array(
+          (0 until m).map(i => slice(col("rv"), i * dsub + 1, dsub)): _*))
+          .as(Seq("m", "xv")))
+    // shared residual codebooks: the sample rows' residuals per subspace
+    val cb = residualSubs(codebookSrc, "cent")
+      .select(col("m"), col("cent_id"), col("xv").as("cv"))
+      .transform(graft.core.Checkpoint.apply)
+    val rawD2 = dot(col("xv"), col("xv")) - lit(2.0) * dot(col("xv"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    // the IVF-PQ index: per (vector, subspace) the nearest residual code
+    val codes = residualSubs(corpus, "nbr")
+      .join(broadcast(cb), "m")
+      .select(col("nbr_id"), col("cluster_id"), col("m"),
+        argminKey(micro(rawD2, roundTo), col("cent_id").cast("long"),
+          maxOrd = 1L << 30).as("kk"))
+      .groupBy(col("nbr_id"), col("cluster_id"), col("m"))
+      .agg(min(col("kk")).as("kk"))
+      .select(col("nbr_id"), col("cluster_id"), col("m"),
+        (col("kk") % IdSpan).as("code"))
+    // query-side tables: one cell dot per query + the ADC partial table
+    val qCell = assignCell(queries, "query")
+      .join(broadcast(cellVecs), "cluster_id")
+      .select(col("query_id"), col("cluster_id"),
+        dot(col("v"), col("cellv")).as("pc"))
+    val partials = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_v"))
+      .select(col("query_id"), posexplode(array(
+        (0 until m).map(i => slice(col("_v"), i * dsub + 1, dsub)): _*))
+        .as(Seq("m", "qv")))
+      .join(broadcast(cb), "m")
+      .select(col("query_id"), col("m"), col("cent_id").as("code"),
+        dot(col("qv"), col("cv")).as("p"))
+    val fixedOrderSum = (0 until m).map(i =>
+      coalesce(max(when(col("m") === i, col("p"))), lit(0.0))).reduce(_ + _)
+    val scored = codes
+      .join(broadcast(qCell), Seq("cluster_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .join(broadcast(partials), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(round(max(col("pc")) + fixedOrderSum, roundTo).as("approx_dot"))
+    scored.groupBy(col("query_id"))
+      .agg(call_function("graft_topk",
+        col("approx_dot"), col("nbr_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("query_id"), col("t.payload").as("nbr_id"),
+        (col("rnk0") + 1).cast("int").as("rank"), col("t.value").as("approx_dot"))
+  }
 }

@@ -153,6 +153,69 @@ object SimilarityOps {
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ top-3: coarse cells from sampled centroids (vec_id % 100 == 7),
+    * shared residual codebooks from sampled rows (vec_id % 50 == 3),
+    * asymmetric scoring dot(q,c_cell) + Σ ADC partials — the FAISS
+    * IndexIVFPQ shape (see [[Similarity.ivfPqKnn]]); the oracle rebuilds
+    * the same two-level quantization in SQL.
+    */
+  def knnIvfPq: Q = (s, d) =>
+    Similarity.ivfPqKnn(corpus(s, d), querySet(s, d),
+        corpus(s, d).filter(col("vec_id") % 100 === 7 && col("vec_id") < ParamCap),
+        corpus(s, d).filter(col("vec_id") % 50 === 3 && col("vec_id") < ParamCap),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+
+  val knnIvfPqSql: String = {
+    val dotVC = Similarity.dotSql("x.v", "c.cellv", 64)
+    val dxx = Similarity.dotSql("s.xv", "s.xv", 8)
+    val dxc = Similarity.dotSql("s.xv", "c.cv", 8)
+    val dcc = Similarity.dotSql("c.cv", "c.cv", 8)
+    val dqc = Similarity.dotSql("q.qv", "c.cv", 8)
+    val pcDot = Similarity.dotSql("a.v", "a.cellv", 64)
+    val ms = (0 until 8).mkString("[", ",", "]")
+    val fixedSum = (0 until 8).map(i =>
+      s"coalesce(max(CASE WHEN p.m = $i THEN p.p END), 0.0)").mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(${Similarity.dotSql("v", "v", 64)}) AS nrm FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, v AS cellv, nrm AS celln FROM base
+      |  WHERE vec_id % 100 = 7 AND vec_id < 2000),
+      |asg AS (SELECT vec_id, v, cluster_id, cellv FROM (
+      |    SELECT x.vec_id, x.v, c.cell_id AS cluster_id, c.cellv,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round($dotVC / (x.nrm * c.celln), 6) DESC, c.cell_id ASC) AS crank
+      |    FROM base x CROSS JOIN cents c)
+      |  WHERE crank = 1),
+      |rsubs AS (SELECT vec_id, cluster_id, m,
+      |    list_transform(range(1, 9), i -> v[m*8+i] - cellv[m*8+i]) AS xv
+      |  FROM asg CROSS JOIN (SELECT unnest($ms) AS m)),
+      |cb AS (SELECT vec_id AS cent_id, m, xv AS cv FROM rsubs
+      |  WHERE vec_id % 50 = 3 AND vec_id < 2000),
+      |codes AS (SELECT vec_id, cluster_id, m, code FROM (
+      |    SELECT s.vec_id, s.cluster_id, s.m, c.cent_id AS code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY round($dxx - 2.0 * $dxc + $dcc, 6) ASC, c.cent_id ASC) AS rn
+      |    FROM rsubs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+      |qcell AS (SELECT a.vec_id AS query_id, a.cluster_id, $pcDot AS pc
+      |  FROM asg a WHERE a.vec_id % 100 = 0 AND a.vec_id < 2000),
+      |qsubs AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS qv FROM base
+      |    CROSS JOIN (SELECT unnest($ms) AS m)
+      |  WHERE vec_id % 100 = 0 AND vec_id < 2000),
+      |partials AS (SELECT q.vec_id AS query_id, q.m, c.cent_id AS code, $dqc AS p
+      |  FROM qsubs q JOIN cb c ON q.m = c.m),
+      |scored AS (SELECT qc.query_id, s.vec_id,
+      |    round(max(qc.pc) + $fixedSum, 6) AS approx_dot
+      |  FROM codes s
+      |  JOIN qcell qc ON s.cluster_id = qc.cluster_id AND s.vec_id <> qc.query_id
+      |  JOIN partials p ON p.query_id = qc.query_id AND p.m = s.m AND p.code = s.code
+      |  GROUP BY qc.query_id, s.vec_id),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, vec_id AS nbr_id, CAST(rank AS INTEGER) AS rank, approx_dot
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** One Lloyd's assignment + recompute step in EXACT integer arithmetic —
     * the oracle-gatable twin of [[graft.ops.Similarity.kmeansCentroids]]
     * (whose float means are deterministic per engine but not bit-portable
@@ -640,6 +703,7 @@ object SimilarityOps {
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_knn_pq" -> knnPq,
+    "q_knn_ivfpq" -> knnIvfPq,
     "q_kmeans_step" -> kmeansStep,
     "q_hard_negatives" -> hardNegativesQ,
   )
@@ -655,6 +719,7 @@ object SimilarityOps {
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_pq" -> knnPqSql,
+    "q_knn_ivfpq" -> knnIvfPqSql,
     "q_kmeans_step" -> kmeansStepSql,
     "q_hard_negatives" -> hardNegativesSql,
   )
