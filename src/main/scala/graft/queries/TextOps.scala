@@ -359,6 +359,104 @@ object TextOps {
       |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
       |FROM p GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT $BpeTop""".stripMargin
 
+  // ----------------------------------------------- full BPE train + encode
+
+  private val BpeMerges = 8
+  private val BpeTopWords = 15
+
+  /** The complete BPE training loop ([[graft.ops.Bpe]]): 8 merge rounds
+    * over the word-frequency table, each round an exact corpus-weighted
+    * adjacent-pair argmax (weight desc, pair asc tie-break) followed by a
+    * greedy left-to-right merge of the winning pair across the
+    * vocabulary. Output: the ordered merge table — the MODEL a BPE
+    * tokenizer ships. The oracle replays the identical 8 rounds as
+    * unrolled SQL stages, so every argmax and every merge application
+    * must agree bit-for-bit across engines.
+    *
+    * SCALE: one corpus-sized shuffle builds the frequency table; each
+    * round after that is two vocabulary-sized jobs + a 1-row collect
+    * (the merge table is driver-state by design — it IS the model, a
+    * few hundred strings, exactly like production trainers).
+    */
+  def bpeTrain: Q = (s, d) => {
+    val merges = graft.ops.Bpe.train(
+      graft.ops.Bpe.wordFreq(Tables.documents(s, d), "text"), BpeMerges)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((pa, pb, w), i) => (i, pa, pb, w) }
+      .toDF("round", "pa", "pb", "weight")
+      .select(col("round").cast("int"), col("pa"), col("pb"), col("weight"))
+      .orderBy(col("round"))
+  }
+
+  /** BPE ENCODE with the trained merges: the top-15 words by corpus
+    * frequency, each re-tokenized by applying the 8 merges in training
+    * order (greedy, non-overlapping — the wrapped-sentinel `replace`
+    * trick makes the fold a codegen'd string primitive, see
+    * [[graft.ops.Bpe]]). Output pins the full segmentation (`encoding`)
+    * and the token count per word; the oracle re-derives both from its
+    * own 8-stage replay.
+    *
+    * SCALE: encode is a zero-shuffle projection — one `replace` per
+    * merge fused into a single whole-stage-codegen'd scan, so tokenizing
+    * a 100 TB corpus costs exactly one pass.
+    */
+  def bpeEncode: Q = (s, d) => {
+    val B = graft.ops.Bpe
+    val wf = B.wordFreq(Tables.documents(s, d), "text")
+    val merges = B.train(wf, BpeMerges)
+    wf.orderBy(col("freq").desc, col("word").asc).limit(BpeTopWords)
+      .withColumn("s", B.encode(B.wrapChars(col("word")), merges))
+      .select(col("word"), col("freq"),
+        B.tokenCount(col("s")).as("n_tokens"),
+        B.render(col("s")).as("encoding"))
+      .orderBy(col("freq").desc, col("word").asc)
+  }
+
+  /** Unrolled-round CTE prefix shared by the two BPE oracles: wf → v0,
+    * then per round i: pair stats (p_i) → argmax (m_i) → merged vocab
+    * (v_{i+1}), mirroring the Spark loop stage for stage.
+    */
+  private def bpeCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+      |    (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |     FROM documents) WHERE word <> '' GROUP BY word),
+      |v0 AS (SELECT word, freq,
+      |  regexp_replace(word, '(.)', chr(1)||'\1'||chr(2), 'g') AS s FROM wf)""".stripMargin
+    (0 until n).foreach { i =>
+      sb ++= s""",
+      |y$i AS (SELECT freq, string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)) AS y
+      |  FROM v$i),
+      |p$i AS (SELECT y[i] AS pa, y[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS w
+      |  FROM y$i CROSS JOIN unnest(generate_series(1, len(y)-1)) AS t(i)
+      |  WHERE len(y) >= 2 GROUP BY pa, pb),
+      |m$i AS (SELECT pa, pb, w FROM p$i ORDER BY w DESC, pa ASC, pb ASC LIMIT 1),
+      |v${i + 1} AS (SELECT word, freq,
+      |  replace(s, chr(1)||m$i.pa||chr(2)||chr(1)||m$i.pb||chr(2),
+      |    chr(1)||m$i.pa||m$i.pb||chr(2)) AS s
+      |  FROM v$i CROSS JOIN m$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val bpeTrainSql: String = {
+    val rounds = (0 until BpeMerges)
+      .map(i => s"SELECT $i AS round, pa, pb, w AS weight FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(BpeMerges)}
+      |SELECT CAST(round AS INTEGER) AS round, pa, pb, weight
+      |FROM ($rounds) ORDER BY round""".stripMargin
+  }
+
+  val bpeEncodeSql: String =
+    s"""WITH ${bpeCtes(BpeMerges)}
+      |SELECT word, freq,
+      |  CAST(len(s) - len(replace(s, chr(1), '')) AS INTEGER) AS n_tokens,
+      |  replace(trim(s, chr(1)||chr(2)), chr(2)||chr(1), ' ') AS encoding
+      |FROM v$BpeMerges
+      |ORDER BY freq DESC, word ASC LIMIT $BpeTopWords""".stripMargin
+
   // ------------------------------------------------------- BM25 relevance
 
   private val BmTerms = Seq("hash", "join", "vector")
@@ -555,6 +653,8 @@ object TextOps {
     "q_freq_spectrum" -> freqSpectrum,
     "q_text_normalize" -> textNormalize,
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_train" -> bpeTrain,
+    "q_bpe_encode" -> bpeEncode,
     "q_bm25" -> bm25,
     "q_inverted_index" -> invertedIndex,
     "q_tfidf_topk" -> tfidfTopk,
@@ -571,6 +671,8 @@ object TextOps {
     "q_freq_spectrum" -> freqSpectrumSql,
     "q_text_normalize" -> textNormalizeSql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_bm25" -> bm25Sql,
     "q_inverted_index" -> invertedIndexSql,
     "q_tfidf_topk" -> tfidfTopkSql,
