@@ -140,6 +140,41 @@ class TableLogCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("racing writers through the delta path: linear versions, no lost update") {
+    val dir = freshDir()
+    withInterval(4) {
+      // seed so racers contend on an existing log, not table creation
+      TableLog.append(spark, dir,
+        Seq((0L, -1)).toDF("k", "writer").coalesce(1))
+      val writers = 4
+      val each = 6
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = (0 until writers).map { w =>
+        scala.concurrent.Future {
+          (0 until each).foreach { i =>
+            TableLog.append(spark, dir,
+              Seq((w * 1000L + i, w)).toDF("k", "writer").coalesce(1))
+          }
+        }
+      }
+      try fs.foreach(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+      finally pool.shutdown()
+      // every commit won a distinct version: contiguous 1..(1 + w*each),
+      // resolvable at the tip, with every writer's every row present —
+      // a lost update (a delta diffed against a stale tip) would drop rows
+      val vs = TableLog.versions(spark, dir)
+      assert(vs == (1L to (1 + writers * each)).toSeq, s"versions $vs")
+      val got = TableLog.read(spark, dir)
+        .select($"k").as[Long].collect().toSet
+      val want = (Set(0L) ++ (for (w <- 0 until writers; i <- 0 until each)
+        yield w * 1000L + i).toSet)
+      assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+    }
+  }
+
   test("a table recreated at the same path never serves the old cache") {
     val dir = freshDir()
     withInterval(10) {

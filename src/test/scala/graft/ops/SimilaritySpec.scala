@@ -136,6 +136,20 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall by bits: $lshRecallAt, multi-probe@4: $mpRecall%.3f, " +
       f"IVF recall nProbe=1: $ivfRecall%.3f, nProbe=2: $ivf2Recall%.3f, " +
       f"PQ by codebook-mod: $pqRecallAt over ${truth.size} pairs")
+
+    // IVF-PQ: same cell pruning as IVF, but members scored from residual
+    // codes (ADC) instead of corpus floats — the quantization loss must
+    // keep a usable share of the true neighbors (no ordering relation to
+    // IVF's exact-cosine recall is asserted: within-cell rank flips can
+    // move truth pairs across the top-k boundary in either direction)
+    val ivfpq = pairs(Similarity.ivfPqKnn(emb, queries, centroids,
+      emb.filter($"vec_id" % 5 === 3), "vec_id", "embedding", k = 5))
+    val ivfpqRecall = (truth & ivfpq).size.toDouble / truth.size
+    // floor below the other families': the 50-vector fixture quantizes
+    // 64 dims into 8 codes from a ~10-row codebook — recall 0.157 here,
+    // regression-checked rather than aspirational
+    assert(ivfpqRecall >= 0.1, s"IVF-PQ recall $ivfpqRecall")
+    info(f"IVF-PQ recall: $ivfpqRecall%.3f (IVF exact-scoring: $ivfRecall%.3f)")
   }
 
   test("trained PQ codebooks beat sampled-row codebooks on recall") {
