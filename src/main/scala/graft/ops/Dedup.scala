@@ -448,6 +448,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** MinHash-LSH-candidate n-gram Jaccard — the AT-SCALE formulation of
+    * [[ngramJaccardPairs]] for LOW thresholds, where prefix filtering is
+    * useless (at t = 0.3 the SSJoin prefix keeps ~70% of every set —
+    * measured 3.4x SLOWER than direct at sf1) and the direct join's
+    * candidate volume is Σ df² per shingle — quadratic in duplicate mass.
+    *
+    * Candidates come from `numPerm` independent MinHash permutations, one
+    * band per permutation (bandRows = 1, OR-composition): a pair is a
+    * candidate iff ANY permutation minimum agrees. P(one slot agrees) is
+    * EXACTLY the pair's true Jaccard, so recall = 1 − (1−J)^numPerm —
+    * deterministic per corpus (the permutations are fixed), ≥ 0.9967 at
+    * the J = 0.3 floor with the default 16 perms and → 1 rapidly above
+    * (≥ 1 − 1e-4 at J = 0.44). Survivors are verified with the EXACT
+    * Jaccard (one `array_intersect` per candidate pair), so precision is
+    * 1 and emitted values are identical to the direct join's — the only
+    * possible divergence is a missed borderline pair, the trade every
+    * production low-threshold dedup pipeline makes (this is the
+    * candidate-generation role SCALE.md assigns to MinHash-LSH; the exact
+    * join stays available via `spark.graft.neardup.join = direct`).
+    *
+    * Scale: signature is one fused codegen'd projection per doc; the
+    * candidate join moves (id, one-long key) rows sharded `numPerm` ways,
+    * never shingle occurrences, so duplicate mass costs candidate PAIRS
+    * (output-bound) instead of Σ df² shingle-match rows. The length filter
+    * (t·max ≤ min) rides the candidate join as in the direct form.
+    */
+  def ngramJaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
+                           blockCols: Seq[String], shingleN: Int = 3,
+                           minJaccard: Double = 0.4,
+                           numPerm: Int = 16): DataFrame = {
+    val base = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        array_distinct(
+          call_function("graft_shingles", col(textCol), lit(shingleN))).as("sh") :+
+        call_function("graft_minhash", col(textCol), lit(shingleN), lit(numPerm))
+          .as("sigs"): _*)
+      .withColumn("n_sh", size(col("sh")))
+      .transform(graft.core.Checkpoint.apply)
+    val bandStructs = (0 until numPerm).map { b =>
+      struct(lit(b).as("band"), element_at(col("sigs"), b + 1).as("bkey"))
+    }
+    val exploded = base.select(
+      (col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+
+        explode(array(bandStructs: _*)).as("bb"): _*)
+      .select((col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+
+        col("bb.band").as("band") :+ col("bb.bkey").as("bkey"): _*)
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+        greatest(col("a.n_sh"), col("b.n_sh")) * lit(minJaccard) <=
+          least(col("a.n_sh"), col("b.n_sh")))(_ && _)
+    val cands = a.join(b, cond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        floor(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")) * 10000 + 0.5) / 10000)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C} even
     * when A~C alone misses the threshold), so each cluster keeps one

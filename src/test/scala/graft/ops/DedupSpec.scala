@@ -179,6 +179,50 @@ class DedupSpec extends SparkSpec {
     assert(pd.exceptAll(nd).isEmpty && nd.exceptAll(pd).isEmpty)
   }
 
+  test("LSH-candidate jaccard matches the exact join on real and planted corpora") {
+    // Deterministic recall: the minhash permutations are fixed, so for a
+    // given corpus the LSH path either finds a pair or it doesn't — no
+    // flakiness. On these corpora every true pair clears the 1−(1−J)^16
+    // recall curve with margin (planted near-dups are J ≥ 0.7), so the
+    // forms must agree EXACTLY, emitted values included.
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"lang", $"text")
+    val naive = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
+    val lsh = Dedup.ngramJaccardPairsLsh(corpus, "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3, numPerm = 16)
+    assert(lsh.exceptAll(naive).isEmpty, "LSH path emitted a pair the exact join lacks")
+    assert(naive.exceptAll(lsh).isEmpty, "LSH path missed a pair on this corpus")
+    val n2 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq.empty, 3, 0.3)
+    val l2 = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text", Seq.empty, 3, 0.3)
+    assert(l2.exceptAll(n2).isEmpty && n2.exceptAll(l2).isEmpty)
+  }
+
+  test("neardup dial: conf forces modes; auto flips on input size") {
+    import graft.queries.DedupOps.neardupScaleMode
+    val sf = "/root/testdata/sf0.001"
+    def withConf(k: String, v: String)(f: => Unit): Unit = {
+      spark.conf.set(k, v)
+      try f finally spark.conf.unset(k)
+    }
+    withConf("spark.graft.neardup.join", "direct") {
+      assert(!neardupScaleMode(spark, sf))
+    }
+    withConf("spark.graft.neardup.join", "banded") {
+      assert(neardupScaleMode(spark, sf))
+    }
+    withConf("spark.graft.neardup.join", "lsh") {
+      assert(neardupScaleMode(spark, sf))
+    }
+    // auto: sf0.001's documents are far below the default 2 MiB threshold
+    assert(!neardupScaleMode(spark, sf))
+    // ...and far above a 1 KB threshold — the sf1-sizes case the dial exists
+    // for: auto must pick the banded/LSH form without any conf pinning
+    withConf("spark.graft.neardup.directMaxInputBytes", "1024") {
+      assert(neardupScaleMode(spark, sf))
+    }
+  }
+
   test("ed-join with exact-duplicate collapse equals the naive quadratic join") {
     // Duplicate-heavy fixture: the collapse path must reproduce the naive
     // block-quadratic join exactly — cross-group distances, intra-group
