@@ -138,28 +138,39 @@ object TableLog {
     finally in.close()
   }
 
-  /** Resolver cache: dir -> (version, that version's log-file mtime,
-    * resolved snapshot-state lines). Log files are immutable after their
-    * atomic create, so a cached snapshot can only go stale if the table
-    * is deleted and recreated at the same path — the mtime check catches
-    * that (the recreated table's log file at the cached version is a
-    * different file). One entry per table: tip resolution (every commit,
-    * every read) is the hot path; historical resolutions walk back to the
-    * nearest checkpoint instead.
+  /** Resolver cache: qualified dir -> (version, that version's log-file
+    * (mtime, length), resolved snapshot-state lines). Log files are
+    * immutable after their atomic create, so a cached snapshot can only go
+    * stale if the table is deleted and recreated at the same path — the
+    * (mtime, length) identity check catches that (the recreated table's
+    * log file at the cached version is a different file; length breaks the
+    * tie when a fast recreation lands on the same coarse-granularity
+    * millisecond). The key is the FileSystem-qualified path so equivalent
+    * spellings of one dir share an entry. One entry per table: tip
+    * resolution (every commit, every read) is the hot path; historical
+    * resolutions walk back to the nearest checkpoint instead.
     */
   private val snapCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Long, Long), Seq[String])]()
+
+  private def cacheKey(fs: org.apache.hadoop.fs.FileSystem, dir: String): String =
+    fs.makeQualified(new Path(dir)).toString
+
+  private def logFileId(fs: org.apache.hadoop.fs.FileSystem, p: Path): (Long, Long) = {
+    val st = fs.getFileStatus(p)
+    (st.getModificationTime, st.getLen)
+  }
 
   private def cachedSnapshot(fs: org.apache.hadoop.fs.FileSystem,
                              dir: String, v: Long): Option[Seq[String]] =
-    Option(snapCache.get(dir)).filter(_._1 == v).flatMap {
-      case (_, mtime, snap) =>
+    Option(snapCache.get(cacheKey(fs, dir))).filter(_._1 == v).flatMap {
+      case (_, id, snap) =>
         val ok =
           try {
             val m = manifestPath(dir, v)
             val d = deltaPath(dir, v)
-            (fs.exists(m) && fs.getFileStatus(m).getModificationTime == mtime) ||
-              (fs.exists(d) && fs.getFileStatus(d).getModificationTime == mtime)
+            (fs.exists(m) && logFileId(fs, m) == id) ||
+              (fs.exists(d) && logFileId(fs, d) == id)
           } catch { case _: java.io.IOException => false }
         if (ok) Some(snap) else None
     }
@@ -168,8 +179,7 @@ object TableLog {
                             v: Long, logPath: Path,
                             snapshot: Seq[String]): Unit =
     try {
-      val mtime = fs.getFileStatus(logPath).getModificationTime
-      snapCache.merge(dir, (v, mtime, snapshot),
+      snapCache.merge(cacheKey(fs, dir), (v, logFileId(fs, logPath), snapshot),
         (old, nw) => if (nw._1 >= old._1) nw else old)
     } catch { case _: java.io.IOException => () }
 
@@ -192,6 +202,12 @@ object TableLog {
     val ownPath = deltaPath(dir, v)
     if (!fs.exists(ownPath)) throw new java.io.FileNotFoundException(
       s"version $v of $dir has no log file (vacuumed?)")
+    // hot path: the requested version itself is cached (tip resolution —
+    // the commit-time seed serves the NEXT commit/read here); only the
+    // version's own small delta is re-read, for its per-version lines
+    cachedSnapshot(fs, dir, v).foreach { snap =>
+      return snap ++ rawLines(fs, ownPath).filter(isPerVersion)
+    }
     // newest-first stack of deltas between v and the resolution base
     val deltas = scala.collection.mutable.ArrayBuffer(rawLines(fs, ownPath))
     var cur = v - 1
@@ -561,31 +577,45 @@ object TableLog {
         (tipLines.filter(_.startsWith("#check=")) ++ extraProps).distinct
       val state = files ++ stats ++ dv ++ lay ++ props
       val perVersion = txn.map(t => s"#txn=$t").toSeq :+ s"#op=$op"
-      val k = checkpointInterval(spark)
-      // checkpoint cadence: v=1 is always full (a base every resolution
-      // terminates on), then every k-th version; everything between is a
-      // delta holding only this commit's line edits against the tip
-      val (target, bytes) =
-        if (k <= 1 || v == 1L || v % k == 0)
-          (manifestPath(dir, v),
-            ((state ++ perVersion).mkString("\n") + "\n").getBytes("UTF-8"))
-        else {
-          val oldState = tipLines.filterNot(isPerVersion)
-          val newSet = state.toSet
-          val oldSet = oldState.toSet
-          val edits = perVersion ++
-            oldState.filterNot(newSet).map("-" + _) ++
-            state.filterNot(oldSet).map("+" + _)
-          (deltaPath(dir, v),
-            (edits.mkString("\n") + "\n").getBytes("UTF-8"))
+      // The commit CAS is ALWAYS on the version's .delta path — one
+      // format-NEUTRAL decision point per version. The checkpoint cadence
+      // (below) only decides whether a full manifest is ADDITIONALLY
+      // materialized after the win, so writers configured with different
+      // checkpointInterval values can race safely: both contend on the
+      // same path and exactly one wins. (Deciding manifest-vs-delta as
+      // the CAS target would let a k=1 writer and a k=10 writer both
+      // "win" version v on different paths — a silent lost update, since
+      // logFileOf prefers the manifest.)
+      val oldState = tipLines.filterNot(isPerVersion)
+      val newSet = state.toSet
+      val oldSet = oldState.toSet
+      val edits = perVersion ++
+        oldState.filterNot(newSet).map("-" + _) ++
+        state.filterNot(oldSet).map("+" + _)
+      val target = deltaPath(dir, v)
+      if (atomicPutIfAbsent(fs, target,
+        (edits.mkString("\n") + "\n").getBytes("UTF-8"))) {
+        // checkpoint cadence: v=1 is always full (a base every resolution
+        // terminates on), then every k-th version. The manifest is a
+        // DERIVED artifact of the won commit: an atomic put that inherits
+        // the delta's mtime so TIMESTAMP AS OF answers identically via
+        // either file; a crash before it lands just leaves v resolvable
+        // through its delta (vacuum's floor materialization heals floors).
+        val k = checkpointInterval(spark)
+        if (k <= 1 || v == 1L || v % k == 0) {
+          val mp = manifestPath(dir, v)
+          if (atomicPutIfAbsent(fs, mp,
+            ((state ++ perVersion).mkString("\n") + "\n").getBytes("UTF-8"))) {
+            try fs.setTimes(mp, fs.getFileStatus(target).getModificationTime, -1)
+            catch { case _: java.io.IOException => () }
+          }
         }
-      if (atomicPutIfAbsent(fs, target, bytes)) {
         // seed the resolver cache with the snapshot we just committed —
         // unconditional put (not merge): the winning committer KNOWS v is
         // the table's current tip, which also self-heals a stale entry
         // left by a delete-and-recreate at the same path
-        try snapCache.put(dir,
-          (v, fs.getFileStatus(target).getModificationTime, state))
+        try snapCache.put(cacheKey(fs, dir),
+          (v, logFileId(fs, target), state))
         catch { case _: java.io.IOException => () }
         committed = v
       }
@@ -1207,15 +1237,24 @@ object TableLog {
     // create-no-overwrite race just skips — the winner owns the swap.
     keep.headOption.foreach { floor =>
       val mp = manifestPath(dir, floor)
+      val dp = deltaPath(dir, floor)
       if (!fs.exists(mp)) {
-        val dp = deltaPath(dir, floor)
         val mtime = fs.getFileStatus(dp).getModificationTime
         val lines = manifestLines(spark, dir, floor)
-        if (atomicPutIfAbsent(fs, mp,
-          (lines.mkString("\n") + "\n").getBytes("UTF-8"))) {
-          fs.setTimes(mp, mtime, -1)
-          fs.delete(dp, false)
-        }
+        atomicPutIfAbsent(fs, mp,
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        // fall through: the swap's tail (mtime assert + delta delete) runs
+        // below whether THIS vacuum won the put, a concurrent one did, or
+        // a previous vacuum crashed between put and setTimes/delete —
+        // making the materialization idempotent across crashes
+      }
+      if (fs.exists(mp) && fs.exists(dp)) {
+        // re-assert the original commit time from the delta (a crash after
+        // the put but before setTimes would otherwise shift TIMESTAMP AS
+        // OF for the floor), then retire the delta
+        try fs.setTimes(mp, fs.getFileStatus(dp).getModificationTime, -1)
+        catch { case _: java.io.IOException => () }
+        fs.delete(dp, false)
       }
     }
     val referenced = keep.flatMap(readManifest(spark, dir, _)).toSet

@@ -68,11 +68,12 @@ class TableLogCheckpointSpec extends SparkSpec {
       assert(signature(ckpt, Some(v)) == signature(legacy, Some(v)),
         s"divergence at version $v")
     }
-    // the checkpointed log actually used deltas: v1/v4/v8 are manifests,
-    // the rest are deltas
+    // the checkpointed log actually used deltas: every version commits
+    // through its .delta (the format-neutral CAS path), and v1/v4/v8
+    // additionally materialized checkpoint manifests
     val names = logFiles(ckpt)
     assert(names.count(_.endsWith(".manifest")) == 3, names.mkString(","))
-    assert(names.count(_.endsWith(".delta")) == 7, names.mkString(","))
+    assert(names.count(_.endsWith(".delta")) == 10, names.mkString(","))
     // history reads identically through deltas (op labels + file counts)
     val h = (d: String) => TableLog.history(spark, d)
       .select("version", "operation", "n_files")
@@ -173,6 +174,44 @@ class TableLogCheckpointSpec extends SparkSpec {
         yield w * 1000L + i).toSet)
       assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
     }
+  }
+
+  test("writers with DIFFERENT checkpoint intervals race without lost updates") {
+    // The scenario the format-neutral CAS exists for: a k=1 writer and a
+    // k=10 writer racing the same version. Before the delta-path CAS, one
+    // would create <v>.manifest and the other <v>.delta — both "winning"
+    // v, and since logFileOf prefers the manifest, the delta writer's
+    // commit (and its rows) silently vanished. Now both contend on
+    // <v>.delta and exactly one wins per version.
+    val dir = freshDir()
+    val sessions = Seq(1, 10).map { k =>
+      val s = spark.newSession()
+      s.conf.set("spark.graft.tablelog.checkpointInterval", k.toString)
+      s
+    }
+    TableLog.append(spark, dir, Seq((0L, -1)).toDF("k", "writer").coalesce(1))
+    val each = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = sessions.zipWithIndex.map { case (s, w) =>
+      scala.concurrent.Future {
+        import s.implicits._
+        (0 until each).foreach { i =>
+          TableLog.append(s, dir,
+            Seq((w * 1000L + i, w)).toDF("k", "writer").coalesce(1))
+        }
+      }
+    }
+    try futs.foreach(scala.concurrent.Await.result(_,
+      scala.concurrent.duration.Duration.Inf))
+    finally pool.shutdown()
+    val vs = TableLog.versions(spark, dir)
+    assert(vs == (1L to (1 + 2 * each)).toSeq, s"versions $vs")
+    val got = TableLog.read(spark, dir).select($"k").as[Long].collect().toSet
+    val want = Set(0L) ++ (for (w <- 0 until 2; i <- 0 until each)
+      yield w * 1000L + i).toSet
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
   }
 
   test("a table recreated at the same path never serves the old cache") {
