@@ -55,31 +55,81 @@ object Bpe {
     * ordered merge list [(left, right, weight)] — ties broken (weight
     * desc, left asc, right asc) so the model is identical across
     * engines and partitionings. Stops early if no adjacent pair remains.
+    *
+    * BATCHED rounds, IDENTICAL model: one merge per distributed job is
+    * 500 driver round-trips for a 500-merge model, so each round collects
+    * the top of the ranked pair table and accepts a PREFIX of it — up to
+    * `batchK` merges per job — under conditions that make the batch
+    * provably equal to running the rounds one at a time:
+    *
+    *  - a candidate must be symbol-disjoint from every pair accepted
+    *    earlier in the batch (merging (a,b) only changes counts of pairs
+    *    touching `a`, `b`, or the new `ab`; a disjoint pair's count — and
+    *    its (w, pa, pb) tie-break tuple — is invariant);
+    *  - every pair that DOES conflict with the accepted set must weigh
+    *    STRICTLY less than the candidate. Any pair a merge creates or
+    *    grows derives from a conflicting source pair occurrence — e.g.
+    *    each (x, ab) occurrence was an (x, a) occurrence — so its
+    *    post-merge weight is bounded by that source's pre-merge weight.
+    *    A strict gap therefore guarantees nothing can rise to tie-or-beat
+    *    the candidate before its turn in the sequential order (ties are
+    *    the dangerous case: a derived pair tying the weight could win the
+    *    lexicographic tie-break);
+    *  - if the collected top is a truncation of the pair table, the
+    *    candidate must also weigh strictly more than the collection
+    *    floor, bounding every unseen conflict the same way.
+    *
+    * The batch stops at the first rejected candidate (later ranks are
+    * only the sequential successors if the whole prefix is). `batchK = 1`
+    * restores the one-merge-per-job loop exactly.
     */
-  def train(wordFreq: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
+  def train(wordFreq: DataFrame, nMerges: Int,
+            batchK: Int = 8): Seq[(String, String, Long)] = {
     var vocab = wordFreq
       .select(col("freq"), wrapChars(col("word")).as("s"))
       .transform(graft.core.Checkpoint.apply)
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
     var exhausted = false
-    for (_ <- 0 until nMerges if !exhausted) {
+    while (merges.size < nMerges && !exhausted) {
+      val collectN = math.max(batchK * 8, 16)
       val sy = vocab
         .withColumn("y", split(trim(col("s"), S + E), E + S))
         .filter(size(col("y")) >= 2)
-      val best = sy
+      val top = sy
         .select(col("freq"), explode(sequence(lit(1), size(col("y")) - 1)).as("i"),
           col("y"))
         .select(col("freq"), element_at(col("y"), col("i")).as("pa"),
           element_at(col("y"), col("i") + 1).as("pb"))
         .groupBy(col("pa"), col("pb")).agg(sum(col("freq")).as("w"))
         .orderBy(col("w").desc, col("pa").asc, col("pb").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(collectN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (pa, pb, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((pa, pb, w))
+        val truncated = top.length == collectN
+        val floorW = top.last._3
+        val maxAccept = math.min(math.max(batchK, 1), nMerges - merges.size)
+        val accepted = scala.collection.mutable.ListBuffer(top.head)
+        var acceptedSyms = Set(top.head._1, top.head._2)
+        var i = 1
+        var stop = false
+        while (!stop && i < top.length && accepted.size < maxAccept) {
+          val (pa, pb, w) = top(i)
+          val disjoint = !acceptedSyms(pa) && !acceptedSyms(pb)
+          // ties among still-collected pairs: only a conflict can rise
+          val noConflictTie = top.drop(i + 1).forall { case (qa, qb, qw) =>
+            qw < w || (!acceptedSyms(qa) && !acceptedSyms(qb))
+          }
+          val aboveFloor = !truncated || w > floorW
+          if (disjoint && noConflictTie && aboveFloor) {
+            accepted += ((pa, pb, w))
+            acceptedSyms = acceptedSyms + pa + pb
+            i += 1
+          } else stop = true
+        }
+        merges ++= accepted
         vocab = vocab
-          .withColumn("s", applyMerge(col("s"), pa, pb))
+          .withColumn("s", encode(col("s"), accepted.toList))
           .transform(graft.core.Checkpoint.apply)
       }
     }

@@ -433,9 +433,9 @@ object TextOps {
       |  WHERE len(y) >= 2 GROUP BY pa, pb),
       |m$i AS (SELECT pa, pb, w FROM p$i ORDER BY w DESC, pa ASC, pb ASC LIMIT 1),
       |v${i + 1} AS (SELECT word, freq,
-      |  replace(s, chr(1)||m$i.pa||chr(2)||chr(1)||m$i.pb||chr(2),
-      |    chr(1)||m$i.pa||m$i.pb||chr(2)) AS s
-      |  FROM v$i CROSS JOIN m$i)""".stripMargin
+      |  coalesce(replace(s, chr(1)||m$i.pa||chr(2)||chr(1)||m$i.pb||chr(2),
+      |    chr(1)||m$i.pa||m$i.pb||chr(2)), s) AS s
+      |  FROM v$i LEFT JOIN m$i ON true)""".stripMargin
     }
     sb.toString
   }

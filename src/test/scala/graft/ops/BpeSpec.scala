@@ -56,6 +56,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched training is merge-for-merge identical to one-at-a-time") {
+    // real corpus: frequency skew, deep merge chains, plenty of ties
+    val wf = Bpe.wordFreq(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+    val seqModel = Bpe.train(wf, 24, batchK = 1)
+    val batched = Bpe.train(wf, 24, batchK = 8)
+    assert(batched == seqModel,
+      s"batched=${batched.take(6)}... sequential=${seqModel.take(6)}...")
+    // adversarial ties: every pair weight equal, chained symbols — the
+    // conflict/tie guards must force one-merge batches, not a wrong prefix
+    val tied = Seq(("abcd", 1L), ("bcda", 1L)).toDF("word", "freq")
+    assert(Bpe.train(tied, 3, batchK = 8) == Bpe.train(tied, 3, batchK = 1))
+  }
+
   test("overlapping pairs merge left-to-right, non-overlapping") {
     // 'aaa' with merge (a,a) must become [aa, a], never [a, aa] or [aa, aa]
     val wf = Seq(("aaa", 10L), ("aaaa", 1L)).toDF("word", "freq")
