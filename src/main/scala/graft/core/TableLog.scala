@@ -286,11 +286,11 @@ object TableLog {
   private def dvLines(lines: Seq[String]): Seq[String] =
     lines.filter(l => l.startsWith("#dvp=") || l.startsWith("#dveq="))
 
-  private def dvFiles(lines: Seq[String]): Seq[String] =
+  private[graft] def dvFiles(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith("#dvp=")).map(_.stripPrefix("#dvp="))
 
   /** `#layout=` lines parsed into hidden-partitioning transforms. */
-  private def layoutTransforms(lines: Seq[String]): Seq[graft.sources.PartTransform] =
+  private[graft] def layoutTransforms(lines: Seq[String]): Seq[graft.sources.PartTransform] =
     lines.filter(_.startsWith("#layout="))
       .flatMap(l => graft.sources.PartTransform.parse(l.stripPrefix("#layout=")))
 
@@ -818,9 +818,16 @@ object TableLog {
     * analytical reads; [[read]] remains for callers that pin file subsets
     * programmatically.
     */
-  def table(spark: SparkSession, dir: String,
-            version: Option[Long] = None,
-            asOfTimestamp: Option[Long] = None): DataFrame = {
+  /** Assemble the snapshot's manifest-backed [[graft.sources.TableLogFileIndex]]
+    * + flat data schema + raw manifest lines — the planning state shared
+    * by [[table]] and the DSv2 catalog front door
+    * ([[graft.sources.GraftCatalog]]).
+    */
+  private[graft] def snapshotIndex(spark: SparkSession, dir: String,
+                                   version: Option[Long],
+                                   asOfTimestamp: Option[Long])
+      : (graft.sources.TableLogFileIndex,
+         org.apache.spark.sql.types.StructType, Seq[String]) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions under $dir")
     val v = version
@@ -865,6 +872,16 @@ object TableLog {
     val transforms = layoutTransforms(lines)
     val index = new graft.sources.TableLogFileIndex(
       spark, qd, entries, fileStats(lines), partSchema, transforms)
+    (index, dataSchema, lines)
+  }
+
+  def table(spark: SparkSession, dir: String,
+            version: Option[Long] = None,
+            asOfTimestamp: Option[Long] = None): DataFrame = {
+    val (index, dataSchema, lines) =
+      snapshotIndex(spark, dir, version, asOfTimestamp)
+    val qd = qualifiedDir(spark, dir)
+    val transforms = layoutTransforms(lines)
     val base = graft.sources.TableLogFileIndex.relation(spark, index, dataSchema)
     val dvs = dvFiles(lines)
     val withDv =
@@ -1118,7 +1135,7 @@ object TableLog {
   }
 
   /** Equality-delete lines: (sidecar rel path, key column names). */
-  private def eqLines(lines: Seq[String]): Seq[(String, Seq[String])] =
+  private[graft] def eqLines(lines: Seq[String]): Seq[(String, Seq[String])] =
     lines.filter(_.startsWith("#dveq=")).map { l =>
       val Array(f, cols) = l.stripPrefix("#dveq=").split("\\|", 2)
       (f, cols.split(',').toSeq)

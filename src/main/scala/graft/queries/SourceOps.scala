@@ -217,6 +217,44 @@ object SourceOps {
     atV2.join(atTip, "l_returnflag").orderBy(col("l_returnflag"))
   }
 
+  /** The SQL/CATALOG front door ([[graft.sources.GraftCatalog]]), gated
+    * end to end: the same three-commit lineitem table as [[tableLog]] is
+    * laid out under a warehouse root, the `graft` TableCatalog is
+    * activated by runtime conf (catalogs load lazily — no session-build
+    * hook needed), and the GATE QUERY ITSELF is `spark.sql` text over
+    * `graft.gold.items` — tip via `spark.table`-style reference, v2 via
+    * `VERSION AS OF` — resolved through the DSv2 ParquetScan over the
+    * manifest FileIndex. Hash equality against the raw-parquet oracle
+    * proves catalog resolution, snapshot isolation, and time travel
+    * agree with the API path exactly (the reference's user surface is
+    * `spark.table("gold.x")` everywhere —
+    * reference: src/utils/silver_transformations.py:43).
+    */
+  def tableLogSqlFrontDoor: Q = (s, d) => {
+    val wh = Scratch.dir("tlogsql_" + java.lang.Integer.toHexString(d.hashCode))
+    val dir = s"$wh/gold/items"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    (0 to 2).foreach(i =>
+      graft.core.TableLog.append(s, dir, li.filter(col("l_orderkey") % 3 === i)))
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.sql("""
+      SELECT v2.l_returnflag, n_v2, qty_v2, n_tip, qty_tip
+      FROM (SELECT l_returnflag, count(*) AS n_v2,
+              CAST(sum(l_quantity) AS DOUBLE) AS qty_v2
+            FROM graft.gold.items VERSION AS OF 2 GROUP BY l_returnflag) v2
+      JOIN (SELECT l_returnflag, count(*) AS n_tip,
+              CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
+            FROM graft.gold.items GROUP BY l_returnflag) tip
+        ON v2.l_returnflag = tip.l_returnflag
+      ORDER BY v2.l_returnflag""")
+  }
+
   val tableLogSql: String =
     """WITH v2 AS (SELECT l_returnflag, count(*) AS n_v2,
       |    CAST(sum(l_quantity) AS DOUBLE) AS qty_v2
@@ -889,6 +927,7 @@ object SourceOps {
     "q_fixedwidth_roundtrip" -> fixedWidthRoundtrip,
     "q_fixedwidth_dsv2" -> fixedWidthDsv2,
     "q_table_log" -> tableLog,
+    "q_table_log_sql" -> tableLogSqlFrontDoor,
     "q_table_log_dv" -> tableLogDv,
     "q_table_log_auto" -> tableLogAuto,
     "q_table_log_hidden" -> tableLogHidden,
@@ -912,6 +951,7 @@ object SourceOps {
     "q_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "q_fixedwidth_dsv2" -> fixedWidthDsv2Sql,
     "q_table_log" -> tableLogSql,
+    "q_table_log_sql" -> tableLogSql,
     "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_hidden" -> tableLogHiddenSql,

@@ -52,10 +52,10 @@ class TableLogFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(new Path(dir))
 
-  private def partValues(rel: String): Seq[String] =
+  private[sources] def partValues(rel: String): Seq[String] =
     rel.split('/').init.map(_.split("=", 2)(1)).toSeq
 
-  private def partRow(rel: String): InternalRow = {
+  private[sources] def partRow(rel: String): InternalRow = {
     val vs = partValues(rel).zip(partitionSchema.fields).map {
       case (s, f) => f.dataType match {
         case IntegerType => Int.box(s.toInt)
