@@ -1205,7 +1205,7 @@ object TableLog {
     val fresh = writeDataFiles(spark, dir, replacement, commitId, partitionBy)
     val stats = collectStats(spark, dir, fresh, statsCol.toSeq)
     val v = try {
-      commit(spark, dir, rebaseCompaction(dir, replaced, fresh),
+      commit(spark, dir, rebaseCompaction(dir, replaced, fresh, op),
         freshStats = stats, op = op, mkDv = mkDv).get
     } catch {
       case e: java.util.ConcurrentModificationException =>
@@ -1216,15 +1216,27 @@ object TableLog {
     (v, fresh)
   }
 
-  /** Compaction's commit re-base (see [[compact]]): package-private so the
-    * conflict guard is unit-testable without orchestrating a real race.
+  /** The rewrite commits' LOGICAL conflict guard (copy-on-write
+    * delete/upsert/compact all funnel through [[replaceFiles]] into
+    * here): re-evaluated inside the commit retry loop against the
+    * CURRENT tip, so a loser of the version CAS re-bases — and if any
+    * file this operation decided to rewrite was itself rewritten or
+    * removed by the race winner, the operation ABORTS with
+    * `ConcurrentModificationException` instead of committing survivors
+    * computed from a stale snapshot (the silent-lost-rewrite case; the
+    * caller re-reads and re-runs the whole operation, Delta's
+    * ConcurrentDeleteReadException contract). Disjoint-file rewrites
+    * re-base cleanly and both commit. Package-private so the guard is
+    * unit-testable without orchestrating a real race.
     */
   private[core] def rebaseCompaction(dir: String, compactedSet: Set[String],
-                                     fresh: Seq[String])
+                                     fresh: Seq[String], op: String = "compact")
                                     (base: Seq[String]): Seq[String] = {
     if (!compactedSet.subsetOf(base.toSet))
       throw new java.util.ConcurrentModificationException(
-        s"table at $dir was overwritten/compacted during compact; aborting")
+        s"$op on $dir lost a race: a concurrent commit rewrote file(s) " +
+          s"this $op read (${compactedSet.diff(base.toSet).take(3).mkString(", ")}" +
+          " ...); re-read and retry the operation")
     fresh ++ base.filterNot(compactedSet)
   }
 
