@@ -91,10 +91,27 @@ object Bench {
       else ""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$spread$pipelineJson,"sf":"$sfDir"}"""
     println(json)
-    // The driver captures stdout through a bounded tail buffer, which
-    // truncated round 2's 117-query line; the file copy is authoritative.
+    // The driver captures stdout through a bounded TAIL buffer (2000
+    // chars), which can never hold the full per-query line (~20 KB at 228
+    // queries) — every BENCH_r*.json so far carries "parsed": null
+    // because the only JSON line was truncated mid-flight. The file copy
+    // stays authoritative for per-query work; the LAST stdout line is a
+    // compact summary sized to survive the tail (total, counts,
+    // distribution, the slowest queries) so the driver's parse is
+    // populated. Printed after spark.stop() so no shutdown logging lands
+    // behind it.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH.out.json"), json + "\n")
+    val sorted = results.toSeq.sortBy(-_._2)
+    val med =
+      if (results.isEmpty) 0.0
+      else sorted.map(_._2).sorted.apply(results.size / 2)
+    val top = sorted.take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"median_sec":$med%.3f,"slowest":$top$pipelineJson,"detail":"BENCH.out.json"}"""
     spark.stop()
+    println(compact)
   }
 }

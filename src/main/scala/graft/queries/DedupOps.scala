@@ -263,7 +263,7 @@ object DedupOps {
     * DedupSpec proves the formulations pair-identical, so the switch is a
     * pure planner decision.
     */
-  private def ssjoinPrefixMode(s: SparkSession, d: String): Boolean =
+  private[graft] def ssjoinPrefixMode(s: SparkSession, d: String): Boolean =
     s.conf.get("spark.graft.ssjoin.join", "auto") match {
       case "direct" => false
       case "prefix" => true

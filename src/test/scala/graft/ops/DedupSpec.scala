@@ -223,6 +223,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ssjoin containment dial: auto flips to probing-prefix above the size threshold") {
+    // SCALE.md:186 measured the flip at sf1 (82 -> 34 s); this asserts the
+    // dial DECISION itself so the at-scale mode is a tested contract, not
+    // a measured anecdote. Both formulations are pair-identical (the
+    // probing-prefix spec below), so the flip is a pure planner choice.
+    import graft.queries.DedupOps.ssjoinPrefixMode
+    val sf = "/root/testdata/sf0.001"
+    def withConf(k: String, v: String)(f: => Unit): Unit = {
+      spark.conf.set(k, v)
+      try f finally spark.conf.unset(k)
+    }
+    withConf("spark.graft.ssjoin.join", "direct") {
+      assert(!ssjoinPrefixMode(spark, sf))
+    }
+    withConf("spark.graft.ssjoin.join", "prefix") {
+      assert(ssjoinPrefixMode(spark, sf))
+    }
+    // auto: below the default 2 MiB threshold -> direct
+    assert(!ssjoinPrefixMode(spark, sf))
+    // auto at sf1-like sizes (threshold shrunk below the input) -> prefix
+    withConf("spark.graft.ssjoin.directMaxInputBytes", "1024") {
+      assert(ssjoinPrefixMode(spark, sf))
+    }
+  }
+
   test("ed-join with exact-duplicate collapse equals the naive quadratic join") {
     // Duplicate-heavy fixture: the collapse path must reproduce the naive
     // block-quadratic join exactly — cross-group distances, intra-group
