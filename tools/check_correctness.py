@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Local simulation of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [jsonOut]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
 compares schema + values (columns sorted by name, rows sorted, exact match;
 floats compared exactly after both sides round — mirrors a hash compare).
+With [jsonOut], also writes a CORRECTNESS_r{N}.json-shaped artifact
+(per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/err).
 """
 import json, sys, glob, os
 import duckdb
@@ -26,6 +28,14 @@ def canon(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    record = {}
+
+    def rec(name, rows_match, schema_match, hash_match,
+            spark_rows, oracle_rows, err=None):
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
     con = duckdb.connect()
     tables = ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]
@@ -41,25 +51,37 @@ def main():
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             print(f"FAIL {name}: spark query produced no output dir")
+            rec(name, False, False, False, 0, 0, "no spark output dir")
             n_fail += 1; continue
         got = load_spark_result(qdir)
         if got is None:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output")
+            rec(name, False, False, False, 0, 0, "no spark output")
+            n_fail += 1; continue
         if name not in oracles:
             status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
             print(f"{status} {name}: {len(got)} rows")
+            rec(name, len(got) > 0, None, None, len(got), None,
+                None if len(got) > 0 else "rows-only check empty")
             n_pass += len(got) > 0; n_fail += len(got) == 0
             continue
         try:
             exp = con.execute(oracles[name]).fetch_df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error: {e}")
+            rec(name, False, False, False, len(got), 0,
+                f"oracle error: {str(e)[:200]}")
+            n_fail += 1; continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            rec(name, len(g) == len(e), False, False, len(g), len(e),
+                "column mismatch")
             n_fail += 1; continue
         if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            rec(name, False, True, False, len(g), len(e), None)
+            n_fail += 1; continue
         # dtype check (schema match proxy)
         dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype))
                        for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
@@ -68,11 +90,16 @@ def main():
                                           check_exact=True)
         except AssertionError as ex:
             print(f"FAIL {name}: values differ: {str(ex)[:500]}")
+            rec(name, True, not dt_mismatch, False, len(g), len(e), None)
             n_fail += 1; continue
         if dt_mismatch:
             print(f"WARN {name}: dtype mismatch {dt_mismatch} (values match)")
         print(f"PASS {name}: {len(g)} rows")
+        rec(name, True, True, True, len(g), len(e))
         n_pass += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
