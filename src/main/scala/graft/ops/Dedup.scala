@@ -435,17 +435,106 @@ object Dedup {
       .select(least(col(s"p.$idCol"), col(s"f.$idCol")).as("id_a"),
         greatest(col(s"p.$idCol"), col(s"f.$idCol")).as("id_b"))
       .distinct()
-    cands
-      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-        col("n_sh").as("n_a")), "id_a")
-      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-        col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    pairIntersections(cands, base.select(col(idCol).as("id"), col("sh")))
+      .join(base.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("containment",
         floor(col("n_inter").cast("double") / least(col("n_a"), col("n_b"))
           * 10000 + 0.5) / 10000)
       .filter(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** Exact |A∩B| for every candidate pair with shuffle LINEAR in
+    * corpus + pairs — the verify stage both at-scale near-dup forms
+    * ([[ngramContainmentPairsPrefix]], [[ngramJaccardPairsLsh]]) route
+    * through.
+    *
+    * The naive verify joins each side's full shingle array onto every
+    * candidate row: duplicate-heavy corpora make candidate pairs
+    * quadratic in duplicate multiplicity, so pairs × arrays explodes —
+    * the sf10 escalation measured it to a literal disk-full (~25M
+    * candidate pairs × ~12 KB of strings ≈ 300 GB of spill; see
+    * SCALE.md). But those same corpora make candidates CLIQUE-shaped:
+    * the members of a duplicate cluster are mutual candidates. One
+    * min-neighbor labeling round (g(x) = min(x, min candidate
+    * neighbor)) therefore collocates whole cliques — every member of a
+    * clique is a neighbor of the clique's min — and for pairs whose
+    * endpoints agree on g, the verify runs GROUP-LOCALLY: each doc's
+    * array ships ONCE per group (not once per pair), a per-group
+    * dictionary interns strings to ints, and each pair is a two-pointer
+    * sorted-int intersection. Pairs whose endpoints land in different
+    * groups (chain-shaped candidates, rare by construction) and pairs
+    * in groups over `spark.graft.neardup.groupMaxDocs` (default 10k
+    * docs ≈ tens of MB of arrays per task) fall back to the per-pair
+    * array join — both paths are exact, so the split is a pure routing
+    * decision.
+    *
+    * Input `sets`: (id: long, sh: array<string>) with distinct
+    * elements; `cands`: (id_a, id_b), id_a < id_b, distinct. Output:
+    * (id_a, id_b, n_inter) — one row per candidate pair.
+    */
+  private[graft] def pairIntersections(cands: DataFrame,
+                                       sets: DataFrame): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val maxGroupDocs = spark.conf
+      .get("spark.graft.neardup.groupMaxDocs", "10000").toInt
+    val labels = cands.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(cands.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .groupBy(col("id")).agg(least(min(col("nb")), first(col("id"))).as("g"))
+    // groups too large for one task route to the per-pair path
+    val okG = labels.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxGroupDocs).select(col("g"))
+    val routed = cands
+      .join(labels.select(col("id").as("id_a"), col("g").as("ga")), "id_a")
+      .join(labels.select(col("id").as("id_b"), col("g").as("gb")), "id_b")
+      .withColumn("local", col("ga") === col("gb"))
+    val localPairs = routed.filter(col("local"))
+      .join(okG.withColumnRenamed("g", "ga"), Seq("ga"))
+      .select(col("ga").as("g"), col("id_a"), col("id_b"))
+    val residualPairs = routed
+      .join(okG.withColumnRenamed("g", "ga").withColumn("ok", lit(true)),
+        Seq("ga"), "left")
+      .filter(!col("local") || col("ok").isNull)
+      .select(col("id_a"), col("id_b"))
+    val docsG = sets.join(labels, "id")
+      .join(okG, Seq("g"), "left_semi")
+      .select(col("g"), col("id"), col("sh"))
+      .as[(Long, Long, Seq[String])]
+    val localCounts = docsG.groupByKey(_._1)
+      .cogroup(localPairs.as[(Long, Long, Long)].groupByKey(_._1)) {
+        (_, docs, pairs) =>
+          val dict = new java.util.HashMap[String, Integer]()
+          val byId = new scala.collection.mutable.LongMap[Array[Int]]()
+          docs.foreach { case (_, id, sh) =>
+            val arr = new Array[Int](sh.length)
+            var i = 0
+            sh.foreach { s =>
+              var code = dict.get(s)
+              if (code == null) { code = Integer.valueOf(dict.size); dict.put(s, code) }
+              arr(i) = code.intValue; i += 1
+            }
+            java.util.Arrays.sort(arr)
+            byId(id) = arr
+          }
+          pairs.map { case (_, a, b) =>
+            val sa = byId(a); val sb = byId(b)
+            var i = 0; var j = 0; var n = 0L
+            while (i < sa.length && j < sb.length) {
+              if (sa(i) == sb(j)) { n += 1; i += 1; j += 1 }
+              else if (sa(i) < sb(j)) i += 1
+              else j += 1
+            }
+            (a, b, n)
+          }
+      }.toDF("id_a", "id_b", "n_inter")
+    val residualCounts = residualPairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"))
+    localCounts.union(residualCounts)
   }
 
   /** MinHash-LSH-candidate n-gram Jaccard — the AT-SCALE formulation of
@@ -461,7 +550,8 @@ object Dedup {
     * deterministic per corpus (the permutations are fixed), ≥ 0.9967 at
     * the J = 0.3 floor with the default 16 perms and → 1 rapidly above
     * (≥ 1 − 1e-4 at J = 0.44). Survivors are verified with the EXACT
-    * Jaccard (one `array_intersect` per candidate pair), so precision is
+    * Jaccard via [[pairIntersections]] (group-local sorted-int
+    * intersections, shuffle linear in corpus + pairs), so precision is
     * 1 and emitted values are identical to the direct join's — the only
     * possible divergence is a missed borderline pair, the trade every
     * production low-threshold dedup pipeline makes (this is the
@@ -504,12 +594,9 @@ object Dedup {
     val cands = a.join(b, cond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    cands
-      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-        col("n_sh").as("n_a")), "id_a")
-      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-        col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    pairIntersections(cands, base.select(col(idCol).as("id"), col("sh")))
+      .join(base.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         floor(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")) * 10000 + 0.5) / 10000)

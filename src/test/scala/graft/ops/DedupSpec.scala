@@ -283,4 +283,37 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((6L, 7L, 0)) && got.contains((12L, 13L, 0)))
     assert(!got.exists(p => p._1 >= 8L && p._1 <= 11L))
   }
+
+  test("pairIntersections ≡ per-pair array_intersect: cliques, chains, cap fallback") {
+    // cliques {1,2,3} and {10,11}, a CHAIN 3–20 whose endpoints label into
+    // different groups (g(3)=1 via its clique, g(20)=3), plus an isolated
+    // candidate (30,31); sets engineered with known overlaps
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("a", "b", "f", "g")),
+      (10L, Seq("p", "q", "r")),
+      (11L, Seq("p", "q", "s")),
+      (20L, Seq("f", "g", "h")),
+      (30L, Seq("x", "y")),
+      (31L, Seq("y", "z")),
+    ).toDF("id", "sh")
+    val cands = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (3L, 20L),
+      (30L, 31L)).toDF("id_a", "id_b")
+    val naive = cands
+      .join(sets.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
+      .join(sets.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
+      .select($"id_a", $"id_b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("n_inter"))
+    def check(): Unit = {
+      val fast = Dedup.pairIntersections(cands, sets)
+      assert(fast.count() == cands.count()) // one row per pair, no dupes/drops
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    }
+    check()
+    // cap of 1 doc per group forces EVERY pair through the residual path —
+    // identical output proves the routing split is semantics-free
+    spark.conf.set("spark.graft.neardup.groupMaxDocs", "1")
+    try check() finally spark.conf.unset("spark.graft.neardup.groupMaxDocs")
+  }
 }
