@@ -47,7 +47,14 @@ def main():
     n_pass = n_fail = 0
     present = {n for n in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, n))}
-    for name in sorted(oracles.keys() | present):
+    names = sorted(oracles.keys() | present)
+    # GRAFT_CHECK_ONLY=q_a,q_b restricts the compare to a subset — used for
+    # targeted scale-escalation runs where only some queries were dumped.
+    only = {n.strip() for n in os.environ.get("GRAFT_CHECK_ONLY", "").split(",")
+            if n.strip()}
+    if only:
+        names = [n for n in names if n in only]
+    for name in names:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             print(f"FAIL {name}: spark query produced no output dir")
