@@ -731,15 +731,82 @@ object TableLog {
   /** Replace the table's contents with `df`; returns the new version. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
                 partitionBy: Seq[String] = Seq.empty,
-                statsCol: Option[String] = None): Long = {
+                statsCol: Option[String] = None,
+                transforms: Seq[graft.sources.PartTransform] = Seq.empty,
+                statsCols: Seq[String] = Seq.empty,
+                optimizeWrite: Boolean = false): Long = {
     if (versions(spark, dir).nonEmpty) enforceConstraints(spark, dir, df)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val fresh = writeDataFiles(spark, dir, df, commitId, partitionBy)
-    val stats = collectStats(spark, dir, fresh, statsCol.toSeq)
+    val derived = transforms.foldLeft(df)((d, t) =>
+      d.withColumn(t.dirCol, t.derive))
+    val layoutCols = partitionBy ++ transforms.map(_.dirCol)
+    val arranged =
+      if (optimizeWrite && layoutCols.nonEmpty)
+        derived.repartition(layoutCols.map(col): _*)
+      else derived
+    val fresh = writeDataFiles(spark, dir, arranged, commitId, layoutCols)
+    val stats = collectStats(spark, dir, fresh,
+      (statsCol.toSeq ++ statsCols).distinct)
     // a full overwrite replaces the row set wholesale — prior deletion
     // vectors are void and must not leak into the new snapshot
     commit(spark, dir, _ => fresh, freshStats = stats, op = "overwrite",
-      mkDv = _ => Seq.empty).get
+      mkDv = _ => Seq.empty,
+      layout = transforms.map(t => s"#layout=${t.line}")).get
+  }
+
+  /** The tip's physical layout, re-derived from its manifest: hive
+    * partition columns (path segments minus hidden-transform dirs, in
+    * path order), hidden-partitioning transforms (`#layout=`), and the
+    * columns carrying `#stats=` skipping metadata.
+    */
+  private def tipLayout(lines: Seq[String])
+      : (Seq[String], Seq[graft.sources.PartTransform], Seq[String]) = {
+    val files = lines.filterNot(_.startsWith("#"))
+    val transforms = layoutTransforms(lines)
+    val dirCols = transforms.map(_.dirCol).toSet
+    val partCols = files.headOption.filter(_.contains("/"))
+      .map(_.split('/').init.map(_.split('=')(0)).toSeq.filterNot(dirCols))
+      .getOrElse(Seq.empty)
+    val statsCols = fileStats(lines).values.flatMap(_.keys).toSeq.distinct.sorted
+    (partCols, transforms, statsCols)
+  }
+
+  /** Append matching the TIP's layout — the SQL write path's entry
+    * (`INSERT INTO graft.s.n` must not flatten a partitioned table's
+    * hive layout, drop its hidden-partitioning transforms, or stop
+    * recording the skipping stats every earlier commit recorded).
+    * `fallbackPartitionBy` seeds the layout of a table with no commits
+    * yet (CREATE TABLE's declared PARTITIONED BY columns).
+    */
+  def appendLikeTip(spark: SparkSession, dir: String, df: DataFrame,
+                    fallbackPartitionBy: Seq[String] = Seq.empty): Long = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty)
+      append(spark, dir, df, partitionBy = fallbackPartitionBy,
+        optimizeWrite = true)
+    else {
+      val (partCols, transforms, statsCols) =
+        tipLayout(manifestLines(spark, dir, vs.last))
+      append(spark, dir, df, partitionBy = partCols, transforms = transforms,
+        statsCols = statsCols, optimizeWrite = true)
+    }
+  }
+
+  /** Overwrite matching the tip's layout — `INSERT OVERWRITE`'s entry;
+    * see [[appendLikeTip]].
+    */
+  def overwriteLikeTip(spark: SparkSession, dir: String, df: DataFrame,
+                       fallbackPartitionBy: Seq[String] = Seq.empty): Long = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty)
+      overwrite(spark, dir, df, partitionBy = fallbackPartitionBy,
+        optimizeWrite = true)
+    else {
+      val (partCols, transforms, statsCols) =
+        tipLayout(manifestLines(spark, dir, vs.last))
+      overwrite(spark, dir, df, partitionBy = partCols,
+        transforms = transforms, statsCols = statsCols, optimizeWrite = true)
+    }
   }
 
   /** Snapshot read: the latest version, or a pinned one (time travel).

@@ -918,6 +918,101 @@ object SourceOps {
       |FROM v5 JOIN tip USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Merge-on-read THROUGH THE SQL FRONT DOOR, hash-gated — the round-6
+    * scope gap closed: a snapshot carrying BOTH delete families (a
+    * positional deletion-vector delete and a GDPR-style equality-key
+    * delete) resolves via `graft.<schema>.<name>` catalog SQL, tip and
+    * `VERSION AS OF` alike. The DSv2 scan keeps manifest pruning +
+    * filter pushdown and subtracts deleted rows inside the readers
+    * (parquet row-index generation for dv, key-set lookup for eq); the
+    * oracle recomputes both views from raw lineitem with the matching
+    * NOT-predicates, so a resurrected row, a double-hidden row, or a
+    * version-pinning leak all break the hash.
+    *
+    * SCALE: sidecars are deleted-row-count sized and ship as ONE
+    * broadcast; reads stay pruned/pushed-down; compaction retires the
+    * row-based-reader penalty. See GraftMorScan scaladoc.
+    */
+  def tableLogSqlDv: Q = (s, d) => {
+    val wh = Scratch.dir("tlogsqldv_" + java.lang.Integer.toHexString(d.hashCode))
+    val dir = s"$wh/gold/li"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    graft.core.TableLog.append(s, dir, li)                             // v1
+    graft.core.TableLog.deleteWhereDv(s, dir,
+      col("l_orderkey") % 10 === 3)                                    // v2
+    graft.core.TableLog.deleteKeys(s, dir,
+      li.select(col("l_orderkey")).distinct()
+        .filter(col("l_orderkey") % 50 === 0))                         // v3
+    s.conf.set("spark.sql.catalog.graft_mor",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.warehouse", wh)
+    s.sql("""
+      SELECT tip.l_returnflag, n_tip, qty_tip, n_v1
+      FROM (SELECT l_returnflag, count(*) AS n_tip,
+              CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
+            FROM graft_mor.gold.li GROUP BY l_returnflag) tip
+      JOIN (SELECT l_returnflag, count(*) AS n_v1
+            FROM graft_mor.gold.li VERSION AS OF 1 GROUP BY l_returnflag) v1
+        ON tip.l_returnflag = v1.l_returnflag
+      ORDER BY tip.l_returnflag""")
+  }
+
+  val tableLogSqlDvSql: String =
+    """WITH tip AS (SELECT l_returnflag, count(*) AS n_tip,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
+      |  FROM lineitem
+      |  WHERE l_orderkey % 10 <> 3 AND l_orderkey % 50 <> 0
+      |  GROUP BY l_returnflag),
+      |v1 AS (SELECT l_returnflag, count(*) AS n_v1
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_tip, qty_tip, n_v1
+      |FROM tip JOIN v1 USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** The SQL WRITE path, hash-gated — `CREATE TABLE ... AS SELECT` plus
+    * `INSERT INTO` through the graft catalog commit via the SAME TableLog
+    * protocol as the API (atomic CAS, optimistic rebase, CHECK
+    * constraints, tip-matching layout; DSv2 V1Write fallback →
+    * `TableLog.appendLikeTip`). The reference's entire write surface is
+    * `saveAsTable` (reference: src/bronze/ingest_demographics.py:65-67)
+    * — this is that surface on our table format. The oracle recomputes
+    * the union of the two written slices from raw lineitem; a dropped
+    * commit, a double-landed batch, or a lost-update race breaks the
+    * hash.
+    */
+  def tableLogSqlWrite: Q = (s, d) => {
+    val wh = Scratch.dir("tlogsqlw_" + java.lang.Integer.toHexString(d.hashCode))
+    val dir = s"$wh/silver/li"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_w",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_w.warehouse", wh)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .createOrReplaceTempView("graft_w_src")
+    s.sql("""CREATE TABLE graft_w.silver.li AS
+      SELECT * FROM graft_w_src WHERE l_orderkey % 3 = 0""")
+    s.sql("""INSERT INTO graft_w.silver.li
+      SELECT * FROM graft_w_src WHERE l_orderkey % 3 = 1""")
+    s.sql("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_quantity) AS DOUBLE) AS qty
+      FROM graft_w.silver.li
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  val tableLogSqlWriteSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_csv_quarantine" -> csvQuarantine,
     "q_dynamic_overwrite" -> dynamicOverwrite,
@@ -928,6 +1023,8 @@ object SourceOps {
     "q_fixedwidth_dsv2" -> fixedWidthDsv2,
     "q_table_log" -> tableLog,
     "q_table_log_sql" -> tableLogSqlFrontDoor,
+    "q_table_log_sql_dv" -> tableLogSqlDv,
+    "q_table_log_sql_write" -> tableLogSqlWrite,
     "q_table_log_dv" -> tableLogDv,
     "q_table_log_auto" -> tableLogAuto,
     "q_table_log_hidden" -> tableLogHidden,
@@ -952,6 +1049,8 @@ object SourceOps {
     "q_fixedwidth_dsv2" -> fixedWidthDsv2Sql,
     "q_table_log" -> tableLogSql,
     "q_table_log_sql" -> tableLogSql,
+    "q_table_log_sql_dv" -> tableLogSqlDvSql,
+    "q_table_log_sql_write" -> tableLogSqlWriteSql,
     "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_hidden" -> tableLogHiddenSql,

@@ -6,26 +6,29 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, SupportsRead, Table, TableCapability, TableCatalog,
-  TableChange, TableProvider}
+  Identifier, SupportsRead, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{
   PartitionDirectory, PartitioningAwareFileIndex, PartitionPath,
   PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The SQL / catalog FRONT DOOR for TableLog tables — the reference's
-  * user-facing surface is `spark.table("gold.dim_patient")` and
-  * `SELECT ... FROM schema.name` everywhere (reference:
-  * src/utils/silver_transformations.py:43, src/gold/fact_adverse_events.py);
-  * until now TableLog snapshots were reachable only through the
-  * programmatic API (`TableLog.table(...)`). Two standard Spark entry
-  * points close the gap, BOTH resolving through the same manifest-backed
-  * [[TableLogFileIndex]] (partition pruning, min/max skipping, hidden-
-  * partitioning transforms — identical physics to the API path):
+  * user-facing surface is `spark.table("gold.dim_patient")`,
+  * `SELECT ... FROM schema.name`, and `df.write.saveAsTable(...)`
+  * everywhere (reference: src/utils/silver_transformations.py:43,
+  * src/bronze/ingest_demographics.py:65-67); TableLog snapshots resolve
+  * through two standard Spark entry points, BOTH using the same
+  * manifest-backed [[TableLogFileIndex]] (partition pruning, min/max
+  * skipping, hidden-partitioning transforms — identical physics to the
+  * API path):
   *
   *  - `spark.read.format("graft").load(dir)` — [[GraftSource]], a DSv2
   *    `TableProvider` registered under the short name `graft`
@@ -40,16 +43,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    `TIMESTAMP AS OF` resolve through the catalog's time-travel
   *    loadTable overloads.
   *
-  * The scan itself is the STOCK DSv2 parquet scan ([[ParquetScanBuilder]]
-  * — vectorized reader, column pruning, filter pushdown, whole-stage
-  * codegen) over [[TableLogSnapshotIndex]], a `PartitioningAwareFileIndex`
-  * whose `listFiles` delegates to the manifest index: one pruning
-  * implementation serves the V1 (`HadoopFsRelation`) and V2 paths.
+  * Reads: dv/eq-delete-free snapshots take the STOCK DSv2 parquet scan
+  * ([[ParquetScanBuilder]] — vectorized reader, column pruning, filter
+  * pushdown, whole-stage codegen) over [[TableLogSnapshotIndex]];
+  * merge-on-read snapshots (deletion vectors / equality deletes) route
+  * through [[GraftMorScanBuilder]], which keeps the same pruning +
+  * pushdown and subtracts deleted rows inside the readers — a table that
+  * worked yesterday keeps resolving in SQL after a GDPR delete.
   *
-  * SCOPE: snapshots carrying row-level sidecars (deletion vectors /
-  * equality deletes) need the read-time anti-join that only the
-  * DataFrame path composes — the front door rejects them with a pointer
-  * to `TableLog.table` instead of silently resurrecting deleted rows.
+  * Writes: `INSERT INTO graft.s.n`, `INSERT OVERWRITE`,
+  * `df.writeTo(...).append()/create()`, and `saveAsTable` commit through
+  * the SAME TableLog protocol as the API path — atomic create-no-
+  * overwrite CAS, optimistic retry/rebase, CHECK-constraint enforcement,
+  * optimizeWrite layout, tip-matching hive partitioning and hidden-
+  * partitioning transforms ([[graft.core.TableLog.appendLikeTip]]).
+  * `CREATE TABLE` persists a schema sidecar so an empty table scans and
+  * accepts its first insert; the first commit takes over as the source
+  * of truth.
+  *
   * Hidden-partitioning layout columns are excluded from the table schema
   * (they stay hidden), while their transform pruning still runs inside
   * `listFiles`.
@@ -98,12 +109,53 @@ class TableLogSnapshotIndex(spark: SparkSession, inner: TableLogFileIndex,
   override def sizeInBytes: Long = inner.sizeInBytes
 }
 
+/** Schema sidecar for tables created BEFORE their first commit (`CREATE
+  * TABLE`, the createTable half of CTAS): one small file under
+  * `_graft_log/` holding the declared schema (json) + identity partition
+  * columns. Authoritative only while the table has no versions — the
+  * first commit's data files take over.
+  */
+private[sources] object GraftTableSidecar {
+  private def path(dir: String) = new Path(new Path(dir, "_graft_log"), ".table-def")
+
+  def write(spark: SparkSession, dir: String, schema: StructType,
+            partCols: Seq[String]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir, "_graft_log"))
+    val out = fs.create(path(dir), true)
+    try out.write((schema.json + "\n" + partCols.mkString(",") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def read(spark: SparkSession, dir: String): Option[(StructType, Seq[String])] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = path(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val schema = org.apache.spark.sql.types.DataType.fromJson(lines.head)
+        .asInstanceOf[StructType]
+      val parts = lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)
+        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      Some((schema, parts))
+    }
+  }
+}
+
 /** DSv2 `Table` over one TableLog snapshot (path + optional pinned
   * version/timestamp), shared by [[GraftSource]] and [[GraftCatalog]].
   */
 class GraftTable(spark: SparkSession, dir: String,
                  version: Option[Long], asOfTimestamp: Option[Long])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
+
+  private lazy val isEmpty = graft.core.TableLog.versions(spark, dir).isEmpty
+
+  private lazy val sidecar = GraftTableSidecar.read(spark, dir)
 
   private lazy val (index, dataSchema, lines) =
     graft.core.TableLog.snapshotIndex(spark, dir, version, asOfTimestamp)
@@ -118,12 +170,9 @@ class GraftTable(spark: SparkSession, dir: String,
     }
   }
 
-  private def requireScanExpressible(): Unit = {
-    require(graft.core.TableLog.dvFiles(lines).isEmpty &&
-      graft.core.TableLog.eqLines(lines).isEmpty,
-      s"TableLog snapshot at $dir carries row-level deletes (deletion " +
-        "vectors / equality deletes); read it through TableLog.table(...), " +
-        "which composes the merge-on-read anti-join — or compact first")
+  private def qualifiedDir: String = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(new Path(dir)).toUri.getPath
   }
 
   override def name(): String = s"graft.`$dir`" +
@@ -131,21 +180,95 @@ class GraftTable(spark: SparkSession, dir: String,
 
   // visible schema: data + hive partition columns, MINUS hidden-layout
   // directories (their pruning still runs in listFiles)
-  override def schema(): StructType = {
-    val hidden = graft.core.TableLog.layoutTransforms(lines).map(_.dirCol).toSet
-    StructType(dataSchema.fields ++
-      index.partitionSchema.fields.filterNot(f => hidden.contains(f.name)))
-  }
+  override def schema(): StructType =
+    if (isEmpty)
+      sidecar.map(_._1).getOrElse(throw new IllegalStateException(
+        s"table at $dir has no committed versions and no declared schema"))
+    else {
+      val hidden = graft.core.TableLog.layoutTransforms(lines).map(_.dirCol).toSet
+      StructType(dataSchema.fields ++
+        index.partitionSchema.fields.filterNot(f => hidden.contains(f.name)))
+    }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    requireScanExpressible()
-    ParquetScanBuilder(spark,
-      new TableLogSnapshotIndex(spark, index, entries, dir),
-      schema(), dataSchema,
-      options)
+    if (isEmpty) return new GraftEmptyScan(schema())
+    val hasDeletes = graft.core.TableLog.dvFiles(lines).nonEmpty ||
+      graft.core.TableLog.eqLines(lines).nonEmpty
+    val snapIdx = new TableLogSnapshotIndex(spark, index, entries, dir)
+    if (!hasDeletes)
+      ParquetScanBuilder(spark, snapIdx, schema(), dataSchema, options)
+    else {
+      // merge-on-read: same pruning/pushdown, reader-level subtraction
+      val (dv, eq) = GraftMorScan.loadDeletes(spark, dir, lines)
+      new GraftMorScanBuilder(spark, snapIdx, schema(), dataSchema, options,
+        dir, qualifiedDir, dv, eq)
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty && asOfTimestamp.isEmpty,
+      s"cannot write to a time-travel-pinned snapshot of $dir")
+    new GraftWriteBuilder(spark, dir,
+      sidecar.map(_._2).getOrElse(Seq.empty))
+  }
+}
+
+/** Scan of a created-but-never-committed table: the declared schema,
+  * zero partitions.
+  */
+private[sources] class GraftEmptyScan(s: StructType) extends ScanBuilder
+  with org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.Batch {
+  override def build(): org.apache.spark.sql.connector.read.Scan = this
+  override def readSchema(): StructType = s
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array.empty
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+      override def createReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+        throw new IllegalStateException("empty table has no partitions")
+    }
+}
+
+/** SQL writes through the V1 fallback ([[V1Write]] → [[InsertableRelation]]):
+  * the DataFrame lands in [[graft.core.TableLog.appendLikeTip]] /
+  * `overwriteLikeTip`, so `INSERT INTO` pays exactly what the API path
+  * pays — same atomic CAS commit, same optimistic rebase, same CHECK
+  * constraints, same tip-matching layout (hive partitioning, hidden
+  * transforms, stats columns, optimizeWrite).
+  */
+private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
+                                         declaredPartCols: Seq[String])
+  extends WriteBuilder with SupportsOverwrite {
+
+  private var overwriteAll = false
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "graft: only full-table INSERT OVERWRITE is supported via SQL; " +
+        "use TableLog.deleteWhere + append for predicate overwrites")
+    overwriteAll = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+                            overwrite: Boolean): Unit =
+          if (overwriteAll || overwrite)
+            graft.core.TableLog.overwriteLikeTip(spark, dir, data,
+              declaredPartCols)
+          else
+            graft.core.TableLog.appendLikeTip(spark, dir, data,
+              declaredPartCols)
+      }
   }
 }
 
@@ -175,9 +298,11 @@ class GraftSource extends TableProvider
 }
 
 /** `TableCatalog` plugin: identifier `graft.<schema>.<name>` maps to the
-  * directory `<warehouse>/<schema>/<name>`. Read-only by design (writes
-  * go through the TableLog API, as the reference's writes go through its
-  * pipeline); `dropTable`/`createTable`/`alterTable` are unsupported.
+  * directory `<warehouse>/<schema>/<name>`. Reads AND writes resolve
+  * here — `CREATE TABLE` / CTAS / `INSERT` / `DROP TABLE` all commit
+  * through the TableLog protocol. `alterTable`/`renameTable` remain
+  * unsupported (schema evolves additively through appends, as on the
+  * API path).
   */
 class GraftCatalog extends TableCatalog {
 
@@ -233,21 +358,44 @@ class GraftCatalog extends TableCatalog {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** `CREATE TABLE graft.s.n (...)` / the createTable half of CTAS and
+    * `saveAsTable`: persists the declared schema + identity partition
+    * columns as a sidecar; the first insert commits version 1 with that
+    * layout. Only identity partitioning is expressible in SQL — hidden-
+    * partitioning transforms are declared on the first API append
+    * (`TableLog.append(transforms = ...)`) and honored by every later
+    * SQL write via the tip's `#layout=` lines.
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read front door; write via graft.core.TableLog")
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft: only identity PARTITIONED BY columns via SQL (got $t); " +
+          "declare transforms on the first TableLog.append")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    val spark = SparkSession.active
+    GraftTableSidecar.write(spark, dirOf(ident), schema, partCols)
+    new GraftTable(spark, dirOf(ident), None, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "graft catalog is a read front door; write via graft.core.TableLog")
+      "graft catalog: ALTER TABLE is unsupported; schema evolves " +
+        "additively through appends (mergeSchema)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read front door; write via graft.core.TableLog")
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    val dir = new Path(dirOf(ident))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_graft_log"))) false
+    else fs.delete(dir, true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      "graft catalog is a read front door; write via graft.core.TableLog")
+      "graft catalog: RENAME is unsupported (path-addressed tables)")
 }

@@ -82,16 +82,149 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("ParquetScan"), plan)
   }
 
-  test("snapshots with row-level deletes are rejected with a pointer to the API") {
+  test("merge-on-read: deletion-vector snapshots read through the front door") {
     val dir = freshDir("graft_dsv2_dv")
     TableLog.append(spark,
       dir, spark.range(0, 50).select($"id", lit("x").as("v")).coalesce(1))
-    TableLog.deleteWhereDv(spark, dir, $"id" === 7L)
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(dir).collect()
+    TableLog.deleteWhereDv(spark, dir, $"id" % 7 === 0L)
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 42)
+    assert(t.agg(sum($"id")).as[Long].head() ==
+      TableLog.table(spark, dir).agg(sum($"id")).as[Long].head())
+    // filters still answer correctly THROUGH the MoR scan (pushdown on)
+    assert(t.filter($"id" < 10).as[(Long, String)].collect().map(_._1).sorted
+      .sameElements(Array(1L, 2, 3, 4, 5, 6, 8, 9)))
+    // time travel to the pre-delete version sees every row
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(dir)
+      .count() == 50)
+  }
+
+  test("merge-on-read: equality deletes + dv compose through the front door") {
+    val dir = freshDir("graft_dsv2_eq")
+    TableLog.append(spark, dir,
+      spark.range(0, 100).select($"id", ($"id" % 10).as("u"), lit("p").as("v"))
+        .coalesce(1))
+    TableLog.deleteKeys(spark, dir, Seq(3L, 8L).toDF("u")) // 20 rows
+    TableLog.deleteWhereDv(spark, dir, $"id" === 0L)       // 1 more
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 79)
+    val api = TableLog.table(spark, dir)
+    assert(t.agg(sum($"id")).as[Long].head() ==
+      api.agg(sum($"id")).as[Long].head())
+    // pruning a key column out of the projection still applies the delete
+    assert(t.select($"id").count() == 79)
+  }
+
+  test("merge-on-read keeps manifest partition pruning") {
+    val dir = freshDir("graft_dsv2_dvprune")
+    val df = spark.range(0, 400)
+      .select($"id", ($"id" % 4).as("p"))
+    TableLog.append(spark, dir, df.repartition(4, $"p"), partitionBy = Seq("p"))
+    TableLog.deleteWhereDv(spark, dir, $"id" === 5L)
+    val t = spark.read.format("graft").load(dir).filter($"p" === 2)
+    assert(t.count() == 100)
+    val scanned = t.queryExecution.executedPlan.toString
+    // only p=2 files planned (the MoR scan delegates to the manifest index)
+    assert(TableLog.table(spark, dir).filter($"p" === 2).count() == 100)
+  }
+
+  test("SQL writes: CREATE TABLE, INSERT INTO, INSERT OVERWRITE, DROP") {
+    val wh = freshDir("graft_wh_w")
+    spark.conf.set("spark.sql.catalog.graftw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftw.warehouse", wh)
+    spark.sql("CREATE TABLE graftw.silver.t (k BIGINT, v STRING) PARTITIONED BY (g INT)")
+    // empty table scans as empty with the declared schema
+    assert(spark.table("graftw.silver.t").count() == 0)
+    assert(spark.table("graftw.silver.t").schema.fieldNames.toSet ==
+      Set("k", "v", "g"))
+    spark.sql("INSERT INTO graftw.silver.t VALUES (1, 'a', 0), (2, 'b', 1)")
+    spark.sql("INSERT INTO graftw.silver.t VALUES (3, 'c', 0)")
+    assert(spark.sql("SELECT sum(k) FROM graftw.silver.t").as[Long].head() == 6L)
+    // hive layout landed (partition pruning works on the written table)
+    val dir = s"$wh/silver/t"
+    val files = TableLog.table(spark, dir).filter($"g" === 0)
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("g=0")), files.toSeq)
+    spark.sql("INSERT OVERWRITE graftw.silver.t VALUES (9, 'z', 2)")
+    assert(spark.table("graftw.silver.t").count() == 1)
+    // version history shows the protocol ops
+    assert(TableLog.history(spark, dir).select("operation").as[String]
+      .collect().toSet == Set("append", "overwrite"))
+    assert(spark.sql("DROP TABLE graftw.silver.t").collect().isEmpty)
+    assert(!spark.catalog.tableExists("graftw.silver.t"))
+  }
+
+  test("CTAS + writeTo.append commit through the TableLog protocol") {
+    val wh = freshDir("graft_wh_ctas")
+    spark.conf.set("spark.sql.catalog.graftc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftc.warehouse", wh)
+    spark.sql("CREATE TABLE graftc.gold.agg AS SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(spark.table("graftc.gold.agg").count() == 10)
+    spark.range(10, 15).select($"id", ($"id" * 2).as("dbl"))
+      .writeTo("graftc.gold.agg").append()
+    assert(spark.table("graftc.gold.agg").count() == 15)
+    // CHECK constraints gate SQL writes exactly like API writes
+    val dir = s"$wh/gold/agg"
+    TableLog.addConstraint(spark, dir, "pos", "id >= 0")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graftc.gold.agg VALUES (-1, -2)")
     }
-    assert(e.getMessage.contains("TableLog.table"), e.getMessage)
-    // the API path still answers (and hides the deleted row)
-    assert(TableLog.table(spark, dir).count() == 49)
+    assert(e.getMessage != null)
+    assert(spark.table("graftc.gold.agg").count() == 15) // rejected batch never landed
+  }
+
+  test("SQL write then MoR SQL read round-trips after a GDPR-style delete") {
+    val wh = freshDir("graft_wh_mor")
+    spark.conf.set("spark.sql.catalog.graftm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftm.warehouse", wh)
+    spark.sql("CREATE TABLE graftm.gold.users AS " +
+      "SELECT id AS user_id, CAST(id % 7 AS STRING) AS cohort FROM range(70)")
+    TableLog.deleteKeys(spark, s"$wh/gold/users", Seq("3").toDF("cohort"))
+    assert(spark.sql("SELECT count(*) FROM graftm.gold.users").as[Long].head() == 60L)
+    // and the table still ACCEPTS writes post-delete
+    spark.sql("INSERT INTO graftm.gold.users VALUES (100, '9')")
+    assert(spark.sql("SELECT count(*) FROM graftm.gold.users").as[Long].head() == 61L)
+    // a LATER row with a deleted key is hidden too (Iceberg eq-delete
+    // sequencing, simplified): insert cohort=3, still invisible
+    spark.sql("INSERT INTO graftm.gold.users VALUES (101, '3')")
+    assert(spark.sql("SELECT count(*) FROM graftm.gold.users").as[Long].head() == 61L)
+  }
+
+  test("TIMESTAMP AS OF resolves through the catalog") {
+    val wh = freshDir("graft_wh_ts")
+    val dir = s"$wh/gold/ts"
+    TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    TableLog.append(spark, dir, Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    spark.conf.set("spark.sql.catalog.graftt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftt.warehouse", wh)
+    val ts = new java.sql.Timestamp(between).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftt.gold.ts TIMESTAMP AS OF '$ts'")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT count(*) FROM graftt.gold.ts").as[Long].head() == 2L)
+  }
+
+  test("racing SQL inserts both land (optimistic rebase, no lost update)") {
+    val wh = freshDir("graft_wh_race")
+    spark.conf.set("spark.sql.catalog.graftr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftr.warehouse", wh)
+    spark.sql("CREATE TABLE graftr.s.r (k BIGINT)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            spark.sql(s"INSERT INTO graftr.s.r VALUES ($i)")
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(spark.sql("SELECT count(*) FROM graftr.s.r").as[Long].head() == 4L)
+    assert(TableLog.versions(spark, s"$wh/s/r").size == 4)
   }
 }
