@@ -764,9 +764,15 @@ object TableLog {
     val files = lines.filterNot(_.startsWith("#"))
     val transforms = layoutTransforms(lines)
     val dirCols = transforms.map(_.dirCol).toSet
-    val partCols = files.headOption.filter(_.contains("/"))
-      .map(_.split('/').init.map(_.split('=')(0)).toSeq.filterNot(dirCols))
-      .getOrElse(Seq.empty)
+    // derived from ALL file lines, not the first: on a mixed-layout tip
+    // (API appends with differing partitionBy, or an unpartitioned file
+    // listed first) the MOST COMMON layout wins, so one stray file can't
+    // silently flatten every later SQL insert
+    val partCols = files.map(f =>
+        f.split('/').init.map(_.split('=')(0)).toSeq.filterNot(dirCols))
+      .groupBy(identity).toSeq
+      .sortBy { case (cols, fs) => (-fs.size, -cols.length) }
+      .headOption.map(_._1).getOrElse(Seq.empty)
     val statsCols = fileStats(lines).values.flatMap(_.keys).toSeq.distinct.sorted
     (partCols, transforms, statsCols)
   }
@@ -807,6 +813,64 @@ object TableLog {
       overwrite(spark, dir, df, partitionBy = partCols,
         transforms = transforms, statsCols = statsCols, optimizeWrite = true)
     }
+  }
+
+  /** Partition-scoped OVERWRITE — static `INSERT OVERWRITE t PARTITION
+    * (p=v)` and the API's partitioned backfill (reference surface: the
+    * fact table's partitioned overwrite,
+    * /root/reference/src/gold/facts/fact_adverse_events.py:325-327):
+    * replaces exactly the files whose hive path matches EVERY
+    * (col, value) pair with the staged batch; every other file carries
+    * into the new version untouched — a pure manifest operation on the
+    * untouched side (no file outside the target partition is read or
+    * rewritten — at a million files, a quarterly backfill moves one
+    * partition directory's worth of data, full stop).
+    *
+    * The replaced set re-derives from the CURRENT tip inside the commit
+    * retry loop, so racing appends into OTHER partitions compose; a
+    * racing append into the TARGET partition is replaced too
+    * ("partition := batch" declarative semantics, Spark's
+    * static-partition-overwrite contract). Staged files are validated
+    * PATH-level against the target: a batch carrying rows outside the
+    * named partition aborts (staged files deleted) instead of silently
+    * leaking rows into partitions the statement never named.
+    * Deletion-vector entries for replaced files become inert with their
+    * files; entries for carried files keep applying.
+    */
+  def overwritePartitions(spark: SparkSession, dir: String, df: DataFrame,
+                          partValues: Seq[(String, String)]): Long = {
+    require(partValues.nonEmpty, "overwritePartitions needs at least one " +
+      "(column, value) pair; use overwrite for the full table")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    enforceConstraints(spark, dir, df)
+    val (partCols, transforms, statsCols) =
+      tipLayout(manifestLines(spark, dir, vs.last))
+    val missing = partValues.map(_._1).filterNot(partCols.contains)
+    require(missing.isEmpty,
+      s"overwritePartitions: ${missing.mkString(",")} not partition " +
+        s"column(s) of $dir (layout: ${partCols.mkString(",")})")
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val derived = transforms.foldLeft(df)((d, t) =>
+      d.withColumn(t.dirCol, t.derive))
+    val layoutCols = partCols ++ transforms.map(_.dirCol)
+    val arranged = derived.repartition(layoutCols.map(col): _*)
+    val fresh = writeDataFiles(spark, dir, arranged, commitId, layoutCols)
+    def inTarget(f: String) =
+      partValues.forall { case (c, v) => inPartition(f, c, v) }
+    val fs = fsOf(spark, dir)
+    val stray = fresh.filterNot(inTarget)
+    if (stray.nonEmpty) {
+      fresh.foreach(f => fs.delete(new Path(dir, f), false))
+      throw new IllegalArgumentException(
+        s"overwritePartitions: batch carries rows outside the target " +
+          s"partition ${partValues.map { case (c, v) => s"$c=$v" }.mkString("/")}" +
+          s" (e.g. ${stray.head}); aborted, nothing committed")
+    }
+    val stats = collectStats(spark, dir, fresh, statsCols)
+    commit(spark, dir,
+      base => fresh ++ base.filterNot(inTarget),
+      freshStats = stats, op = "overwrite_partitions").get
   }
 
   /** Snapshot read: the latest version, or a pinned one (time travel).
@@ -1098,8 +1162,38 @@ object TableLog {
           cond, org.apache.spark.sql.functions.lit(false))))
       .drop("_dv_file", "_dv_idx")
     replaceFiles(spark, dir, affected, survivors, partitionBy,
-      op = "delete")._1 -> affected.size
+      op = "delete",
+      preGuard = serializableGuard(spark, all.toSet, "deleteWhere"))
+      ._1 -> affected.size
   }
+
+  /** Delta-style isolation dial for predicate deletes:
+    * `spark.graft.commit.isolation` = `snapshot` (default) lets a
+    * predicate DELETE commit alongside racing appends (write skew: rows
+    * appended after the delete's read snapshot survive even if they
+    * match the predicate — both commits land, Delta's
+    * WriteSerializable); `serializable` ABORTS the delete when any file
+    * joined the table after its snapshot — the racing append may hold
+    * rows the predicate should have covered, so no serial order exists
+    * and the caller must re-read and retry (Delta's
+    * ConcurrentAppendException contract). Evaluated inside the commit
+    * retry loop against the CURRENT tip.
+    */
+  // private[core]: the guard is unit-testable without orchestrating a
+  // real race, like [[rebaseCompaction]]
+  private[core] def serializableGuard(spark: SparkSession,
+                                      snapFiles: Set[String], op: String)
+      : Seq[String] => Unit =
+    if (spark.conf.get("spark.graft.commit.isolation", "snapshot") != "serializable")
+      _ => ()
+    else base => {
+      val added = base.filterNot(snapFiles)
+      if (added.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op under serializable isolation lost to a concurrent commit " +
+            s"that added file(s) ${added.take(3).mkString(", ")} ... " +
+            "after this operation's read snapshot; re-read and retry")
+    }
 
   /** Merge-on-read DELETE — deletion vectors instead of file rewrites:
     * matching rows are recorded as (file, row-index) entries in a parquet
@@ -1148,12 +1242,14 @@ object TableLog {
       fs.delete(new Path(dir, dvDir), true)
       return (tip, 0L)
     }
+    val guard = serializableGuard(spark, snapFiles, "deleteWhereDv")
     val v = try {
       commit(spark, dir,
         mkFiles = base => {
           if (!snapFiles.subsetOf(base.toSet))
             throw new java.util.ConcurrentModificationException(
               s"files under $dir were rewritten during deleteWhereDv; aborting")
+          guard(base)
           base
         },
         mkDv = tipDv => tipDv ++ freshDv.map(f => s"#dvp=$f"),
@@ -1266,13 +1362,17 @@ object TableLog {
                            partitionBy: Seq[String],
                            statsCol: Option[String] = None,
                            op: String = "write",
-                           mkDv: Seq[String] => Seq[String] = identity)
+                           mkDv: Seq[String] => Seq[String] = identity,
+                           // extra per-retry commit check (isolation
+                           // guards), run against the CURRENT tip's base
+                           preGuard: Seq[String] => Unit = _ => ())
       : (Long, Seq[String]) = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val fresh = writeDataFiles(spark, dir, replacement, commitId, partitionBy)
     val stats = collectStats(spark, dir, fresh, statsCol.toSeq)
     val v = try {
-      commit(spark, dir, rebaseCompaction(dir, replaced, fresh, op),
+      commit(spark, dir,
+        base => { preGuard(base); rebaseCompaction(dir, replaced, fresh, op)(base) },
         freshStats = stats, op = op, mkDv = mkDv).get
     } catch {
       case e: java.util.ConcurrentModificationException =>

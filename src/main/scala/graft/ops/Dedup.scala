@@ -480,13 +480,21 @@ object Dedup {
     import spark.implicits._
     val maxGroupDocs = spark.conf
       .get("spark.graft.neardup.groupMaxDocs", "10000").toInt
-    val labels = cands.select(col("id_a").as("id"), col("id_b").as("nb"))
-      .union(cands.select(col("id_b").as("id"), col("id_a").as("nb")))
+    // the candidate join is the expensive upstream (LSH/prefix self-join +
+    // distinct) and fans out into labels (×2), routing, and both pair
+    // paths — materialize it ONCE; without this, AQE freely recomputes
+    // the self-join per consumer subtree
+    val candsC = cands.transform(graft.core.Checkpoint.apply)
+    val labels = candsC.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(candsC.select(col("id_b").as("id"), col("id_a").as("nb")))
       .groupBy(col("id")).agg(least(min(col("nb")), first(col("id"))).as("g"))
+      // labels feed the routing joins (×2), the size screen, and docsG —
+      // same fan-out argument
+      .transform(graft.core.Checkpoint.apply)
     // groups too large for one task route to the per-pair path
     val okG = labels.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxGroupDocs).select(col("g"))
-    val routed = cands
+    val routed = candsC
       .join(labels.select(col("id").as("id_a"), col("g").as("ga")), "id_a")
       .join(labels.select(col("id").as("id_b"), col("g").as("gb")), "id_b")
       .withColumn("local", col("ga") === col("gb"))
@@ -518,15 +526,21 @@ object Dedup {
             java.util.Arrays.sort(arr)
             byId(id) = arr
           }
-          pairs.map { case (_, a, b) =>
-            val sa = byId(a); val sb = byId(b)
-            var i = 0; var j = 0; var n = 0L
-            while (i < sa.length && j < sb.length) {
-              if (sa(i) == sb(j)) { n += 1; i += 1; j += 1 }
-              else if (sa(i) < sb(j)) i += 1
-              else j += 1
+          // a pair whose endpoint has no row in `sets` (caller contract
+          // violation) SKIPS, matching the residual path's inner-join
+          // semantics — the two routing branches must fail identically
+          pairs.flatMap { case (_, a, b) =>
+            (byId.get(a), byId.get(b)) match {
+              case (Some(sa), Some(sb)) =>
+                var i = 0; var j = 0; var n = 0L
+                while (i < sa.length && j < sb.length) {
+                  if (sa(i) == sb(j)) { n += 1; i += 1; j += 1 }
+                  else if (sa(i) < sb(j)) i += 1
+                  else j += 1
+                }
+                Some((a, b, n))
+              case _ => None
             }
-            (a, b, n)
           }
       }.toDF("id_a", "id_b", "n_inter")
     val residualCounts = residualPairs

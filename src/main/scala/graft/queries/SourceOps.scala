@@ -240,17 +240,21 @@ object SourceOps {
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
     (0 to 2).foreach(i =>
       graft.core.TableLog.append(s, dir, li.filter(col("l_orderkey") % 3 === i)))
-    s.conf.set("spark.sql.catalog.graft",
+    // catalog name carries the dataset hash: CatalogManager caches the
+    // catalog INSTANCE (and its warehouse) per name on first use, so a
+    // fixed name would pin the first dataset's warehouse for the session
+    val cat = "graft_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    s.sql("""
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"""
       SELECT v2.l_returnflag, n_v2, qty_v2, n_tip, qty_tip
       FROM (SELECT l_returnflag, count(*) AS n_v2,
               CAST(sum(l_quantity) AS DOUBLE) AS qty_v2
-            FROM graft.gold.items VERSION AS OF 2 GROUP BY l_returnflag) v2
+            FROM $cat.gold.items VERSION AS OF 2 GROUP BY l_returnflag) v2
       JOIN (SELECT l_returnflag, count(*) AS n_tip,
               CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
-            FROM graft.gold.items GROUP BY l_returnflag) tip
+            FROM $cat.gold.items GROUP BY l_returnflag) tip
         ON v2.l_returnflag = tip.l_returnflag
       ORDER BY v2.l_returnflag""")
   }
@@ -947,16 +951,18 @@ object SourceOps {
     graft.core.TableLog.deleteKeys(s, dir,
       li.select(col("l_orderkey")).distinct()
         .filter(col("l_orderkey") % 50 === 0))                         // v3
-    s.conf.set("spark.sql.catalog.graft_mor",
+    // dataset-hashed catalog name: see tableLogSqlFrontDoor
+    val cat = "graft_mor_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft_mor.warehouse", wh)
-    s.sql("""
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"""
       SELECT tip.l_returnflag, n_tip, qty_tip, n_v1
       FROM (SELECT l_returnflag, count(*) AS n_tip,
               CAST(sum(l_quantity) AS DOUBLE) AS qty_tip
-            FROM graft_mor.gold.li GROUP BY l_returnflag) tip
+            FROM $cat.gold.li GROUP BY l_returnflag) tip
       JOIN (SELECT l_returnflag, count(*) AS n_v1
-            FROM graft_mor.gold.li VERSION AS OF 1 GROUP BY l_returnflag) v1
+            FROM $cat.gold.li VERSION AS OF 1 GROUP BY l_returnflag) v1
         ON tip.l_returnflag = v1.l_returnflag
       ORDER BY tip.l_returnflag""")
   }
@@ -990,20 +996,22 @@ object SourceOps {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    s.conf.set("spark.sql.catalog.graft_w",
+    // dataset-hashed catalog name: see tableLogSqlFrontDoor
+    val cat = "graft_w_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft_w.warehouse", wh)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       .createOrReplaceTempView("graft_w_src")
-    s.sql("""CREATE TABLE graft_w.silver.li AS
+    s.sql(s"""CREATE TABLE $cat.silver.li AS
       SELECT * FROM graft_w_src WHERE l_orderkey % 3 = 0""")
-    s.sql("""INSERT INTO graft_w.silver.li
+    s.sql(s"""INSERT INTO $cat.silver.li
       SELECT * FROM graft_w_src WHERE l_orderkey % 3 = 1""")
-    s.sql("""
+    s.sql(s"""
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(l_quantity) AS DOUBLE) AS qty
-      FROM graft_w.silver.li
+      FROM $cat.silver.li
       GROUP BY l_returnflag ORDER BY l_returnflag""")
   }
 
@@ -1012,6 +1020,58 @@ object SourceOps {
       |  CAST(sum(l_quantity) AS DOUBLE) AS qty
       |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Partition-scoped `INSERT OVERWRITE ... PARTITION (col=val)` through
+    * the graft catalog, hash-gated — the reference's fact write IS a
+    * partitioned overwrite (/root/reference/src/gold/facts/
+    * fact_adverse_events.py:325-327), and through SQL it must rewrite
+    * ONLY the named partition's files ([[graft.core.TableLog
+    * .overwritePartitions]]'s file-selective manifest rewrite; untouched
+    * partitions carry byte-identical, asserted in GraftCatalogSpec). The
+    * oracle recomputes the post-backfill table from raw lineitem: rows
+    * leaking into unnamed partitions, a flattened layout, or a lost
+    * carry-over all break the hash.
+    */
+  def tableLogSqlPow: Q = (s, d) => {
+    val wh = Scratch.dir("tlogsqlpow_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_pow_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .createOrReplaceTempView("graft_pow_src")
+    s.sql(s"""CREATE TABLE $cat.gold.lif
+      (l_orderkey BIGINT, l_quantity DOUBLE)
+      PARTITIONED BY (l_returnflag STRING)""")
+    s.sql(s"""INSERT INTO $cat.gold.lif
+      SELECT l_orderkey, CAST(l_quantity AS DOUBLE), l_returnflag
+      FROM graft_pow_src""")
+    // quarterly-backfill shape: partition 'A' := corrected slice; every
+    // other partition's files must carry into the new version untouched
+    s.sql(s"""INSERT OVERWRITE $cat.gold.lif PARTITION (l_returnflag = 'A')
+      SELECT l_orderkey, CAST(l_quantity * 2 AS DOUBLE)
+      FROM graft_pow_src
+      WHERE l_returnflag = 'A' AND l_orderkey % 2 = 0""")
+    s.sql(s"""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_quantity) AS DOUBLE) AS qty
+      FROM $cat.gold.lif
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  val tableLogSqlPowSql: String =
+    """WITH tip AS (
+      |  SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS q, l_returnflag
+      |  FROM lineitem WHERE l_returnflag <> 'A'
+      |  UNION ALL
+      |  SELECT l_orderkey, CAST(l_quantity * 2 AS DOUBLE) AS q, l_returnflag
+      |  FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey % 2 = 0)
+      |SELECT l_returnflag, count(*) AS n, CAST(sum(q) AS DOUBLE) AS qty
+      |FROM tip GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q_csv_quarantine" -> csvQuarantine,
@@ -1025,6 +1085,7 @@ object SourceOps {
     "q_table_log_sql" -> tableLogSqlFrontDoor,
     "q_table_log_sql_dv" -> tableLogSqlDv,
     "q_table_log_sql_write" -> tableLogSqlWrite,
+    "q_table_log_sql_pow" -> tableLogSqlPow,
     "q_table_log_dv" -> tableLogDv,
     "q_table_log_auto" -> tableLogAuto,
     "q_table_log_hidden" -> tableLogHidden,
@@ -1051,6 +1112,7 @@ object SourceOps {
     "q_table_log_sql" -> tableLogSql,
     "q_table_log_sql_dv" -> tableLogSqlDvSql,
     "q_table_log_sql_write" -> tableLogSqlWriteSql,
+    "q_table_log_sql_pow" -> tableLogSqlPowSql,
     "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_hidden" -> tableLogHiddenSql,

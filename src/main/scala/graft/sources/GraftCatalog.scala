@@ -190,6 +190,20 @@ class GraftTable(spark: SparkSession, dir: String,
         index.partitionSchema.fields.filterNot(f => hidden.contains(f.name)))
     }
 
+  // declared identity partitioning: the analyzer validates a static
+  // `PARTITION (p=v)` spec against this (hidden-transform layout dirs
+  // stay hidden, as in schema())
+  override def partitioning(): Array[Transform] = {
+    val cols =
+      if (isEmpty) sidecar.map(_._2).getOrElse(Seq.empty)
+      else {
+        val hidden = graft.core.TableLog.layoutTransforms(lines).map(_.dirCol).toSet
+        index.partitionSchema.fieldNames.toSeq.filterNot(hidden)
+      }
+    cols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -203,10 +217,11 @@ class GraftTable(spark: SparkSession, dir: String,
     if (!hasDeletes)
       ParquetScanBuilder(spark, snapIdx, schema(), dataSchema, options)
     else {
-      // merge-on-read: same pruning/pushdown, reader-level subtraction
-      val (dv, eq) = GraftMorScan.loadDeletes(spark, dir, lines)
+      // merge-on-read: same pruning/pushdown, reader-level subtraction;
+      // ONE cached broadcast per snapshot (dv sidecar paths + eq key sets)
+      val deletes = GraftMorScan.deletesFor(spark, dir, lines, schema())
       new GraftMorScanBuilder(spark, snapIdx, schema(), dataSchema, options,
-        dir, qualifiedDir, dv, eq)
+        dir, qualifiedDir, deletes)
     }
   }
 
@@ -248,12 +263,32 @@ private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
   extends WriteBuilder with SupportsOverwrite {
 
   private var overwriteAll = false
+  // static-partition overwrite target: (partition col, hive path value)
+  private var overwritePart: Seq[(String, String)] = Seq.empty
 
+  /** `INSERT OVERWRITE` filter set: `AlwaysTrue` = full table; a
+    * conjunction of partition-column equalities (the analyzer's encoding
+    * of a static `PARTITION (p=v)` spec) = partition-scoped — routed to
+    * [[graft.core.TableLog.overwritePartitions]]'s file-selective
+    * rewrite, the reference's partitioned fact backfill
+    * (/root/reference/src/gold/facts/fact_adverse_events.py:325-327).
+    * Values render through Spark's own hive path escaping so the
+    * manifest's path-segment match sees exactly what the writer laid
+    * out.
+    */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-      "graft: only full-table INSERT OVERWRITE is supported via SQL; " +
-        "use TableLog.deleteWhere + append for predicate overwrites")
-    overwriteAll = true
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { overwriteAll = true; return this }
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    overwritePart = filters.toSeq.map {
+      case org.apache.spark.sql.sources.EqualTo(c, v) if v != null =>
+        c -> ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v) if v != null =>
+        c -> ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      case f => throw new IllegalArgumentException(
+        s"graft: INSERT OVERWRITE supports the full table or a static " +
+          s"non-null partition-equality spec; got $f — use " +
+          "TableLog.deleteWhere + append for predicate overwrites")
+    }
     this
   }
 
@@ -262,7 +297,10 @@ private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
                             overwrite: Boolean): Unit =
-          if (overwriteAll || overwrite)
+          if (overwritePart.nonEmpty)
+            graft.core.TableLog.overwritePartitions(spark, dir, data,
+              overwritePart)
+          else if (overwriteAll || overwrite)
             graft.core.TableLog.overwriteLikeTip(spark, dir, data,
               declaredPartCols)
           else

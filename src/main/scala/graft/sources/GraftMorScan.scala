@@ -1,5 +1,11 @@
 package graft.sources
 
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.SparkContext
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -15,6 +21,26 @@ import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+/** Java-serializable Hadoop `Configuration` carrier (the stock Spark one
+  * is `private[spark]`): executors need the session conf to open delete
+  * sidecar files.
+  */
+private[sources] class SerializableHadoopConf(
+    @transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 /** Merge-on-read through the DSv2 front door: the scan-level twin of the
   * anti-joins `TableLog.table` composes (reference surface:
   * `spark.table(...)` everywhere, /root/reference/src/utils/
@@ -29,9 +55,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * TRUE file positions even when predicate pushdown skips rows). We append
   * that field to the inner [[ParquetScanBuilder]]'s data schema, let the
   * stock scan do EVERYTHING it does today (manifest-backed pruning,
-  * min/max skipping, filter pushdown, column pruning), and wrap its
-  * readers to drop rows whose (file, row-index) sits in a deletion vector
-  * or whose key tuple sits in an equality-delete set.
+  * min/max skipping, filter pushdown, column pruning, small-file
+  * coalescing into multi-file partitions), and wrap its readers to drop
+  * rows whose (file, row-index) sits in a deletion vector or whose key
+  * tuple sits in an equality-delete set.
   *
   * Row-group/filter pushdown stays ON: a pushed filter only removes rows
   * the query's own Filter node would re-reject — hidden (deleted) rows
@@ -42,45 +69,99 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * SCALE: delete sidecars are deleted-row-count sized by design (that is
   * why dv/eq deletes exist — kilobytes of sidecar against a 100 TB
-  * table); they are loaded once on the driver, capped by
-  * `spark.graft.catalog.morMaxEntries` (default 10M — past that the
-  * table needs OPTIMIZE, and the error says so), and shipped to
-  * executors as ONE broadcast, not per-task closures. The read-side cost
-  * is a row-based (non-vectorized) reader on MoR snapshots only —
+  * table). Deletion-vector sidecars are NEVER materialized on the
+  * driver: the driver ships only their paths (plus the eq-delete key
+  * sets, which are external-key-list sized) in ONE broadcast per
+  * snapshot — cached across scans, so repeated MoR queries in a session
+  * reuse a single broadcast — and each EXECUTOR loads the (file → deleted
+  * row indexes) map once per snapshot from the sidecar parquet
+  * ([[MorDvCache]]), the Delta/Iceberg geometry. Both delete families are
+  * capped by `spark.graft.catalog.morMaxEntries` (default 10M — past
+  * that the table needs OPTIMIZE, and the error says so). The read-side
+  * cost is a row-based (non-vectorized) reader on MoR snapshots only —
   * compaction retires the vectors and restores the vectorized fast path,
   * the same trade Delta/Iceberg make.
   */
 object GraftMorScan {
 
-  /** (file -> sorted deleted row indexes, eq-delete groups as (key
-    * ordinal schema types, key tuple set)). Loaded driver-side from the
-    * snapshot's sidecars; values are CATALYST values (UTF8String etc.) so
-    * executors compare without conversion.
+  /** A snapshot's delete state as shipped to executors: dv sidecar
+    * ABSOLUTE (qualified) paths — the entries themselves load
+    * executor-side — plus eq-delete groups as (key column names, key
+    * tuple set). Key sets hold CATALYST values (UTF8String etc.), CAST
+    * to the TABLE column types at load, so a sidecar written with a
+    * narrower key type (INT keys against a BIGINT column) still hides
+    * its rows — matching the API path's cast-coercing `<=>` anti-join.
     */
+  case class MorDeletes(dvSidecars: Array[String],
+                        eq: Seq[(Seq[String], Set[Seq[Any]])])
+
+  // one broadcast per (dir, snapshot fingerprint), LRU-bounded: evicted
+  // entries unpersist (not destroy — in-flight scans can re-fetch from
+  // the driver), so long sessions don't accumulate broadcast blocks
+  private val bcastCache =
+    new java.util.LinkedHashMap[(String, Int), Broadcast[MorDeletes]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Broadcast[MorDeletes]]): Boolean =
+        if (size > 32) { e.getValue.unpersist(false); true } else false
+    }
+
+  def deletesFor(spark: SparkSession, dir: String, lines: Seq[String],
+                 tableSchema: StructType): Broadcast[MorDeletes] =
+    bcastCache.synchronized {
+      val key = (dir, (lines, tableSchema).hashCode)
+      Option(bcastCache.get(key)).getOrElse {
+        val b = spark.sparkContext.broadcast(
+          loadDeletes(spark, dir, lines, tableSchema))
+        bcastCache.put(key, b)
+        b
+      }
+    }
+
+  // the session Hadoop conf executors need to open sidecar files; one
+  // broadcast per SparkContext, reused across scans
+  @volatile private var confCache: (SparkContext, Broadcast[SerializableHadoopConf]) = _
+
+  def hadoopConfBroadcast(spark: SparkSession): Broadcast[SerializableHadoopConf] = {
+    val sc = spark.sparkContext
+    val c = confCache
+    if (c != null && (c._1 eq sc)) c._2
+    else {
+      val b = sc.broadcast(
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      confCache = (sc, b)
+      b
+    }
+  }
+
   private[sources] def loadDeletes(spark: SparkSession, dir: String,
-                                   lines: Seq[String])
-      : (Map[String, Array[Long]], Seq[(Seq[String], Set[Seq[Any]])]) = {
+                                   lines: Seq[String],
+                                   tableSchema: StructType): MorDeletes = {
     val cap = spark.conf
       .get("spark.graft.catalog.morMaxEntries", "10000000").toLong
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
     val dvs = graft.core.TableLog.dvFiles(lines)
-    val dvMap: Map[String, Array[Long]] =
-      if (dvs.isEmpty) Map.empty
-      else {
-        val df = spark.read.parquet(dvs.map(f => s"$dir/$f"): _*)
-        val n = df.count()
-        require(n <= cap, s"snapshot at $dir carries $n deletion-vector " +
-          s"entries (> spark.graft.catalog.morMaxEntries=$cap); run " +
-          "OPTIMIZE (TableLog.compact) to materialize the deletes first")
-        df.select("_dv_file", "_dv_idx").collect()
-          .groupBy(_.getString(0))
-          .map { case (f, rows) =>
-            f -> rows.map(_.getLong(1)).distinct.sorted
-          }
-      }
+      .map(f => s"$qualified/$f").toArray
+    if (dvs.nonEmpty) {
+      // cap check is a distributed count — dv ROWS never reach the driver
+      val n = spark.read.parquet(dvs.toIndexedSeq: _*).count()
+      require(n <= cap, s"snapshot at $dir carries $n deletion-vector " +
+        s"entries (> spark.graft.catalog.morMaxEntries=$cap); run " +
+        "OPTIMIZE (TableLog.compact) to materialize the deletes first")
+    }
+    // deterministic group order: the scan builder indexes into this seq
     val eqGroups = graft.core.TableLog.eqLines(lines).groupBy(_._2).toSeq
+      .sortBy(_._1.mkString(","))
     val eqSets = eqGroups.map { case (cols, entries) =>
-      val df = spark.read.parquet(entries.map(e => s"$dir/${e._1}"): _*)
-        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      val typed = cols.map { c =>
+        tableSchema.fields.find(_.name == c) match {
+          case Some(f) => org.apache.spark.sql.functions.col(c).cast(f.dataType)
+          case None => org.apache.spark.sql.functions.col(c)
+        }
+      }
+      val df = spark.read.parquet(entries.map(e => s"$qualified/${e._1}"): _*)
+        .select(typed: _*)
       val n = df.count()
       require(n <= cap, s"snapshot at $dir carries $n equality-delete " +
         s"keys (> spark.graft.catalog.morMaxEntries=$cap); run " +
@@ -94,7 +175,44 @@ object GraftMorScan {
       }.toSet
       (cols, keys)
     }
-    (dvMap, eqSets)
+    MorDeletes(dvs, eqSets)
+  }
+}
+
+/** Executor-side per-JVM deletion-vector cache: the (data file → sorted
+  * deleted row indexes) map is loaded ONCE per snapshot per executor from
+  * the sidecar parquet files — there is no SparkSession on executors, so
+  * the read goes through parquet-hadoop's example API. Sidecar bytes are
+  * deleted-row-count sized; the cache is LRU-bounded so long-lived
+  * executors touching many MoR snapshots don't hoard heap.
+  */
+private[sources] object MorDvCache {
+  private val cache = new ConcurrentHashMap[String, Map[String, Array[Long]]]()
+
+  def get(sidecars: Array[String], conf: Configuration): Map[String, Array[Long]] = {
+    if (cache.size > 8) cache.clear()
+    cache.computeIfAbsent(sidecars.mkString("\n"), _ => load(sidecars, conf))
+  }
+
+  private def load(sidecars: Array[String],
+                   conf: Configuration): Map[String, Array[Long]] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val buf = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
+    sidecars.foreach { p =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p))
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          buf.getOrElseUpdate(g.getString("_dv_file", 0),
+            mutable.ArrayBuffer.empty[Long]) += g.getLong("_dv_idx", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    buf.map { case (f, idxs) => f -> idxs.distinct.sorted.toArray }.toMap
   }
 }
 
@@ -108,13 +226,12 @@ class GraftMorScanBuilder(spark: SparkSession,
                           tableSchema: StructType, dataSchema: StructType,
                           options: CaseInsensitiveStringMap,
                           dir: String, qualifiedDir: String,
-                          dv: Map[String, Array[Long]],
-                          eq: Seq[(Seq[String], Set[Seq[Any]])])
+                          deletes: Broadcast[GraftMorScan.MorDeletes])
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
 
   private val rowIdxName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
-  private val needRowIdx = dv.nonEmpty
+  private val needRowIdx = deletes.value.dvSidecars.nonEmpty
 
   private val augDataSchema =
     if (needRowIdx)
@@ -141,6 +258,7 @@ class GraftMorScanBuilder(spark: SparkSession,
     inner.pushedFilters
 
   override def build(): Scan = {
+    val eq = deletes.value.eq
     val visNames = visible.fieldNames.toSet
     val eqKeyCols = eq.flatMap(_._1).distinct
     val extraKeys = eqKeyCols.filterNot(visNames)
@@ -158,23 +276,25 @@ class GraftMorScanBuilder(spark: SparkSession,
       innerRow.fields.find(_.name == n)))
     val outOrdinals = declared.fieldNames.map(n => innerRow.fieldNames.indexOf(n))
     val rowIdxOrd = innerRow.fieldNames.indexOf(rowIdxName)
-    val eqBound = eq.map { case (cols, keys) =>
+    // per-scan binding of each eq group (same index order as MorDeletes.eq)
+    // to the inner row's ordinals; the key SETS stay in the broadcast
+    val eqBound = eq.map { case (cols, _) =>
       (cols.map(c => innerRow.fieldNames.indexOf(c)).toArray,
-        cols.map(c => innerRow.fields(innerRow.fieldNames.indexOf(c)).dataType).toArray,
-        keys)
-    }
-    new GraftMorScanImpl(spark, pScan, declared, innerRow,
-      outOrdinals, rowIdxOrd, qualifiedDir,
-      spark.sparkContext.broadcast((dv, eqBound)))
+        cols.map(c => innerRow.fields(innerRow.fieldNames.indexOf(c)).dataType).toArray)
+    }.toArray
+    new GraftMorScanImpl(pScan, declared, innerRow,
+      outOrdinals, rowIdxOrd, qualifiedDir, deletes,
+      GraftMorScan.hadoopConfBroadcast(spark), eqBound)
   }
 }
 
 private[sources] class GraftMorScanImpl(
-    spark: SparkSession, inner: ParquetScan, declared: StructType,
+    inner: ParquetScan, declared: StructType,
     innerRow: StructType, outOrdinals: Array[Int], rowIdxOrd: Int,
     qualifiedDir: String,
-    deletes: Broadcast[(Map[String, Array[Long]],
-      Seq[(Array[Int], Array[DataType], Set[Seq[Any]])])])
+    deletes: Broadcast[GraftMorScan.MorDeletes],
+    confB: Broadcast[SerializableHadoopConf],
+    eqBound: Array[(Array[Int], Array[DataType])])
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = declared
@@ -188,31 +308,29 @@ private[sources] class GraftMorScanImpl(
   // join-side planning, and exact stats would need a count
   override def estimateStatistics(): Statistics = inner.estimateStatistics()
 
-  /** One PartitionedFile per InputPartition so each reader knows its
-    * file's deletion vector. Splits survive (a split PartitionedFile
-    * still names its file; row-index generation is split-correct).
-    */
+  // stock partitions, small-file coalescing included: each PartitionedFile
+  // inside a multi-file partition still names its file, which is all the
+  // per-file dv lookup needs (the factory chains one delegate per file)
   override def planInputPartitions(): Array[InputPartition] =
-    inner.planInputPartitions().flatMap {
-      case fp: FilePartition => fp.files.map(f => f)
-      case other => throw new IllegalStateException(
-        s"unexpected non-file partition from parquet scan: $other")
-    }.zipWithIndex.map { case (f, i) => FilePartition(i, Array(f)) }.toArray
+    inner.planInputPartitions()
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMorReaderFactory(inner.createReaderFactory(), innerRow,
-      outOrdinals, rowIdxOrd, qualifiedDir, deletes)
+      outOrdinals, rowIdxOrd, qualifiedDir, deletes, confB, eqBound)
 }
 
-/** Row-based reader wrapper: delegates to the stock parquet reader, drops
-  * dv/eq-deleted rows, projects the internal extras (row index, re-added
-  * key columns) back out.
+/** Row-based reader wrapper: chains one stock parquet reader per file in
+  * the (possibly multi-file) partition, drops dv/eq-deleted rows, and
+  * projects the internal extras (row index, re-added key columns) back
+  * out. The dv map resolves per file from the executor-side
+  * [[MorDvCache]] — the driver never materializes dv entries.
   */
 private[sources] class GraftMorReaderFactory(
     inner: PartitionReaderFactory, innerRow: StructType,
     outOrdinals: Array[Int], rowIdxOrd: Int, qualifiedDir: String,
-    deletes: Broadcast[(Map[String, Array[Long]],
-      Seq[(Array[Int], Array[DataType], Set[Seq[Any]])])])
+    deletes: Broadcast[GraftMorScan.MorDeletes],
+    confB: Broadcast[SerializableHadoopConf],
+    eqBound: Array[(Array[Int], Array[DataType])])
   extends PartitionReaderFactory {
 
   // MoR snapshots read row-based: per-row subtraction can't run on a
@@ -222,18 +340,34 @@ private[sources] class GraftMorReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[FilePartition]
-    require(fp.files.length == 1, "GraftMorScan plans one file per partition")
-    val rel = fp.files.head.toPath.toUri.getPath
-      .stripPrefix(qualifiedDir).stripPrefix("/")
-    val (dvMap, eqSets) = deletes.value
-    val deleted: Array[Long] = dvMap.getOrElse(rel, Array.emptyLongArray)
-    val delegate = inner.createReader(partition)
+    val del = deletes.value
+    val dvMap: Map[String, Array[Long]] =
+      if (del.dvSidecars.isEmpty) Map.empty
+      else MorDvCache.get(del.dvSidecars, confB.value.value)
+    val eqSets: Array[(Array[Int], Array[DataType], Set[Seq[Any]])] =
+      eqBound.zip(del.eq).map { case ((ords, types), (_, keys)) =>
+        (ords, types, keys)
+      }
     new PartitionReader[InternalRow] {
+      private var fi = 0
+      private var delegate: PartitionReader[InternalRow] = _
+      private var deleted: Array[Long] = Array.emptyLongArray
       private var cur: InternalRow = _
       private lazy val proj = UnsafeProjection.create(
         outOrdinals.map(i => BoundReference(i,
           innerRow.fields(i).dataType, innerRow.fields(i).nullable)
           : Expression).toIndexedSeq)
+
+      private def openNext(): Boolean = {
+        if (fi >= fp.files.length) return false
+        val f = fp.files(fi)
+        fi += 1
+        val rel = f.toPath.toUri.getPath
+          .stripPrefix(qualifiedDir).stripPrefix("/")
+        deleted = dvMap.getOrElse(rel, Array.emptyLongArray)
+        delegate = inner.createReader(FilePartition(fp.index, Array(f)))
+        true
+      }
 
       private def survives(r: InternalRow): Boolean = {
         if (deleted.nonEmpty && rowIdxOrd >= 0 &&
@@ -251,16 +385,22 @@ private[sources] class GraftMorReaderFactory(
       }
 
       override def next(): Boolean = {
-        while (delegate.next()) {
-          val r = delegate.get()
-          if (survives(r)) { cur = r; return true }
+        while (true) {
+          if (delegate == null && !openNext()) return false
+          while (delegate.next()) {
+            val r = delegate.get()
+            if (survives(r)) { cur = r; return true }
+          }
+          delegate.close()
+          delegate = null
         }
         false
       }
 
       override def get(): InternalRow = proj(cur)
 
-      override def close(): Unit = delegate.close()
+      override def close(): Unit =
+        if (delegate != null) { delegate.close(); delegate = null }
     }
   }
 }

@@ -399,6 +399,56 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("serializable isolation aborts a predicate delete on racing appends") {
+    // guard-level, deterministic (same pattern as the rebaseCompaction
+    // test): under `serializable`, any file added after the delete's read
+    // snapshot aborts the commit — the racing append may hold rows the
+    // predicate should have covered (Delta's ConcurrentAppendException
+    // contract). Default (`snapshot`) composes, unchanged.
+    val defaultGuard = TableLog.serializableGuard(spark, Set("a"), "deleteWhere")
+    defaultGuard(Seq("a", "raced-append")) // no-op: write skew tolerated
+    spark.conf.set("spark.graft.commit.isolation", "serializable")
+    try {
+      val g = TableLog.serializableGuard(spark, Set("a", "b"), "deleteWhere")
+      g(Seq("a", "b")) // unchanged base commits
+      g(Seq("a"))      // removals are rebaseCompaction's concern, not this guard's
+      intercept[java.util.ConcurrentModificationException] {
+        g(Seq("a", "b", "raced-append"))
+      }
+      // end-to-end: with no race, a serializable delete still commits
+      val dir = freshDir()
+      TableLog.append(spark, dir,
+        spark.range(0, 10).select($"id", ($"id" % 2).as("g")))
+      val (v, n) = TableLog.deleteWhere(spark, dir, $"g" === 1L)
+      assert(v == 2 && n > 0 && TableLog.read(spark, dir).count() == 5)
+    } finally spark.conf.unset("spark.graft.commit.isolation")
+  }
+
+  test("overwritePartitions replaces one partition, carries the rest untouched") {
+    val dir = freshDir()
+    TableLog.append(spark, dir,
+      spark.range(0, 30).select($"id", ($"id" % 3).as("g")),
+      partitionBy = Seq("g"))
+    val before = TableLog.read(spark, dir).inputFiles
+      .filterNot(_.contains("g=1")).toSet
+    val v = TableLog.overwritePartitions(spark, dir,
+      Seq((100L, 1L), (101L, 1L)).toDF("id", "g"), Seq("g" -> "1"))
+    assert(v == 2)
+    val tip = TableLog.read(spark, dir)
+    assert(tip.count() == 22) // 10 + 10 survivors + 2 new
+    assert(tip.filter($"g" === 1L).select("id").as[Long].collect().sorted
+      .toSeq == Seq(100L, 101L))
+    // untouched partitions kept their EXACT files (manifest-only carry)
+    assert(tip.inputFiles.filterNot(_.contains("g=1")).toSet == before)
+    // old snapshot still sees the replaced partition (time travel)
+    assert(TableLog.read(spark, dir, Some(1)).filter($"g" === 1L).count() == 10)
+    // non-partition column is rejected
+    intercept[IllegalArgumentException] {
+      TableLog.overwritePartitions(spark, dir,
+        Seq((1L, 1L)).toDF("id", "g"), Seq("id" -> "1"))
+    }
+  }
+
   test("manifests are authoritative; commits are create-no-overwrite atomic") {
     val dir = freshDir()
     TableLog.append(spark, dir, spark.range(0, 10).select($"id"))

@@ -316,4 +316,38 @@ class DedupSpec extends SparkSpec {
     spark.conf.set("spark.graft.neardup.groupMaxDocs", "1")
     try check() finally spark.conf.unset("spark.graft.neardup.groupMaxDocs")
   }
+
+  test("pairIntersections: both routing branches SKIP a pair missing from sets") {
+    // a pair whose endpoint has no sets row (caller contract violation)
+    // must fail the same way on both paths: silently dropped, like the
+    // residual path's inner join — not NoSuchElementException
+    val sets = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("a", "c")), (3L, Seq("a", "d")),
+    ).toDF("id", "sh")
+    val cands = Seq((1L, 2L), (2L, 99L), (1L, 3L)).toDF("id_a", "id_b")
+    def got() = Dedup.pairIntersections(cands, sets)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got() == Set((1L, 2L, 1L), (1L, 3L, 1L))) // local path
+    spark.conf.set("spark.graft.neardup.groupMaxDocs", "1")
+    try assert(got() == Set((1L, 2L, 1L), (1L, 3L, 1L))) // residual path
+    finally spark.conf.unset("spark.graft.neardup.groupMaxDocs")
+  }
+
+  test("pairIntersections materializes the candidate input once (no re-planned fan-out)") {
+    // the expensive candidate join is checkpointed before fanning out into
+    // labels/routing/pair paths: the RESULT's optimized plan must read the
+    // candidates as a materialized scan, not re-plan their upstream join
+    // (recognizable here by a distinctive literal filter)
+    val sets = Seq((1L, Seq("a", "b")), (2L, Seq("a", "c")))
+      .toDF("id", "sh")
+    val l = Seq((1L, 424242L), (2L, 424242L)).toDF("id_l", "k")
+    val r = Seq((2L, 424242L)).toDF("id_r", "k")
+    val cands = l.join(r, "k").filter($"k" === 424242L)
+      .filter($"id_l" < $"id_r")
+      .select($"id_l".as("id_a"), $"id_r".as("id_b")).distinct()
+    val out = Dedup.pairIntersections(cands, sets)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("424242"), "candidate upstream re-planned:\n" + plan)
+    assert(out.as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 1L)))
+  }
 }

@@ -123,9 +123,32 @@ class GraftCatalogSpec extends SparkSpec {
     TableLog.deleteWhereDv(spark, dir, $"id" === 5L)
     val t = spark.read.format("graft").load(dir).filter($"p" === 2)
     assert(t.count() == 100)
-    val scanned = t.queryExecution.executedPlan.toString
-    // only p=2 files planned (the MoR scan delegates to the manifest index)
+    // only p=2 files planned (the MoR scan delegates to the manifest
+    // index): inspect the ACTUAL planned input partitions, not the plan
+    // string
+    val planned = t.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.toPath.toString).toSeq
+        }.flatten
+    }.flatten
+    assert(planned.nonEmpty && planned.forall(_.contains("p=2")), planned)
     assert(TableLog.table(spark, dir).filter($"p" === 2).count() == 100)
+  }
+
+  test("merge-on-read: eq-delete sidecar with a NARROWER key type still hides rows") {
+    // ADVICE round-7: an INT-keyed sidecar against a BIGINT column must
+    // not let deleted rows resurrect through the SQL front door
+    val dir = freshDir("graft_dsv2_eqcast")
+    TableLog.append(spark, dir,
+      spark.range(0, 50).select($"id", ($"id" % 10).as("u")).coalesce(1))
+    TableLog.deleteKeys(spark, dir,
+      Seq(3, 8).toDF("u").select($"u".cast("int"))) // INT keys, BIGINT col
+    assert(TableLog.table(spark, dir).count() == 40) // API path
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 40, "SQL front door resurrected eq-deleted rows")
+    assert(t.select($"id").count() == 40)
   }
 
   test("SQL writes: CREATE TABLE, INSERT INTO, INSERT OVERWRITE, DROP") {
@@ -207,6 +230,83 @@ class GraftCatalogSpec extends SparkSpec {
       s"SELECT count(*) FROM graftt.gold.ts TIMESTAMP AS OF '$ts'")
       .as[Long].head() == 1L)
     assert(spark.sql("SELECT count(*) FROM graftt.gold.ts").as[Long].head() == 2L)
+  }
+
+  test("partition-scoped INSERT OVERWRITE rewrites ONLY the named partition") {
+    val wh = freshDir("graft_wh_pow")
+    spark.conf.set("spark.sql.catalog.graftp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftp.warehouse", wh)
+    spark.sql("CREATE TABLE graftp.s.f (k BIGINT, v STRING) PARTITIONED BY (g INT)")
+    spark.sql("INSERT INTO graftp.s.f VALUES (1, 'a', 0), (2, 'b', 1), (3, 'c', 2)")
+    spark.sql("INSERT INTO graftp.s.f VALUES (4, 'd', 1)")
+    val dir = s"$wh/s/f"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // checksum every file OUTSIDE the target partition before the commit
+    def filesOutside(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val s = it.next()
+        val p = s.getPath.toString
+        if (s.isFile && p.contains("/g=") && !p.contains("/g=1/"))
+          m += p -> (s.getLen ^ s.getModificationTime)
+      }
+      m.toMap
+    }
+    val before = filesOutside()
+    // static partition overwrite: backfill g=1 wholesale
+    spark.sql("INSERT OVERWRITE graftp.s.f PARTITION (g=1) VALUES (9, 'z')")
+    // untouched partitions' files are byte-identical (same path/len/mtime)
+    assert(filesOutside() == before)
+    val rows = spark.sql("SELECT k, v, g FROM graftp.s.f ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a", 0), (3L, "c", 2), (9L, "z", 1)), rows)
+    assert(TableLog.history(spark, dir).select("operation").as[String]
+      .collect().contains("overwrite_partitions"))
+    // a batch carrying rows OUTSIDE the named partition aborts cleanly
+    val e = intercept[Exception] {
+      TableLog.overwritePartitions(spark, dir,
+        Seq((7L, "x", 0), (8L, "y", 1)).toDF("k", "v", "g"),
+        Seq("g" -> "1"))
+    }
+    assert(e.getMessage.contains("outside the target"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graftp.s.f").as[Long].head() == 3L)
+  }
+
+  test("mixed-layout tip: SQL insert follows the MAJORITY layout") {
+    // ADVICE round-7: tipLayout derived hive partition columns from only
+    // the first manifest line; an unpartitioned stray file must not
+    // flatten later SQL inserts
+    val dir = freshDir("graft_mixed")
+    TableLog.append(spark, dir,
+      spark.range(0, 20).select($"id", ($"id" % 2).as("g")),
+      partitionBy = Seq("g"))
+    TableLog.append(spark, dir, // stray unpartitioned commit
+      Seq((100L, 5L)).toDF("id", "g").coalesce(1))
+    TableLog.append(spark, dir,
+      spark.range(20, 40).select($"id", ($"id" % 2).as("g")),
+      partitionBy = Seq("g"))
+    // the SQL-path append must land hive-partitioned (majority layout),
+    // not flat — assert on the files the commit ADDS (the mixed tip
+    // itself is degenerate, so no full-table read here)
+    def dataFiles(): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        val p = s.getPath.toString
+        if (s.isFile && p.contains("part-") && !p.contains("_graft_log"))
+          out += p
+      }
+      out.toSet
+    }
+    val before = dataFiles()
+    TableLog.appendLikeTip(spark, dir, Seq((200L, 0L)).toDF("id", "g"))
+    val added = dataFiles() -- before
+    assert(added.nonEmpty && added.forall(_.contains("g=0")), added)
   }
 
   test("racing SQL inserts both land (optimistic rebase, no lost update)") {

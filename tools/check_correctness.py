@@ -86,8 +86,10 @@ def main():
                 "column mismatch")
             n_fail += 1; continue
         if len(g) != len(e):
+            # schema_match=None: with differing row sets the dtype proxy
+            # below never ran, so schema agreement is UNKNOWN, not True
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
-            rec(name, False, True, False, len(g), len(e), None)
+            rec(name, False, None, False, len(g), len(e), None)
             n_fail += 1; continue
         # dtype check (schema match proxy)
         dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype))
@@ -105,6 +107,14 @@ def main():
         rec(name, True, True, True, len(g), len(e))
         n_pass += 1
     if json_out:
+        # self-describing artifact: a GRAFT_CHECK_ONLY subset run must not
+        # be mistakable for a full-registry run
+        record["_meta"] = {
+            "sf_dir": sf_dir,
+            "queries_checked": len(names),
+            "subset": sorted(only) if only else None,
+            "full_run": not only,
+        }
         with open(json_out, "w") as f:
             json.dump(record, f, indent=2)
     print(f"\n{n_pass} pass, {n_fail} fail")
