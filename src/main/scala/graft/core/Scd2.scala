@@ -168,6 +168,33 @@ object Scd2 {
         "the table (read + initial load) to migrate.")
   }
 
+  /** Whether `tablePath` already holds a stamped bucketed SCD2 store.
+    * Callers' auto dials use this as a STICKY check — once a dimension is
+    * bucketed it stays bucketed (flapping between physical layouts would
+    * re-shuffle the whole dimension on every flip).
+    */
+  def isBucketedStore(spark: org.apache.spark.sql.SparkSession,
+                      tablePath: String): Boolean = {
+    val p = layoutPath(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Migrate an EXISTING dimension (with its full SCD2 history) into the
+    * bucketed layout: one read + one partitioned write + layout stamp —
+    * the rebuild the layout contract prescribes. Later [[mergeBucketed]]
+    * calls then rewrite only affected buckets.
+    */
+  def seedBucketed(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                   dim: DataFrame, businessKeys: Seq[String],
+                   nBuckets: Int = 256): Unit = {
+    dim.withColumn("_bucket", keyBucket(businessKeys, nBuckets))
+      .repartition(col("_bucket"))
+      .write.partitionBy("_bucket").mode("overwrite").parquet(tablePath)
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stampLayout(fs, tablePath)
+  }
+
   def keyBucket(businessKeys: Seq[String], nBuckets: Int): Column =
     pmod(xxhash64(businessKeys.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*),
       lit(nBuckets)).cast("int")
@@ -201,6 +228,7 @@ object Scd2 {
     if (!exists) {
       applyScdType2Merge(None, staged, businessKeys, trackedCols, clock)
         .withColumn("_bucket", bucket)
+        .repartition(col("_bucket")) // one file per bucket directory
         .write.partitionBy("_bucket").mode("overwrite").parquet(tablePath)
       stampLayout(fs, tablePath)
     } else {
@@ -214,13 +242,13 @@ object Scd2 {
       val merged = applyScdType2Merge(Some(slice), staged,
           businessKeys, trackedCols, clock)
         .withColumn("_bucket", bucket)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try merged.write.partitionBy("_bucket").mode("overwrite").parquet(tablePath)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+        .repartition(col("_bucket")) // one file per rewritten bucket
+      // per-WRITE dynamic mode (not a session conf set/restore): merges
+      // run concurrently across dims — a racing restore would flip a
+      // sibling's overwrite to static and wipe its untouched buckets
+      merged.write.partitionBy("_bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(tablePath)
     }
   }
 

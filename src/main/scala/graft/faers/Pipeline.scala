@@ -108,6 +108,77 @@ object Pipeline {
     } else None
   }
 
+  /** Physical root of a dimension's bucketed SCD2 store (outside the
+    * managed-table dirs so swaps/drops of the facade never touch it).
+    */
+  private[faers] def bucketedDimPath(spark: SparkSession, name: String): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/gold_scd2/$name"
+
+  /** The SCD2 merge dial, same shape as `spark.graft.neardup.join`:
+    * `spark.graft.scd2.merge` = `overwrite` (the reference's
+    * full-overwrite-via-swap — fine while a dim is table-scan sized),
+    * `bucketed` ([[Scd2.mergeBucketed]]'s partition-pruned merge), or
+    * `auto` (default): flip to bucketed once the dimension's on-disk
+    * size crosses `spark.graft.scd2.bucketedMinBytes` (256 MB default —
+    * past that, rewriting the whole dim for a delta-sized change is the
+    * 100 TB anti-pattern; below it, the swap is one small job and extra
+    * layout machinery buys nothing). STICKY: an already-bucketed dim
+    * stays bucketed regardless of conf, because flapping layouts would
+    * re-shuffle the dimension every flip.
+    */
+  private[faers] def useBucketedScd2(spark: SparkSession, name: String): Boolean = {
+    if (Scd2.isBucketedStore(spark, bucketedDimPath(spark, name))) return true
+    spark.conf.get("spark.graft.scd2.merge", "auto") match {
+      case "bucketed" => true
+      case "overwrite" => false
+      case _ =>
+        val thresh = spark.conf.get("spark.graft.scd2.bucketedMinBytes",
+          (256L * 1024 * 1024).toString).toLong
+        tableSizeBytes(spark, s"gold.$name") > thresh
+    }
+  }
+
+  /** On-disk bytes of a catalog table (0 when absent) — the auto dial's
+    * size probe; pure filesystem metadata, no scan.
+    */
+  private def tableSizeBytes(spark: SparkSession, table: String): Long =
+    if (!spark.catalog.tableExists(table)) 0L
+    else {
+      val loc = spark.sql(s"DESCRIBE EXTENDED $table")
+        .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+        .select("data_type").collect().headOption.map(_.getString(0))
+      loc.map { l =>
+        val p = new org.apache.hadoop.fs.Path(l)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }.getOrElse(0L)
+    }
+
+  /** Bucketed-path dim merge: migrate existing history into the bucketed
+    * store on first flip (read + seed write, per the layout contract),
+    * merge only the delta's buckets, and keep `gold.<name>` resolving for
+    * every reader via a view facade over the store (minus the `_bucket`
+    * layout column). Per-bucket dynamic overwrite leaves each rewritten
+    * bucket one file, so no separate OPTIMIZE pass is needed.
+    */
+  private def mergeDimBucketed(spark: SparkSession, spec: gold.Dims.DimSpec,
+                               staged: DataFrame, scdClock: ScdClock): Unit = {
+    val path = bucketedDimPath(spark, spec.name)
+    val fq = s"gold.${spec.name}"
+    if (!Scd2.isBucketedStore(spark, path))
+      resolveTable(spark, fq).foreach(existing =>
+        Scd2.seedBucketed(spark, path, existing, spec.businessKeys))
+    Scd2.mergeBucketed(spark, path, staged, spec.businessKeys,
+      spec.trackedCols, scdClock)
+    spark.sql(s"DROP TABLE IF EXISTS ${fq}__prev")
+    if (spark.catalog.tableExists(fq) &&
+        spark.catalog.getTable(fq).tableType != "VIEW")
+      spark.sql(s"DROP TABLE $fq")
+    spark.sql(
+      s"CREATE OR REPLACE VIEW $fq AS SELECT * EXCEPT (_bucket) FROM parquet.`$path`")
+  }
+
   def runBronze(spark: SparkSession, landingDir: String, yy: Int, q: Int,
                 fixedClock: Option[java.time.Instant]): Unit =
     Bronze.ingestQuarter(spark, landingDir, yy, q, fixedClock)
@@ -134,15 +205,22 @@ object Pipeline {
     inParallel(Dims.specs) { spec =>
       val staged = spec.build(spark.table(s"silver.${spec.sourceTable}"))
       val fq = s"gold.${spec.name}"
-      val target = resolveTable(spark, fq)
-      val merged = Scd2.applyScdType2Merge(
-        target, staged, spec.businessKeys, spec.trackedCols, scdClock)
-      if (target.isEmpty)
-        merged.write.mode("overwrite").saveAsTable(fq)
-      else overwriteViaSwap(spark, merged, fq)
-      // the reference's per-dim OPTIMIZE + ANALYZE (dim_patient.py:154-157)
-      optimizeTable(spark, fq)
-      spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS")
+      if (useBucketedScd2(spark, spec.name))
+        // bucketed store: merge cost ∝ delta's buckets; the per-bucket
+        // overwrite already leaves compact files and the facade is a
+        // view, so the reference's OPTIMIZE/ANALYZE pass doesn't apply
+        mergeDimBucketed(spark, spec, staged, scdClock)
+      else {
+        val target = resolveTable(spark, fq)
+        val merged = Scd2.applyScdType2Merge(
+          target, staged, spec.businessKeys, spec.trackedCols, scdClock)
+        if (target.isEmpty)
+          merged.write.mode("overwrite").saveAsTable(fq)
+        else overwriteViaSwap(spark, merged, fq)
+        // the reference's per-dim OPTIMIZE + ANALYZE (dim_patient.py:154-157)
+        optimizeTable(spark, fq)
+        spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS")
+      }
     }
 
     val fact = FactAdverseEvents.create(

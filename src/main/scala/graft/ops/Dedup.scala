@@ -254,6 +254,87 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
   }
 
+  /** TILED exact all-pairs simhash — [[simhashNearDups]]'s output,
+    * computed WITHOUT materializing the block-quadratic join: each row
+    * replicates to `tiles` tile-pair tasks (its tile crossed with every
+    * other), and each of the C(C+1)/2 tasks enumerates its pair subspace
+    * in a tight primitive loop (`Long.bitCount` over packed long arrays),
+    * emitting ONLY matching pairs. The comparison count is the same
+    * O(N²/2) per block — wide radii on narrow hashes admit no selective
+    * pruning (see [[dedupSimhashWide]]'s contract) — but the SHUFFLE is
+    * N·C rows of (id, hash) instead of N² materialized join rows, and the
+    * quadratic work spreads evenly across tasks regardless of block skew
+    * (a single dominant block becomes C(C+1)/2 tasks, not one). A pair
+    * lands in exactly one task — (min, max) of its endpoints' tiles — so
+    * the output needs no dedup and is row-identical to the join form
+    * (spec-proven in DedupSpec).
+    *
+    * Null block values never pair, matching the join form's
+    * null-rejecting equality semantics.
+    */
+  def simhashNearDupsTiled(df: DataFrame, idCol: String, textCol: String,
+                           blockCols: Seq[String], bits: Int = 32,
+                           maxHamming: Int = 8, tiles: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val C = tiles
+    require(C >= 1, s"tiles must be >= 1, got $C")
+    val tagged = df
+      .withColumn("simhash", call_function("graft_simhash", col(textCol), lit(bits)))
+      .filter(blockCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select(
+        concat_ws("\u0001", blockCols.map(c => col(c).cast("string")): _*).as("bk"),
+        pmod(col(idCol).cast("long"), lit(C)).cast("int").as("t"),
+        col(idCol).cast("long").as("id"), col("simhash").as("sh"))
+      .as[(String, Int, Long, Long)]
+    val rep = tagged.flatMap { case (bk, t, id, sh) =>
+      (0 until C).iterator.map(o =>
+        (bk, math.min(t, o), math.max(t, o), t, id, sh))
+    }
+    val maxH = maxHamming
+    rep.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (key: (String, Int, Int),
+                        it: Iterator[(String, Int, Int, Int, Long, Long)]) =>
+        val (_, t1, t2) = key
+        val aI = new scala.collection.mutable.ArrayBuffer[Long]()
+        val aS = new scala.collection.mutable.ArrayBuffer[Long]()
+        val bI = new scala.collection.mutable.ArrayBuffer[Long]()
+        val bS = new scala.collection.mutable.ArrayBuffer[Long]()
+        val same = t1 == t2
+        it.foreach { case (_, _, _, t, id, sh) =>
+          if (same || t == t1) { aI += id; aS += sh }
+          else { bI += id; bS += sh }
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+        if (same) {
+          var i = 0
+          while (i < aI.length) {
+            var j = i + 1
+            while (j < aI.length) {
+              val h = java.lang.Long.bitCount(aS(i) ^ aS(j))
+              if (h <= maxH)
+                out += ((math.min(aI(i), aI(j)), math.max(aI(i), aI(j)), h))
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < aI.length) {
+            var j = 0
+            while (j < bI.length) {
+              val h = java.lang.Long.bitCount(aS(i) ^ bS(j))
+              if (h <= maxH)
+                out += ((math.min(aI(i), bI(j)), math.max(aI(i), bI(j)), h))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }.toDF("id_a", "id_b", "hamming")
+  }
+
   /** BANDED simhash near-dup pairs — the multi-index form (Manku et al.,
     * WWW'07) that replaces [[simhashNearDups]]'s block-quadratic self-join
     * at scale. The `bits`-wide hash splits into `maxHamming + 1` disjoint

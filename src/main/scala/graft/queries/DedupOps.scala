@@ -191,16 +191,20 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** WIDE-RADIUS simhash baseline (Hamming ≤ 8 of 32 bits) — kept as the
-    * executable spec of the parity semantics, NOT a production path: a
-    * radius that spans a quarter of the hash admits no selective exact
-    * banding (pigeonhole needs maxHamming+1 segments; 32/9 ≈ 3-bit
-    * segments shard a block 8 ways — no better than the direct join), so
-    * the at-scale contract is "narrow the radius, widen the hash"
-    * ([[dedupSimhash]]'s 48/3), never "band the loose params".
+  /** WIDE-RADIUS simhash (Hamming ≤ 8 of 32 bits) — the parity semantics
+    * at a radius that admits no selective exact banding (pigeonhole needs
+    * maxHamming+1 segments; 32/9 ≈ 3-bit segments shard a block 8 ways —
+    * no better than the direct join), so the at-scale contract is "narrow
+    * the radius, widen the hash" ([[dedupSimhash]]'s 48/3), never "band
+    * the loose params". Gated on [[Dedup.simhashNearDupsTiled]]: the same
+    * O(N²/2) comparisons, but as tight per-task bitCount loops over a
+    * linear (N·tiles) shuffle instead of N² materialized join rows —
+    * row-identical to the join baseline (DedupSpec) at ~40x its sf1
+    * wall. [[Dedup.simhashNearDups]] stays as the executable join-form
+    * spec.
     */
   def dedupSimhashWide: Q = (s, d) =>
-    Dedup.simhashNearDups(corpusNear(s, d, 7), "doc_id", "text",
+    Dedup.simhashNearDupsTiled(corpusNear(s, d, 7), "doc_id", "text",
         blockCols = Seq("lang"), bits = 32, maxHamming = 8)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))

@@ -192,7 +192,75 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.resolveTable(spark, "gold.never_existed").isEmpty)
   }
 
+  test("scd2 dial: auto flips dims to the bucketed store by size, stays sticky") {
+    import graft.core.Scd2
+    // default auto at test scale: tiny dims stay on the overwrite path
+    assert(!Pipeline.useBucketedScd2(spark, "dim_patient"))
+    // state here: gold.dim_patient holds epoch-1 (weight 70.5 current);
+    // silver.demographics was rewritten by the second-epoch test above
+    // (weight 72.0), so the bucketed runGold below must BOTH migrate the
+    // epoch-1 history and apply the epoch-2 delta
+    val rowsBefore = spark.table("gold.dim_patient").count()
+    // size threshold of 1 byte: the dial flips
+    spark.conf.set("spark.graft.scd2.bucketedMinBytes", "1")
+    try {
+      assert(Pipeline.useBucketedScd2(spark, "dim_patient"))
+      // a gold run under the flipped dial migrates history into the
+      // bucketed store and keeps gold.<dim> resolving (view facade)
+      Pipeline.runGold(spark, clock1,
+        today = Some(java.sql.Date.valueOf("2025-01-15")))
+      val path = Pipeline.bucketedDimPath(spark, "dim_patient")
+      assert(Scd2.isBucketedStore(spark, path))
+      assert(spark.catalog.getTable("gold.dim_patient").tableType == "VIEW")
+      val dim = spark.table("gold.dim_patient")
+      assert(!dim.columns.contains("_bucket"))
+      // epoch-1 history survived the migration AND the epoch-2 delta
+      // merged: closed 70.5 version + new current 72.0
+      val hist = dim.filter($"patient_primary_id" === "100")
+        .select($"patient_weight", $"is_current")
+        .as[(Double, Boolean)].collect().toSet
+      assert(hist == Set((70.5, false), (72.0, true)), hist)
+      assert(dim.count() == rowsBefore + 1)
+      // sticky: with the threshold back at the default, the store wins
+      spark.conf.unset("spark.graft.scd2.bucketedMinBytes")
+      assert(Pipeline.useBucketedScd2(spark, "dim_patient"))
+      // and a second bucketed merge keeps exactly one current row per key
+      // with the merged values (the total row count follows the
+      // same-day-rerun reference edge case — see Scd2Spec — not a
+      // bucketed-path concern)
+      Pipeline.runGold(spark, clock1,
+        today = Some(java.sql.Date.valueOf("2025-01-15")))
+      val cur = spark.table("gold.dim_patient").filter($"is_current")
+      // 3 = case 101 + TWO same-day versions of case 100 (the reference's
+      // same-day-rerun edge, pinned in Scd2Spec) — both carry the staged
+      // weight, so the bucketed path reproduces the reference semantics
+      assert(cur.count() == 3)
+      assert(cur.filter($"patient_primary_id" === "100")
+        .select($"patient_weight").as[Double].collect().toSet == Set(72.0))
+    } finally spark.conf.unset("spark.graft.scd2.bucketedMinBytes")
+  }
+
+  // the bucketed store lives OUTSIDE the managed databases (by design:
+  // facade swaps must not touch it), so suite isolation removes it
+  // explicitly, before AND after — a leftover store is sticky and would
+  // flip the e2e run's dims
+  private def dropBucketedStores(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/gold_scd2")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    dropBucketedStores()
+    Seq("bronze", "silver", "gold").foreach { db =>
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
   override def afterAll(): Unit = {
+    dropBucketedStores()
     Seq("bronze", "silver", "gold").foreach { db =>
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }

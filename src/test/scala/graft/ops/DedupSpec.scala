@@ -317,6 +317,32 @@ class DedupSpec extends SparkSpec {
     try check() finally spark.conf.unset("spark.graft.neardup.groupMaxDocs")
   }
 
+  test("tiled simhash ≡ block-quadratic join form (all tile-pair shapes, nulls)") {
+    // corpus engineered so tile pairs of every shape carry pairs: ids
+    // spread over tiles (tiles=4 ⇒ same-tile, cross-tile), two blocks,
+    // a null block that must pair with nothing
+    val docs = (0L until 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val text = if (i < 20) s"the quick brown fox jumps over dog $i"
+                 else s"the quick brown fox jumps over dog ${i - 20} extra"
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+      .union(Seq((99L, null.asInstanceOf[String], "the quick brown fox"))
+        .toDF("doc_id", "lang", "text"))
+    val join = Dedup.simhashNearDups(docs, "doc_id", "text",
+        blockCols = Seq("lang"), bits = 32, maxHamming = 8)
+      .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+    val tiled = Dedup.simhashNearDupsTiled(docs, "doc_id", "text",
+      blockCols = Seq("lang"), bits = 32, maxHamming = 8, tiles = 4)
+    assert(tiled.exceptAll(join).isEmpty && join.exceptAll(tiled).isEmpty)
+    assert(join.count() > 0) // the planted near-dups actually paired
+    assert(tiled.filter($"id_a" === 99L || $"id_b" === 99L).isEmpty)
+    // degenerate single tile still exact
+    val t1 = Dedup.simhashNearDupsTiled(docs, "doc_id", "text",
+      blockCols = Seq("lang"), bits = 32, maxHamming = 8, tiles = 1)
+    assert(t1.exceptAll(join).isEmpty && join.exceptAll(t1).isEmpty)
+  }
+
   test("pairIntersections: both routing branches SKIP a pair missing from sets") {
     // a pair whose endpoint has no sets row (caller contract violation)
     // must fail the same way on both paths: silently dropped, like the
