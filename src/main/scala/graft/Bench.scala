@@ -59,9 +59,25 @@ object Bench {
           graft.queries.Scratch.dir("bench_warehouse") + s"/$db.db")
       }
       val t0 = System.nanoTime()
-      graft.faers.Pipeline.run(spark, landing,
-        fixedClock = Some(java.time.Instant.parse("2025-01-15T00:00:00Z")),
-        scdClock = graft.core.ScdClock.fixed("2025-01-15"))
+      // staged inline (≡ Pipeline.run) so each round's bench stderr
+      // carries the per-stage split — round-over-round drift on this
+      // entry is then attributable to a stage, not guessed at
+      var last = t0
+      def stage(label: String): Unit = {
+        val now = System.nanoTime()
+        System.err.println(
+          f"[bench] pipeline_faers stage $label: ${(now - last) / 1e9}%.2f s")
+        last = now
+      }
+      val fixedClock = Some(java.time.Instant.parse("2025-01-15T00:00:00Z"))
+      val scd = graft.core.ScdClock.fixed("2025-01-15")
+      graft.faers.Pipeline.initDatabases(spark)
+      graft.faers.Pipeline.runBronze(spark, landing, 25, 1, fixedClock)
+      stage("bronze")
+      graft.faers.Pipeline.runSilver(spark, fixedClock)
+      stage("silver")
+      graft.faers.Pipeline.runGold(spark, scd, Some(scd.today))
+      stage("gold")
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pipeline_faers failed: ${e.getMessage}"); -1.0
