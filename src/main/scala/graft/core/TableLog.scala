@@ -294,6 +294,206 @@ object TableLog {
     lines.filter(_.startsWith("#layout="))
       .flatMap(l => graft.sources.PartTransform.parse(l.stripPrefix("#layout=")))
 
+  // ------------------------------------------------------------------
+  // ALTER TABLE metadata — Delta-style schema-as-metadata + column
+  // mapping. A `#schema=<StructType json>` manifest line (latest wins,
+  // carried forward by every commit) is the table's LOGICAL data schema
+  // once any ALTER has run; before that the schema stays file-derived
+  // exactly as today. RENAME COLUMN never touches a data file: the
+  // renamed field carries its on-disk name in field metadata
+  // (`graft.physical`), reads project physical->logical, writes rename
+  // logical->physical at the single [[writeDataFiles]] funnel. DROP
+  // COLUMN is metadata-only (the physical column stays in files,
+  // invisible); ADD COLUMN surfaces as nulls until data arrives
+  // (mergeSchema semantics). Reference surface: the lakehouse's schema
+  // DDL (/root/reference/README.md table management); design follows the
+  // public Delta column-mapping / Iceberg field-id approach re-expressed
+  // on parquet field names.
+  // ------------------------------------------------------------------
+
+  private[graft] val PhysKey = "graft.physical"
+
+  /** Latest `#schema=` line, parsed: the logical DATA schema (hive
+    * partition columns are never in it — they are path-derived and not
+    * alterable).
+    */
+  private[graft] def metaSchema(lines: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    lines.filter(_.startsWith("#schema=")).lastOption.map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** On-disk (parquet) name of a logical field — differs only after a
+    * RENAME COLUMN.
+    */
+  private[graft] def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  /** logical -> physical name map, differing entries only. */
+  private[graft] def renameMap(s: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    s.fields.iterator.map(f => f.name -> physName(f))
+      .filter(t => t._1 != t._2).toMap
+
+  /** The logical schema re-expressed in on-disk names, mapping metadata
+    * stripped — what the files (and the inner parquet scan) carry.
+    */
+  private[graft] def physicalSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physName(f), f.dataType, f.nullable)))
+
+  /** Project a PHYSICAL-named frame to the logical schema: rename mapped
+    * columns, null-fill logical columns no file carries yet, drop
+    * physical columns outside the logical schema (DROPped), and pass
+    * `passthrough` columns (hive partition / lineage columns) unchanged.
+    * Identity when the snapshot has no `#schema=` line.
+    */
+  private[graft] def toLogical(df: DataFrame,
+                               meta: Option[org.apache.spark.sql.types.StructType],
+                               passthrough: Seq[String] = Seq.empty): DataFrame =
+    meta.fold(df) { ls =>
+      val present = df.columns.toSet
+      val cols = ls.fields.toSeq.map { f =>
+        val p = physName(f)
+        if (present(p)) df(p).as(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      } ++ passthrough.filter(present).map(df(_))
+      df.select(cols: _*)
+    }
+
+  /** Hive partition column names as the manifest's file paths spell
+    * them (first file line is representative — commit layouts agree).
+    */
+  private def pathPartCols(files: Seq[String]): Seq[String] =
+    files.headOption.filter(_.contains("/")).toSeq.flatMap(f =>
+      f.split('/').init.toSeq.filter(_.contains('=')).map(_.takeWhile(_ != '=')))
+
+  /** Current logical data schema of the tip: the `#schema=` metadata when
+    * present, else the file-derived (mergeSchema) data schema.
+    */
+  def logicalSchema(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    val lines = versions(spark, dir).lastOption
+      .map(manifestLines(spark, dir, _)).getOrElse(Seq.empty)
+    metaSchema(lines).getOrElse(snapshotIndex(spark, dir, None, None)._2)
+  }
+
+  /** ALTER TABLE core: commit `f(currentLogicalSchema)` as the new
+    * `#schema=` metadata — a METADATA-ONLY commit (files, dv lines, and
+    * layout all carry forward untouched; time travel to an earlier
+    * version sees the earlier schema). Validates that logical names are
+    * unique, that no logical name collides with another field's physical
+    * name (keeps write-side renaming unambiguous even for physical-named
+    * rewrite frames), and that partition/layout/constraint-referenced
+    * columns are not renamed or dropped.
+    */
+  def alterSchema(spark: SparkSession, dir: String)(
+      f: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.spark.sql.types.StructType
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir; " +
+      "alter the declared schema (sidecar) instead")
+    val lines = manifestLines(spark, dir, vs.last)
+    val current = metaSchema(lines).getOrElse(
+      snapshotIndex(spark, dir, None, None)._2)
+    val next = f(current)
+    // -- validation ---------------------------------------------------
+    val names = next.fields.map(_.name)
+    require(names.distinct.length == names.length,
+      s"duplicate logical column names: ${names.mkString(",")}")
+    val phys = next.fields.map(physName)
+    require(phys.distinct.length == phys.length,
+      s"duplicate physical column names: ${phys.mkString(",")}")
+    next.fields.foreach { fl =>
+      val clash = next.fields.exists(o => (o ne fl) && physName(o) == fl.name)
+      require(!clash, s"logical name ${fl.name} collides with another " +
+        "column's on-disk name; rename that column first")
+    }
+    val partCols = pathPartCols(lines.filterNot(_.startsWith("#")))
+    val layoutSrc = layoutTransforms(lines).flatMap(t => Seq(t.source, t.dirCol))
+    val protectedCols = (partCols ++ layoutSrc).toSet
+    // a logical data column may never shadow a hive partition / hidden
+    // layout directory column (reads would turn ambiguous)
+    val partAndDir = (partCols ++ layoutTransforms(lines).map(_.dirCol)).toSet
+    next.fields.foreach(f => require(!partAndDir.contains(f.name),
+      s"logical name ${f.name} collides with a partition/layout column"))
+    val currentByName = current.fields.map(f => f.name -> f).toMap
+    val removedOrRenamed = current.fields.filter(cf =>
+      !next.fields.exists(nf => nf.name == cf.name && physName(nf) == physName(cf)))
+    removedOrRenamed.foreach(cf => require(!protectedCols.contains(cf.name),
+      s"column ${cf.name} is a partition/layout column and cannot be " +
+        "renamed or dropped"))
+    val constraintRefs = lines.filter(_.startsWith("#check="))
+      .map(_.stripPrefix("#check=").split("\\|", 2)(1))
+      .flatMap(sql => spark.sessionState.sqlParser.parseExpression(sql)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name })
+      .toSet
+    removedOrRenamed.foreach(cf => require(!constraintRefs.contains(cf.name),
+      s"column ${cf.name} is referenced by a CHECK constraint; drop the " +
+        "constraint first"))
+    // no type changes: the vectorized parquet reader cannot up-cast a
+    // file's physical type per-file, so widening would need a rewrite
+    current.fields.foreach { cf =>
+      next.fields.find(nf => physName(nf) == physName(cf)).foreach(nf =>
+        require(nf.dataType == cf.dataType,
+          s"cannot change type of ${cf.name}: ${cf.dataType.simpleString} " +
+            s"-> ${nf.dataType.simpleString} (rewrite the table instead)"))
+    }
+    val _ = currentByName // (kept for clarity of the diff-based checks)
+    val line = "#schema=" + StructType(next.fields.toIndexedSeq).json
+    commit(spark, dir, identity[Seq[String]], op = "alter",
+      mkProps = props => props.filterNot(_.startsWith("#schema=")) :+ line).get
+  }
+
+  /** `#tblprop=` metadata: one JSON-object line, replaced wholesale by
+    * SET/UNSET TBLPROPERTIES commits, carried forward otherwise.
+    */
+  private[graft] def metaProps(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("#tblprop=")).lastOption
+      .map(l => parsePropsJson(l.stripPrefix("#tblprop=")))
+      .getOrElse(Map.empty)
+
+  private def parsePropsJson(s: String): Map[String, String] = {
+    // tiny flat {"k":"v",...} parser via StructType metadata round-trip
+    // (values are always strings we wrote ourselves)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(s)
+    val it = node.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+    b.result()
+  }
+
+  private def propsJson(m: Map[String, String]): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    om.writeValueAsString(node)
+  }
+
+  /** Tip's table properties (SET TBLPROPERTIES surface). */
+  def tableProperties(spark: SparkSession, dir: String): Map[String, String] =
+    versions(spark, dir).lastOption
+      .map(v => metaProps(manifestLines(spark, dir, v))).getOrElse(Map.empty)
+
+  /** SET / UNSET TBLPROPERTIES as a metadata-only commit. */
+  def setTableProperties(spark: SparkSession, dir: String,
+                         set: Map[String, String],
+                         unset: Seq[String] = Seq.empty): Long = {
+    require(versions(spark, dir).nonEmpty, s"no committed versions under $dir")
+    commit(spark, dir, identity[Seq[String]], op = "alter",
+      mkProps = props => {
+        val cur = props.filter(_.startsWith("#tblprop=")).lastOption
+          .map(l => parsePropsJson(l.stripPrefix("#tblprop="))).getOrElse(Map.empty)
+        val next = (cur ++ set) -- unset
+        props.filterNot(_.startsWith("#tblprop=")) ++
+          (if (next.isEmpty) Seq.empty
+           else Seq("#tblprop=" + propsJson(next)))
+      }).get
+  }
+
   /** `#check=<name>|<sql>` table constraints of the tip manifest. */
   def constraints(spark: SparkSession, dir: String): Seq[(String, String)] =
     versions(spark, dir).lastOption.toSeq
@@ -462,8 +662,20 @@ object TableLog {
                              commitId: String,
                              partitionBy: Seq[String] = Seq.empty): Seq[String] = {
     val fs = fsOf(spark, dir)
+    // column mapping: logical-named batches write under their ON-DISK
+    // names, keeping every file physically consistent across renames.
+    // Physical-named frames (partition-scoped rewrites) pass through
+    // untouched: alterSchema guarantees no logical name ever equals
+    // another column's physical name, so the map can't mis-fire on them.
+    val l2p = versions(spark, dir).lastOption
+      .map(v => metaSchema(manifestLines(spark, dir, v)))
+      .flatten.map(renameMap).getOrElse(Map.empty)
+    val mapped =
+      if (l2p.isEmpty || !df.columns.exists(l2p.contains)) df
+      else df.select(df.columns.toIndexedSeq.map(c =>
+        df(c).as(l2p.getOrElse(c, c))): _*)
     val stage = new Path(dir, s".stage-$commitId")
-    val w = df.write.mode("overwrite")
+    val w = mapped.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
     // qualified: listFiles returns absolute paths even when dir is relative
@@ -546,8 +758,13 @@ object TableLog {
                      layout: Seq[String] = Seq.empty,
                      // additional `#`-metadata lines to ADD this commit
                      // (table properties like `#check=` constraints);
-                     // existing #check= lines always carry forward
-                     extraProps: Seq[String] = Seq.empty)
+                     // existing #check=/#schema=/#tblprop= lines always
+                     // carry forward
+                     extraProps: Seq[String] = Seq.empty,
+                     // ALTER TABLE's hook: maps the carried property-line
+                     // set to the new one (replace `#schema=`, rewrite
+                     // `#tblprop=`); re-evaluated per retry like mkFiles
+                     mkProps: Seq[String] => Seq[String] = identity)
       : Option[Long] = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(dir, LogDir))
@@ -573,8 +790,10 @@ object TableLog {
       val lay =
         if (layout.nonEmpty) layout
         else tipLines.filter(_.startsWith("#layout="))
-      val props =
-        (tipLines.filter(_.startsWith("#check=")) ++ extraProps).distinct
+      val props = mkProps(
+        (tipLines.filter(l => l.startsWith("#check=") ||
+          l.startsWith("#schema=") || l.startsWith("#tblprop=")) ++
+          extraProps).distinct)
       val state = files ++ stats ++ dv ++ lay ++ props
       val perVersion = txn.map(t => s"#txn=$t").toSeq :+ s"#op=$op"
       // The commit CAS is ALWAYS on the version's .delta path — one
@@ -637,7 +856,12 @@ object TableLog {
     import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
     if (fresh.isEmpty || cols.isEmpty) Map.empty
     else {
-      val aggs = cols.flatMap(c => Seq(
+      // staged files carry PHYSICAL names; callers may pass logical ones
+      val l2p = versions(spark, dir).lastOption
+        .map(v => metaSchema(manifestLines(spark, dir, v)))
+        .flatten.map(renameMap).getOrElse(Map.empty)
+      val physCols = cols.map(c => l2p.getOrElse(c, c)).distinct
+      val aggs = physCols.flatMap(c => Seq(
         fmin(col(c)).cast("long").as(s"mn_$c"),
         fmax(col(c)).cast("long").as(s"mx_$c")))
       spark.read.option("basePath", dir)
@@ -646,7 +870,7 @@ object TableLog {
         .agg(aggs.head, aggs.tail: _*)
         .collect().toSeq
         .map { r =>
-          val perCol = cols.zipWithIndex.flatMap { case (c, i) =>
+          val perCol = physCols.zipWithIndex.flatMap { case (c, i) =>
             val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
             if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
             else Some(c -> ((r.getLong(mnI), r.getLong(mxI))))
@@ -902,7 +1126,11 @@ object TableLog {
     val afterPart = partitionFilter.foldLeft(all) { case (fs0, (c, value)) =>
       fs0.filter(inPartition(_, c, value))
     }
-    val files = skip.fold(afterPart) { case (c, lo, hi) =>
+    // `#stats=` lines are keyed by ON-DISK column names; accept the
+    // logical name post-rename
+    val skipL2p = metaSchema(lines).map(renameMap).getOrElse(Map.empty)
+    val files = skip.fold(afterPart) { case (c0, lo, hi) =>
+      val c = skipL2p.getOrElse(c0, c0)
       afterPart.filter(f => stats.get(f).flatMap(_.get(c)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
@@ -937,7 +1165,10 @@ object TableLog {
       }
     val eqApplied = applyEqDeletes(spark, dir, out, lines)
     // hidden-partitioning layout columns stay hidden on this path too
-    layoutTransforms(lines).foldLeft(eqApplied)((d, t) => d.drop(t.dirCol))
+    val unhidden =
+      layoutTransforms(lines).foldLeft(eqApplied)((d, t) => d.drop(t.dirCol))
+    // column mapping: surface the logical schema (renames, drops, adds)
+    toLogical(unhidden, metaSchema(lines), passthrough = pathPartCols(all))
   }
 
   /** Snapshot read through [[graft.sources.TableLogFileIndex]] — the
@@ -1027,7 +1258,12 @@ object TableLog {
       }
     val withEq = applyEqDeletes(spark, dir, withDv, lines)
     // HIDDEN partitioning: the derived layout columns never reach users
-    transforms.foldLeft(withEq)((d, t) => d.drop(t.dirCol))
+    val unhidden = transforms.foldLeft(withEq)((d, t) => d.drop(t.dirCol))
+    // column mapping: logical projection (renames/drops/adds); Catalyst
+    // pushes the aliases down, so pruning/pushdown still reach the scan
+    val visParts = index.partitionSchema.fieldNames.toSeq
+      .filterNot(transforms.map(_.dirCol).toSet)
+    toLogical(unhidden, metaSchema(lines), passthrough = visParts)
   }
 
   /** OPTIMIZE: rewrite the CURRENT snapshot into ~targetBytes files and
@@ -1141,12 +1377,15 @@ object TableLog {
     val tip = versions(spark, dir).last
     val lines = manifestLines(spark, dir, tip)
     val dvs = dvFiles(lines)
-    // visible snapshot with row lineage: `_dv_file` (not input_file_name,
-    // which loses meaning after the dv anti-join) names each row's file
-    def visible(fl: Seq[String]) =
-      applyEqDeletes(spark, dir,
-        applyDv(spark, dir, lineageScan(spark, dir, fl), dvs), lines)
     val all = lines.filterNot(_.startsWith("#"))
+    val lineageCols = pathPartCols(all) ++ Seq("_dv_file", "_dv_idx")
+    // visible snapshot with row lineage: `_dv_file` (not input_file_name,
+    // which loses meaning after the dv anti-join) names each row's file;
+    // LOGICAL names, so the caller's predicate resolves post-rename
+    def visible(fl: Seq[String]) =
+      toLogical(applyEqDeletes(spark, dir,
+        applyDv(spark, dir, lineageScan(spark, dir, fl), dvs), lines),
+        metaSchema(lines), passthrough = lineageCols)
     val affected = visible(all).filter(cond)
       .select(col("_dv_file")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -1223,8 +1462,10 @@ object TableLog {
     val lines = manifestLines(spark, dir, tip)
     val all = lines.filterNot(_.startsWith("#"))
     val snapFiles = all.toSet
-    val matches = applyEqDeletes(spark, dir,
-      applyDv(spark, dir, lineageScan(spark, dir, all), dvFiles(lines)), lines)
+    val matches = toLogical(applyEqDeletes(spark, dir,
+      applyDv(spark, dir, lineageScan(spark, dir, all), dvFiles(lines)), lines),
+      metaSchema(lines),
+      passthrough = pathPartCols(all) ++ Seq("_dv_file", "_dv_idx"))
       .filter(org.apache.spark.sql.functions.coalesce(
         cond, org.apache.spark.sql.functions.lit(false)))
       .select(col("_dv_file"), col("_dv_idx"))
@@ -1282,11 +1523,20 @@ object TableLog {
     */
   def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame): Long = {
     require(versions(spark, dir).nonEmpty, s"no committed versions under $dir")
-    val keyCols = keys.columns.toSeq
+    // sidecars store PHYSICAL key names (stable across renames): readers
+    // apply them to physical frames before the logical projection
+    val l2p = metaSchema(manifestLines(spark, dir, versions(spark, dir).last))
+      .map(renameMap).getOrElse(Map.empty)
+    val physKeys =
+      if (keys.columns.exists(l2p.contains))
+        keys.select(keys.columns.toIndexedSeq.map(c =>
+          keys(c).as(l2p.getOrElse(c, c))): _*)
+      else keys
+    val keyCols = physKeys.columns.toSeq
     require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val eqDir = s"$DvDir/$commitId-eq"
-    keys.distinct().write.parquet(s"$dir/$eqDir")
+    physKeys.distinct().write.parquet(s"$dir/$eqDir")
     val fs = fsOf(spark, dir)
     val fresh = fs.listStatus(new Path(dir, eqDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -1329,12 +1579,15 @@ object TableLog {
     val tip = versions(spark, dir).last
     val lines = manifestLines(spark, dir, tip)
     val dvs = dvFiles(lines)
-    // lineage (`_dv_file` from parquet _metadata) instead of
-    // input_file_name: survives the dv anti-join AND the key semi-join
-    def visible(fl: Seq[String]) =
-      applyEqDeletes(spark, dir,
-        applyDv(spark, dir, lineageScan(spark, dir, fl), dvs), lines)
     val all = lines.filterNot(_.startsWith("#"))
+    val lineageCols = pathPartCols(all) ++ Seq("_dv_file", "_dv_idx")
+    // lineage (`_dv_file` from parquet _metadata) instead of
+    // input_file_name: survives the dv anti-join AND the key semi-join;
+    // LOGICAL names, so `updates`' key columns resolve post-rename
+    def visible(fl: Seq[String]) =
+      toLogical(applyEqDeletes(spark, dir,
+        applyDv(spark, dir, lineageScan(spark, dir, fl), dvs), lines),
+        metaSchema(lines), passthrough = lineageCols)
     val affected = visible(all)
       .join(org.apache.spark.sql.functions.broadcast(
         updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")

@@ -1073,6 +1073,98 @@ object SourceOps {
       |SELECT l_returnflag, count(*) AS n, CAST(sum(q) AS DOUBLE) AS qty
       |FROM tip GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** ALTER TABLE end-to-end, hash-gated: a table built by the API,
+    * ALTERed through SQL (`ADD COLUMNS` → insert under the widened
+    * schema → `RENAME COLUMN` → `DROP COLUMN`), then a merge-on-read
+    * delete against the RENAMED column — every alter a metadata-only
+    * commit (no data file read or rewritten), renames riding the
+    * Delta-style column mapping (`#schema=` manifest line +
+    * `graft.physical` field metadata; see
+    * [[graft.core.TableLog.alterSchema]]). The oracle reconstructs the
+    * final logical view from the raw table: hash equality proves the
+    * rename surfaced the SAME on-disk data under the new name, the drop
+    * hid exactly one column, the pre-alter rows carry null for the added
+    * column, and the dv delete resolved the logical name.
+    */
+  def tableLogAlter: Q = (s, d) => {
+    val wh = Scratch.dir("tlogalt_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val dir = s"$wh/gold/t"
+    val cat = "graft_alt_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_tax"),
+        col("l_returnflag"))
+    graft.core.TableLog.append(s, dir,
+      li.filter(col("l_orderkey") % 3 === 0).drop("l_returnflag"))
+    s.sql(s"ALTER TABLE $cat.gold.t ADD COLUMNS (note STRING)")
+    li.filter(col("l_orderkey") % 3 === 1)
+      .withColumnRenamed("l_returnflag", "note")
+      .writeTo(s"$cat.gold.t").append()
+    s.sql(s"ALTER TABLE $cat.gold.t RENAME COLUMN l_quantity TO qty")
+    s.sql(s"ALTER TABLE $cat.gold.t DROP COLUMN l_tax")
+    // merge-on-read delete resolving the LOGICAL (renamed) name
+    graft.core.TableLog.deleteWhereDv(s, dir, col("qty") >= 40)
+    s.sql(s"""
+      SELECT coalesce(note, '_none') AS note, count(*) AS n,
+             CAST(sum(qty) AS DOUBLE) AS qty_sum
+      FROM $cat.gold.t
+      GROUP BY coalesce(note, '_none') ORDER BY note""")
+  }
+
+  val tableLogAlterSql: String =
+    """WITH t AS (
+      |  SELECT l_quantity AS qty, NULL AS note
+      |  FROM lineitem WHERE l_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT l_quantity, l_returnflag FROM lineitem WHERE l_orderkey % 3 = 1)
+      |SELECT coalesce(note, '_none') AS note, count(*) AS n,
+      |       CAST(sum(qty) AS DOUBLE) AS qty_sum
+      |FROM t WHERE qty < 40
+      |GROUP BY coalesce(note, '_none') ORDER BY note""".stripMargin
+
+  /** SQL `DELETE FROM` through the graft catalog ([[GraftTable]]'s
+    * `SupportsDelete`): two statement-level deletes — a compound
+    * predicate and an OR of pushable shapes — each committing a
+    * merge-on-read deletion-vector sidecar (no data file rewritten; the
+    * `cow` dial is spec-covered). The oracle applies the matching
+    * NOT-predicates to the raw table; hash equality proves the v1-Filter
+    * → Column translation is EXACT (a mistranslated shape would delete
+    * the wrong rows, not error).
+    */
+  def tableLogSqlDelete: Q = (s, d) => {
+    val wh = Scratch.dir("tlogsqldel_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_del_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.core.TableLog.append(s, s"$wh/gold/ld",
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")))
+    s.sql(s"DELETE FROM $cat.gold.ld WHERE l_returnflag = 'A' AND l_quantity > 25")
+    s.sql(s"DELETE FROM $cat.gold.ld WHERE l_orderkey <= 100 OR l_returnflag = 'N'")
+    s.sql(s"""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_quantity) AS DOUBLE) AS qty
+      FROM $cat.gold.ld
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  val tableLogSqlDeleteSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(l_quantity) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE NOT (l_returnflag = 'A' AND l_quantity > 25)
+      |  AND NOT (l_orderkey <= 100 OR l_returnflag = 'N')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_csv_quarantine" -> csvQuarantine,
     "q_dynamic_overwrite" -> dynamicOverwrite,
@@ -1086,6 +1178,8 @@ object SourceOps {
     "q_table_log_sql_dv" -> tableLogSqlDv,
     "q_table_log_sql_write" -> tableLogSqlWrite,
     "q_table_log_sql_pow" -> tableLogSqlPow,
+    "q_table_log_alter" -> tableLogAlter,
+    "q_table_log_sql_delete" -> tableLogSqlDelete,
     "q_table_log_dv" -> tableLogDv,
     "q_table_log_auto" -> tableLogAuto,
     "q_table_log_hidden" -> tableLogHidden,
@@ -1113,6 +1207,8 @@ object SourceOps {
     "q_table_log_sql_dv" -> tableLogSqlDvSql,
     "q_table_log_sql_write" -> tableLogSqlWriteSql,
     "q_table_log_sql_pow" -> tableLogSqlPowSql,
+    "q_table_log_alter" -> tableLogAlterSql,
+    "q_table_log_sql_delete" -> tableLogSqlDeleteSql,
     "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_hidden" -> tableLogHiddenSql,

@@ -149,9 +149,42 @@ private[sources] object GraftTableSidecar {
 /** DSv2 `Table` over one TableLog snapshot (path + optional pinned
   * version/timestamp), shared by [[GraftSource]] and [[GraftCatalog]].
   */
+private[sources] object GraftTable {
+  import org.apache.spark.sql.{Column, functions => F}
+  import org.apache.spark.sql.sources._
+
+  /** Exact v1-Filter → Column translation for SQL DELETE; None for any
+    * shape we cannot reproduce faithfully (the caller then REFUSES the
+    * delete rather than approximating it).
+    */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(F.col(a) === F.lit(v))
+    case EqualNullSafe(a, v)      => Some(F.col(a) <=> F.lit(v))
+    case GreaterThan(a, v)        => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v)           => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v)    => Some(F.col(a) <= F.lit(v))
+    case In(a, vs)                => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(F.col(a).isNull)
+    case IsNotNull(a)             => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(F.col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(F.col(a).endsWith(v))
+    case StringContains(a, v)     => Some(F.col(a).contains(v))
+    case And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case Not(c)                   => filterToColumn(c).map(!_)
+    case _: AlwaysTrue            => Some(F.lit(true))
+    case _: AlwaysFalse           => Some(F.lit(false))
+    case _                        => None
+  }
+}
+
 class GraftTable(spark: SparkSession, dir: String,
                  version: Option[Long], asOfTimestamp: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private lazy val isEmpty = graft.core.TableLog.versions(spark, dir).isEmpty
 
@@ -159,6 +192,17 @@ class GraftTable(spark: SparkSession, dir: String,
 
   private lazy val (index, dataSchema, lines) =
     graft.core.TableLog.snapshotIndex(spark, dir, version, asOfTimestamp)
+
+  // ALTER TABLE metadata of THIS snapshot (time travel pins the schema
+  // that was current at the pinned version)
+  private lazy val metaLogical: Option[StructType] =
+    if (isEmpty) None else graft.core.TableLog.metaSchema(lines)
+  private lazy val l2p: Map[String, String] =
+    metaLogical.map(graft.core.TableLog.renameMap).getOrElse(Map.empty)
+  // what the inner (file-facing) scans read: on-disk names; falls back
+  // to the file-derived schema when no ALTER has ever run
+  private lazy val physDataSchema: StructType =
+    metaLogical.map(graft.core.TableLog.physicalSchema).getOrElse(dataSchema)
 
   private lazy val entries: Seq[(String, Long, Long)] = {
     // re-derive the entry list from the index's own inputFiles/listing —
@@ -186,7 +230,12 @@ class GraftTable(spark: SparkSession, dir: String,
         s"table at $dir has no committed versions and no declared schema"))
     else {
       val hidden = graft.core.TableLog.layoutTransforms(lines).map(_.dirCol).toSet
-      StructType(dataSchema.fields ++
+      // LOGICAL data columns (mapping metadata stripped) + visible
+      // hive partition columns
+      val dataFields = metaLogical.map(ls => ls.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+        .getOrElse(dataSchema.fields)
+      StructType(dataFields ++
         index.partitionSchema.fields.filterNot(f => hidden.contains(f.name)))
     }
 
@@ -209,20 +258,66 @@ class GraftTable(spark: SparkSession, dir: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
 
+  /** SQL `DELETE FROM graft.s.n WHERE p` — merge-on-read by default
+    * (deletion-vector sidecar, no data file touched; the same
+    * [[graft.core.TableLog.deleteWhereDv]] the API exposes), or
+    * copy-on-write under `spark.graft.delete.mode=cow`. Filters arrive
+    * in LOGICAL names and resolve through the column mapping like every
+    * other read. Predicate shapes we cannot translate exactly make
+    * `canDeleteWhere` answer false (Spark then refuses the statement
+    * instead of deleting the wrong rows).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !isEmpty && version.isEmpty && asOfTimestamp.isEmpty &&
+      filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty && asOfTimestamp.isEmpty,
+      s"cannot delete from a time-travel-pinned snapshot of $dir")
+    val cond = filters.toSeq.map(f => GraftTable.filterToColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"untranslatable filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    if (spark.conf.get("spark.graft.delete.mode", "mor") == "cow")
+      graft.core.TableLog.deleteWhere(spark, dir, cond)
+    else
+      graft.core.TableLog.deleteWhereDv(spark, dir, cond)
+  }
+
+  // SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface (`#tblprop=` metadata)
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft")
+    if (!isEmpty)
+      graft.core.TableLog.metaProps(lines).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (isEmpty) return new GraftEmptyScan(schema())
     val hasDeletes = graft.core.TableLog.dvFiles(lines).nonEmpty ||
       graft.core.TableLog.eqLines(lines).nonEmpty
     val snapIdx = new TableLogSnapshotIndex(spark, index, entries, dir)
-    if (!hasDeletes)
-      ParquetScanBuilder(spark, snapIdx, schema(), dataSchema, options)
-    else {
-      // merge-on-read: same pruning/pushdown, reader-level subtraction;
-      // ONE cached broadcast per snapshot (dv sidecar paths + eq key sets)
-      val deletes = GraftMorScan.deletesFor(spark, dir, lines, schema())
-      new GraftMorScanBuilder(spark, snapIdx, schema(), dataSchema, options,
-        dir, qualifiedDir, deletes)
-    }
+    // inner scans run fully in ON-DISK (physical) names; the mapping
+    // wrapper below translates at the plan boundary when any column was
+    // renamed (rows are positional — zero per-row cost)
+    val hidden = graft.core.TableLog.layoutTransforms(lines).map(_.dirCol).toSet
+    val physVisible = StructType(physDataSchema.fields ++
+      index.partitionSchema.fields.filterNot(f => hidden.contains(f.name)))
+    val innerBuilder: ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =
+      if (!hasDeletes)
+        ParquetScanBuilder(spark, snapIdx, physVisible, physDataSchema, options)
+      else {
+        // merge-on-read: same pruning/pushdown, reader-level subtraction;
+        // ONE cached broadcast per snapshot (dv sidecar paths + eq key sets)
+        val deletes = GraftMorScan.deletesFor(spark, dir, lines, physVisible)
+        new GraftMorScanBuilder(spark, snapIdx, physVisible, physDataSchema,
+          options, dir, qualifiedDir, deletes)
+      }
+    if (l2p.isEmpty) innerBuilder
+    else new GraftMappedScanBuilder(innerBuilder, l2p)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -420,10 +515,113 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(spark, dirOf(ident), None, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is unsupported; schema evolves " +
-        "additively through appends (mergeSchema)")
+  /** `ALTER TABLE` — ADD/RENAME/DROP COLUMN and SET/UNSET TBLPROPERTIES
+    * as METADATA-ONLY commits on the TableLog (`#schema=` / `#tblprop=`
+    * manifest lines): no data file is read or rewritten, renames ride a
+    * Delta-style column mapping (`graft.physical` field metadata), and
+    * time travel to an earlier version sees the earlier schema. On a
+    * created-but-never-written table the declared sidecar is rewritten
+    * instead (nothing committed yet to alter).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val dir = dirOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    import org.apache.spark.sql.types.{StructField, StructType => ST}
+    val colChanges = changes.collect {
+      case c: TableChange.AddColumn    => c
+      case c: TableChange.RenameColumn => c
+      case c: TableChange.DeleteColumn => c
+    }
+    val setProps = changes.collect {
+      case p: TableChange.SetProperty => p.property -> p.value }.toMap
+    val unsetProps = changes.collect {
+      case p: TableChange.RemoveProperty => p.property }
+    val unsupported = changes.filterNot(c =>
+      colChanges.contains(c) ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change(s) " +
+          s"${unsupported.map(_.getClass.getSimpleName).mkString(", ")} " +
+          "(type changes need a rewrite: the vectorized parquet reader " +
+          "cannot up-cast a file's physical type per file)")
+
+    def one(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"graft catalog: nested-column $what is unsupported " +
+          s"(got ${names.mkString(".")})")
+      names(0)
+    }
+    // physical column names files already carry (including DROPped
+    // ones): a re-added logical name gets a FRESH on-disk name so old
+    // data can never resurrect under it (Delta column-mapping rule)
+    def applyChanges(cur: ST, filePhys: Set[String]): ST =
+      colChanges.foldLeft(cur) { (s, ch) => ch match {
+        case a: TableChange.AddColumn =>
+          val n = one(a.fieldNames, "ADD")
+          require(!s.fieldNames.contains(n), s"column $n already exists")
+          val taken = filePhys ++ s.fields.map(graft.core.TableLog.physName)
+          val f0 = StructField(n, a.dataType, a.isNullable)
+          val f =
+            if (!taken.contains(n)) f0
+            else f0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(graft.core.TableLog.PhysKey,
+                s"${n}_${java.util.UUID.randomUUID().toString.take(8)}")
+              .build())
+          ST(s.fields :+ f)
+        case r: TableChange.RenameColumn =>
+          val n = one(r.fieldNames, "RENAME")
+          val i = s.fieldIndex(n)
+          val old = s.fields(i)
+          val phys = graft.core.TableLog.physName(old)
+          val f =
+            if (phys == r.newName) // renamed back to its on-disk name
+              old.copy(name = r.newName,
+                metadata = org.apache.spark.sql.types.Metadata.empty)
+            else old.copy(name = r.newName,
+              metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(graft.core.TableLog.PhysKey, phys).build())
+          ST(s.fields.updated(i, f))
+        case d: TableChange.DeleteColumn =>
+          val n = one(d.fieldNames, "DROP")
+          if (!s.fieldNames.contains(n)) {
+            require(d.ifExists, s"column $n does not exist"); s
+          } else ST(s.fields.filterNot(_.name == n))
+      } }
+
+    val vs = graft.core.TableLog.versions(spark, dir)
+    if (colChanges.nonEmpty) {
+      if (vs.isEmpty) {
+        // declared-only table: rewrite the sidecar (no mapping needed —
+        // no file exists to map against)
+        val (cur, parts) = GraftTableSidecar.read(spark, dir).getOrElse(
+          throw new IllegalStateException(s"no declared schema under $dir"))
+        val touched = colChanges.flatMap {
+          case r: TableChange.RenameColumn => Seq(one(r.fieldNames, "RENAME"))
+          case d: TableChange.DeleteColumn => Seq(one(d.fieldNames, "DROP"))
+          case _ => Seq.empty
+        }
+        touched.foreach(c => require(!parts.contains(c),
+          s"column $c is a partition column and cannot be renamed or dropped"))
+        GraftTableSidecar.write(spark, dir,
+          applyChanges(cur, Set.empty), parts)
+      } else {
+        val filePhys = graft.core.TableLog
+          .snapshotIndex(spark, dir, None, None)._2.fieldNames.toSet
+        graft.core.TableLog.alterSchema(spark, dir)(cur =>
+          applyChanges(cur, filePhys))
+      }
+    }
+    if (setProps.nonEmpty || unsetProps.nonEmpty) {
+      require(vs.nonEmpty, "graft catalog: SET/UNSET TBLPROPERTIES needs " +
+        "a committed version (insert first)")
+      graft.core.TableLog.setTableProperties(spark, dir, setProps, unsetProps)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val spark = SparkSession.active
@@ -433,7 +631,23 @@ class GraftCatalog extends TableCatalog {
     else fs.delete(dir, true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: RENAME is unsupported (path-addressed tables)")
+  /** `ALTER TABLE ... RENAME TO` — one filesystem rename of the table
+    * directory (log, data, sidecars move together; on HDFS a namenode
+    * metadata op, on object stores the same caveat as every
+    * rename-based system). The commit log itself is untouched: history,
+    * time travel, and properties all survive under the new name.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val spark = SparkSession.active
+    if (!tableExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    val from = new Path(dirOf(oldIdent))
+    val to = new Path(dirOf(newIdent))
+    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+  }
 }

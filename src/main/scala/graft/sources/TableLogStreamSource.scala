@@ -147,8 +147,12 @@ class TableLogStreamSource(
       if (added.nonEmpty && added.head.contains("/"))
         TableLogFileIndex.inferPartitionSchema(added)
       else new StructType()
-    val dataSchema = StructType(
+    // column mapping: the engine-facing `schema` is LOGICAL; files carry
+    // on-disk names — scan physical, project back below
+    val meta = TableLog.metaSchema(lines)
+    val logicalData = StructType(
       schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val dataSchema = meta.map(TableLog.physicalSchema).getOrElse(logicalData)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qd = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toUri.getPath
@@ -158,7 +162,9 @@ class TableLogStreamSource(
     }
     val index = new TableLogFileIndex(spark, qd, entries, Map.empty, partSchema)
     val df = TableLogFileIndex.streamingRelation(spark, index, dataSchema)
-    hidden.foldLeft(df)((d, c) => d.drop(c))
+    val unhidden = hidden.foldLeft(df)((d, c) => d.drop(c))
+    TableLog.toLogical(unhidden, meta,
+      passthrough = partSchema.fieldNames.toSeq.filterNot(hidden))
   }
 
   override def stop(): Unit = ()
