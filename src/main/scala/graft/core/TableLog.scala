@@ -1605,6 +1605,105 @@ object TableLog {
       op = "merge")._1 -> affected.size
   }
 
+  /** Driver-side facts a SQL row-level write (UPDATE / MERGE / delta
+    * DELETE) needs before its executors start writing: the tip's hive
+    * partition columns (SQL row-level writes on hidden-partitioned
+    * tables are rejected — computing transform directories inside a
+    * DSv2 delta writer would duplicate the API path's layout logic),
+    * the logical→physical rename map, the stats columns every earlier
+    * commit recorded, and the snapshot file set the commit-time
+    * conflict check re-validates.
+    */
+  private[graft] case class DeltaSpec(partCols: Seq[String],
+                                      l2p: Map[String, String],
+                                      statsCols: Seq[String],
+                                      snapFiles: Set[String])
+
+  private[graft] def deltaWriteSpec(spark: SparkSession, dir: String,
+                                    declaredPartCols: Seq[String]): DeltaSpec = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty)
+      return DeltaSpec(declaredPartCols, Map.empty, Seq.empty, Set.empty)
+    val lines = manifestLines(spark, dir, vs.last)
+    val (partCols, transforms, statsCols) = tipLayout(lines)
+    if (transforms.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table at $dir uses hidden-partitioning transforms; SQL UPDATE/" +
+          "MERGE cannot derive layout directories — use the API path " +
+          "(TableLog.upsert / deleteWhereDv)")
+    DeltaSpec(partCols,
+      metaSchema(lines).map(renameMap).getOrElse(Map.empty),
+      statsCols, lines.filterNot(_.startsWith("#")).toSet)
+  }
+
+  /** Commit a ROW-LEVEL DELTA — the merge-on-read twin of [[upsert]],
+    * fed by executor-written files instead of a driver-staged frame:
+    * `added` are freshly written data files (already in their final
+    * hive-layout places under `dir`), `dvSidecars` are freshly written
+    * positional delete sidecars (rows of `_dv_file`/`_dv_idx`, the
+    * [[deleteWhereDv]] format). One atomic commit appends both — no
+    * data file is rewritten, which is what lets a SQL MERGE on a 100 TB
+    * table cost (changed rows) instead of (files holding changed rows).
+    *
+    * Conflict rules match [[deleteWhereDv]]: aborts (cleaning up the
+    * staged files) if a racing rewrite removed any file of the snapshot
+    * the row positions were computed against; racing appends compose
+    * under the default snapshot isolation and abort this commit under
+    * `spark.graft.commit.isolation=serializable`. CHECK constraints run
+    * against the added rows before the commit, as on every write path.
+    */
+  private[graft] def commitDelta(spark: SparkSession, dir: String,
+                                 added: Seq[String], dvSidecars: Seq[String],
+                                 snapFiles: Set[String], op: String,
+                                 statsCols: Seq[String]): Long = {
+    val fs = fsOf(spark, dir)
+    def cleanup(): Unit = {
+      (added ++ dvSidecars).foreach(f =>
+        try fs.delete(new Path(dir, f), false)
+        catch { case _: java.io.IOException => () })
+    }
+    val vs = versions(spark, dir)
+    if (added.isEmpty && dvSidecars.isEmpty)
+      return vs.lastOption.getOrElse(0L)
+    if (added.nonEmpty) {
+      val checks = constraints(spark, dir)
+      if (checks.nonEmpty) {
+        val staged = toLogical(
+          spark.read.option("basePath", dir)
+            .parquet(added.map(f => s"$dir/$f"): _*),
+          vs.lastOption.map(v => metaSchema(manifestLines(spark, dir, v)))
+            .flatten)
+        val bad = violations(staged, checks)
+        if (bad.nonEmpty) {
+          cleanup()
+          throw new IllegalStateException(
+            s"write to $dir rejected: CHECK constraint(s) violated: " +
+              bad.mkString(", "))
+        }
+      }
+    }
+    val stats =
+      if (added.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else collectStats(spark, dir, added, statsCols)
+    val guard = serializableGuard(spark, snapFiles, op)
+    try {
+      commit(spark, dir,
+        mkFiles = base => {
+          if (!snapFiles.subsetOf(base.toSet))
+            throw new java.util.ConcurrentModificationException(
+              s"files under $dir were rewritten during $op; aborting")
+          guard(base)
+          base ++ added
+        },
+        freshStats = stats,
+        mkDv = tipDv => tipDv ++ dvSidecars.map(f => s"#dvp=$f"),
+        op = op).get
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        cleanup(); throw e
+    }
+  }
+
   /** Shared copy-on-write tail (also [[compact]]'s): stage `replacement`
     * rows, commit a manifest = fresh files + (base minus `replaced`),
     * aborting — with staged-file cleanup — if a racing overwrite already

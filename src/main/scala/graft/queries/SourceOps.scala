@@ -1165,6 +1165,121 @@ object SourceOps {
       |  AND NOT (l_orderkey <= 100 OR l_returnflag = 'N')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** SQL `UPDATE` through the graft catalog, hash-gated — the DSv2
+    * row-level-operation path ([[graft.sources.GraftRowLevelOperation]]),
+    * DELTA-based: matching rows' positions land in a deletion-vector
+    * sidecar and the updated images in fresh hive-layout files, ONE
+    * atomic commit, NO existing data file rewritten (spec-asserted
+    * byte-identical in GraftRowLevelSpec). Two statements compose: a
+    * measure update and a PARTITION-COLUMN update that must move rows
+    * across hive directories. The oracle recomputes both as CASE
+    * projections over the raw table — a lost update, a resurrected
+    * dv-row, or an image landing in the wrong partition breaks the hash.
+    *
+    * SCALE: cost is O(matched rows), not O(files holding matched rows) —
+    * the shape that lets a 100 TB fact accept point corrections.
+    */
+  def tableLogSqlUpdate: Q = (s, d) => {
+    val wh = Scratch.dir("tlogsqlupd_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_upd_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.core.TableLog.append(s, s"$wh/gold/lu",
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartition(col("l_returnflag")),
+      partitionBy = Seq("l_returnflag"))
+    s.sql(s"UPDATE $cat.gold.lu SET l_quantity = l_quantity + 100 " +
+      "WHERE l_orderkey % 7 = 0")
+    // partition-column update: rows MOVE from l_returnflag=R to =X
+    s.sql(s"UPDATE $cat.gold.lu SET l_returnflag = 'X' " +
+      "WHERE l_returnflag = 'R' AND l_orderkey % 10 = 1")
+    s.sql(s"""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_quantity) AS DOUBLE) AS qty
+      FROM $cat.gold.lu
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  val tableLogSqlUpdateSql: String =
+    """WITH t AS (
+      |  SELECT CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100
+      |              ELSE l_quantity END AS q,
+      |         CASE WHEN l_returnflag = 'R' AND l_orderkey % 10 = 1
+      |              THEN 'X' ELSE l_returnflag END AS f
+      |  FROM lineitem)
+      |SELECT f AS l_returnflag, count(*) AS n,
+      |       CAST(sum(q) AS DOUBLE) AS qty
+      |FROM t GROUP BY f ORDER BY f""".stripMargin
+
+  /** SQL `MERGE INTO` through the graft catalog, hash-gated — the
+    * reference's dimension maintenance IS a MERGE (reference:
+    * src/utils/scd2_upsert.py), here as Spark's full three-clause form
+    * (MATCHED DELETE + MATCHED UPDATE + NOT MATCHED INSERT) against a
+    * TableLog table. Delta-based merge-on-read: the join's matched
+    * positions become dv entries, updated/inserted images fresh files,
+    * one commit. The oracle recomputes the merge relationally (left
+    * join + anti join over the raw table); a duplicated insert, a
+    * surviving deleted row, or a half-applied clause breaks the hash.
+    */
+  def tableLogSqlMerge: Q = (s, d) => {
+    val wh = Scratch.dir("tlogsqlmrg_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_mrg_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.core.TableLog.append(s, s"$wh/gold/om",
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .filter(col("o_orderkey") % 3 === 0))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("graft_mrg_src")
+    s.sql(s"""MERGE INTO $cat.gold.om t USING graft_mrg_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderkey % 20 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+        VALUES (s.o_orderkey, s.p, s.o_orderstatus)""")
+    // integer-cents sum (queries.Num convention): bit-identical at any
+    // partitioning, which a double sum over a merge result is not
+    s.sql(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+      FROM $cat.gold.om
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  val tableLogSqlMergeSql: String =
+    """WITH tgt AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |src AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS p, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT t.o_orderkey,
+      |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.p
+      |              ELSE t.o_totalprice END AS o_totalprice,
+      |         t.o_orderstatus
+      |  FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      |  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 20 <> 0
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.p, s.o_orderstatus
+      |  FROM src s ANTI JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+      |SELECT o_orderstatus, count(*) AS n,
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_csv_quarantine" -> csvQuarantine,
     "q_dynamic_overwrite" -> dynamicOverwrite,
@@ -1180,6 +1295,8 @@ object SourceOps {
     "q_table_log_sql_pow" -> tableLogSqlPow,
     "q_table_log_alter" -> tableLogAlter,
     "q_table_log_sql_delete" -> tableLogSqlDelete,
+    "q_table_log_sql_update" -> tableLogSqlUpdate,
+    "q_table_log_sql_merge" -> tableLogSqlMerge,
     "q_table_log_dv" -> tableLogDv,
     "q_table_log_auto" -> tableLogAuto,
     "q_table_log_hidden" -> tableLogHidden,
@@ -1209,6 +1326,8 @@ object SourceOps {
     "q_table_log_sql_pow" -> tableLogSqlPowSql,
     "q_table_log_alter" -> tableLogAlterSql,
     "q_table_log_sql_delete" -> tableLogSqlDeleteSql,
+    "q_table_log_sql_update" -> tableLogSqlUpdateSql,
+    "q_table_log_sql_merge" -> tableLogSqlMergeSql,
     "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_hidden" -> tableLogHiddenSql,

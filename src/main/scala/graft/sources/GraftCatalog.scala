@@ -184,7 +184,9 @@ private[sources] object GraftTable {
 class GraftTable(spark: SparkSession, dir: String,
                  version: Option[Long], asOfTimestamp: Option[Long])
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private lazy val isEmpty = graft.core.TableLog.versions(spark, dir).isEmpty
 
@@ -293,7 +295,20 @@ class GraftTable(spark: SparkSession, dir: String,
     m
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilder(options, forceWrapper = false)
+
+  /** The row-level-operation read path: ALWAYS the
+    * [[GraftMorScanBuilder]] wrapper so the `_file`/`_pos` row-ID
+    * metadata columns resolve even on delete-free snapshots (the wrapper
+    * still returns the stock vectorized scan when neither deletes nor
+    * lineage are in play).
+    */
+  private[sources] def lineageScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilder(options, forceWrapper = true)
+
+  private def scanBuilder(options: CaseInsensitiveStringMap,
+                          forceWrapper: Boolean): ScanBuilder = {
     if (isEmpty) return new GraftEmptyScan(schema())
     val hasDeletes = graft.core.TableLog.dvFiles(lines).nonEmpty ||
       graft.core.TableLog.eqLines(lines).nonEmpty
@@ -307,17 +322,51 @@ class GraftTable(spark: SparkSession, dir: String,
     val innerBuilder: ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =
-      if (!hasDeletes)
+      if (!hasDeletes && !forceWrapper)
         ParquetScanBuilder(spark, snapIdx, physVisible, physDataSchema, options)
       else {
-        // merge-on-read: same pruning/pushdown, reader-level subtraction;
-        // ONE cached broadcast per snapshot (dv sidecar paths + eq key sets)
+        // merge-on-read (and/or lineage): same pruning/pushdown, reader-
+        // level subtraction; ONE cached broadcast per snapshot (dv
+        // sidecar paths + eq key sets)
         val deletes = GraftMorScan.deletesFor(spark, dir, lines, physVisible)
         new GraftMorScanBuilder(spark, snapIdx, physVisible, physDataSchema,
           options, dir, qualifiedDir, deletes)
       }
     if (l2p.isEmpty) innerBuilder
     else new GraftMappedScanBuilder(innerBuilder, l2p)
+  }
+
+  /** Iceberg-named lineage metadata columns: `_file` (manifest-relative
+    * path) and `_pos` (true parquet row index) — the row-level
+    * operations' row ID, selectable in any MoR-path query.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftLineage.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "manifest-relative data file path"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftLineage.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position within the data file"
+      })
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE`: the
+    * delta-based (merge-on-read) row-level operation —
+    * [[GraftRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty && asOfTimestamp.isEmpty,
+      s"cannot run ${info.command} against a time-travel-pinned snapshot of $dir")
+    () => new GraftRowLevelOperation(this, dir, info.command)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -333,9 +382,16 @@ class GraftTable(spark: SparkSession, dir: String,
   */
 private[sources] class GraftEmptyScan(s: StructType) extends ScanBuilder
   with org.apache.spark.sql.connector.read.Scan
-  with org.apache.spark.sql.connector.read.Batch {
+  with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  // honor pruning verbatim — a row-level MERGE on a created-but-empty
+  // table asks for the `_file`/`_pos` row-ID metadata columns, and zero
+  // partitions satisfy any schema
+  private var pruned: StructType = s
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
   override def build(): org.apache.spark.sql.connector.read.Scan = this
-  override def readSchema(): StructType = s
+  override def readSchema(): StructType = pruned
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
     Array.empty

@@ -220,6 +220,14 @@ private[sources] object MorDvCache {
   * [[ParquetScanBuilder]] whose data schema is augmented with the
   * reader-generated row-index column (dv snapshots) and any
   * equality-delete key columns the query pruned away.
+  *
+  * Also serves the table's LINEAGE metadata columns — `_file` (the
+  * file's manifest-relative path) and `_pos` (the row's TRUE parquet row
+  * index, Iceberg's names) — which the row-level-operation path
+  * ([[GraftRowLevelOperation]]) uses as its row ID, and any SQL query
+  * can select for debugging. When the snapshot carries no deletes and
+  * the query asked for no lineage, `build()` returns the INNER stock
+  * scan untouched — the vectorized fast path, zero wrapper overhead.
   */
 class GraftMorScanBuilder(spark: SparkSession,
                           index: PartitioningAwareFileIndex,
@@ -231,17 +239,15 @@ class GraftMorScanBuilder(spark: SparkSession,
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
 
   private val rowIdxName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
-  private val needRowIdx = deletes.value.dvSidecars.nonEmpty
 
+  // the row-index generator column is ALWAYS declared on the inner scan
+  // (a declaration costs nothing; only a REQUEST in pruneColumns makes
+  // readers generate it) so one builder serves dv subtraction and `_pos`
   private val augDataSchema =
-    if (needRowIdx)
-      StructType(dataSchema.fields :+ StructField(rowIdxName, LongType, nullable = true))
-    else dataSchema
+    StructType(dataSchema.fields :+ StructField(rowIdxName, LongType, nullable = true))
 
   private val inner = ParquetScanBuilder(spark, index,
-    StructType(tableSchema.fields ++
-      (if (needRowIdx) Seq(StructField(rowIdxName, LongType, nullable = true))
-       else Seq.empty)),
+    StructType(tableSchema.fields :+ StructField(rowIdxName, LongType, nullable = true)),
     augDataSchema, options)
 
   // what the QUERY asked for — extras are appended below, then projected
@@ -259,23 +265,49 @@ class GraftMorScanBuilder(spark: SparkSession,
 
   override def build(): Scan = {
     val eq = deletes.value.eq
-    val visNames = visible.fieldNames.toSet
+    // lineage metadata columns: honored only when the table has no data
+    // column of the same name (Spark hides conflicting metadata columns)
+    val dataNames = tableSchema.fieldNames.toSet
+    val wantFile = visible.fieldNames.contains(GraftLineage.FileCol) &&
+      !dataNames.contains(GraftLineage.FileCol)
+    val wantPos = visible.fieldNames.contains(GraftLineage.PosCol) &&
+      !dataNames.contains(GraftLineage.PosCol)
+    val needRowIdx = deletes.value.dvSidecars.nonEmpty || wantPos
+    val dataVisible = StructType(visible.fields.filterNot(f =>
+      (f.name == GraftLineage.FileCol && wantFile) ||
+        (f.name == GraftLineage.PosCol && wantPos)))
+    if (!needRowIdx && !wantFile && eq.isEmpty) {
+      // clean snapshot, no lineage requested: the stock vectorized scan
+      inner.pruneColumns(dataVisible)
+      return inner.build()
+    }
+    val visNames = dataVisible.fieldNames.toSet
     val eqKeyCols = eq.flatMap(_._1).distinct
     val extraKeys = eqKeyCols.filterNot(visNames)
       .flatMap(c => tableSchema.fields.find(_.name == c))
-    val required = StructType(visible.fields ++ extraKeys ++
+    val required = StructType(dataVisible.fields ++ extraKeys ++
       (if (needRowIdx) Seq(StructField(rowIdxName, LongType, nullable = true))
        else Seq.empty))
     inner.pruneColumns(required)
     val pScan = inner.build().asInstanceOf[ParquetScan]
     // the inner row layout the readers actually produce: data cols (in
-    // augmented-dataSchema order) then partition cols
+    // augmented-dataSchema order) then partition cols; `_file` is bound
+    // one past the end (the reader joins a per-file constant row)
     val innerRow = StructType(
       pScan.readDataSchema.fields ++ pScan.readPartitionSchema.fields)
-    val declared = StructType(visible.fieldNames.flatMap(n =>
-      innerRow.fields.find(_.name == n)))
-    val outOrdinals = declared.fieldNames.map(n => innerRow.fieldNames.indexOf(n))
+    val fileOrd = innerRow.length
     val rowIdxOrd = innerRow.fieldNames.indexOf(rowIdxName)
+    // keep the EXACT fields Spark asked for (metadata-column markers
+    // included) so downstream attribute matching sees what it requested
+    val declared = visible
+    val outOrdinals = visible.fields.map { f =>
+      if (f.name == GraftLineage.FileCol && wantFile) fileOrd
+      else if (f.name == GraftLineage.PosCol && wantPos) rowIdxOrd
+      else innerRow.fieldNames.indexOf(f.name)
+    }
+    require(outOrdinals.forall(_ >= 0),
+      s"scan on $dir cannot serve ${visible.fieldNames.mkString(",")} " +
+        s"from ${innerRow.fieldNames.mkString(",")}")
     // per-scan binding of each eq group (same index order as MorDeletes.eq)
     // to the inner row's ordinals; the key SETS stay in the broadcast
     val eqBound = eq.map { case (cols, _) =>
@@ -286,6 +318,12 @@ class GraftMorScanBuilder(spark: SparkSession,
       outOrdinals, rowIdxOrd, qualifiedDir, deletes,
       GraftMorScan.hadoopConfBroadcast(spark), eqBound)
   }
+}
+
+/** Reserved lineage metadata column names (Iceberg's `_file`/`_pos`). */
+object GraftLineage {
+  val FileCol = "_file"
+  val PosCol = "_pos"
 }
 
 private[sources] class GraftMorScanImpl(
@@ -353,10 +391,20 @@ private[sources] class GraftMorReaderFactory(
       private var delegate: PartitionReader[InternalRow] = _
       private var deleted: Array[Long] = Array.emptyLongArray
       private var cur: InternalRow = _
+      // `_file` binds one past the inner row: the reader joins a per-file
+      // constant row holding the manifest-relative path
+      private val fileRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow()
       private lazy val proj = UnsafeProjection.create(
-        outOrdinals.map(i => BoundReference(i,
-          innerRow.fields(i).dataType, innerRow.fields(i).nullable)
-          : Expression).toIndexedSeq)
+        outOrdinals.map(i =>
+          (if (i == innerRow.length)
+            BoundReference(i, org.apache.spark.sql.types.StringType,
+              nullable = false)
+          else BoundReference(i,
+            innerRow.fields(i).dataType, innerRow.fields(i).nullable))
+            : Expression).toIndexedSeq)
 
       private def openNext(): Boolean = {
         if (fi >= fp.files.length) return false
@@ -365,6 +413,8 @@ private[sources] class GraftMorReaderFactory(
         val rel = f.toPath.toUri.getPath
           .stripPrefix(qualifiedDir).stripPrefix("/")
         deleted = dvMap.getOrElse(rel, Array.emptyLongArray)
+        fileRow.update(0,
+          org.apache.spark.unsafe.types.UTF8String.fromString(rel))
         delegate = inner.createReader(FilePartition(fp.index, Array(f)))
         true
       }
@@ -397,7 +447,7 @@ private[sources] class GraftMorReaderFactory(
         false
       }
 
-      override def get(): InternalRow = proj(cur)
+      override def get(): InternalRow = proj(joined.apply(cur, fileRow))
 
       override def close(): Unit =
         if (delegate != null) { delegate.close(); delegate = null }
