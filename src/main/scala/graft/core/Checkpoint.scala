@@ -18,6 +18,7 @@ import org.apache.spark.sql.DataFrame
 object Checkpoint {
 
   val DirConf = "spark.graft.checkpoint.dir"
+  val StorageConf = "spark.graft.checkpoint.storage"
 
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -28,7 +29,21 @@ object Checkpoint {
         // once and respect a dir the caller set directly on the context
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df.checkpoint()
-      case None => df.localCheckpoint()
+      case None =>
+        // SERIALIZED blocks, not Spark's deserialized default: a
+        // checkpointed edge list stores as compact row bytes (~5x smaller
+        // than boxed objects) and evicts to disk under pressure instead
+        // of starving the join/agg tasks sharing the heap — at 100x the
+        // deserialized default turned a 40 GB JVM into a GC storm
+        // (surfaced by the sf10 escalation on q_lpa_copart). The read
+        // cost is one deserialization per round, paid off the hot loop.
+        val level = org.apache.spark.storage.StorageLevel.fromString(
+          spark.conf.get(StorageConf, "MEMORY_AND_DISK_SER"))
+        df match {
+          case ds: org.apache.spark.sql.classic.Dataset[_] =>
+            ds.localCheckpoint(true, level).asInstanceOf[DataFrame]
+          case _ => df.localCheckpoint()
+        }
     }
   }
 }

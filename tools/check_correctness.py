@@ -72,13 +72,34 @@ def main():
                 None if len(got) > 0 else "rows-only check empty")
             n_pass += len(got) > 0; n_fail += len(got) == 0
             continue
+        # GRAFT_ORACLE_TIMEOUT=<sec>: bound each DuckDB oracle query (used
+        # by scale-escalation runs where a few oracles are super-linear in
+        # SF — e.g. shingle self-joins over a corpus with 100x duplicate
+        # mass). A timed-out oracle records err="oracle timeout" and does
+        # NOT count as a pass: the artifact stays honest about which
+        # queries are hash-verified at this SF vs verified only at lower SF.
+        timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+        timer = None
+        timed_out = [False]
+        if timeout_s > 0:
+            import threading
+            def _interrupt():
+                timed_out[0] = True
+                con.interrupt()
+            timer = threading.Timer(timeout_s, _interrupt)
+            timer.start()
         try:
             exp = con.execute(oracles[name]).fetch_df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            rec(name, False, False, False, len(got), 0,
-                f"oracle error: {str(e)[:200]}")
-            n_fail += 1; continue
+            msg = ("oracle timeout after %.0fs" % timeout_s) if timed_out[0] \
+                else f"oracle error: {str(e)[:200]}"
+            print(f"FAIL {name}: {msg}")
+            rec(name, False, False, False, len(got), 0, msg)
+            n_fail += 1
+            if timer: timer.cancel()
+            continue
+        finally:
+            if timer: timer.cancel()
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
