@@ -1344,6 +1344,79 @@ object TableLog {
     (affected.size, fresh.size, v)
   }
 
+  /** Entries across the tip's POSITIONAL deletion-vector sidecars — the
+    * number the MoR read cap (`spark.graft.catalog.morMaxEntries`)
+    * tests. Counted distributed (parquet row counts, no driver
+    * materialization); includes entries gone inert because a rewrite
+    * replaced their target file — [[compactDeletes]] retires those.
+    */
+  def dvEntryCount(spark: SparkSession, dir: String): Long = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return 0L
+    val dvs = dvFiles(manifestLines(spark, dir, vs.last))
+    if (dvs.isEmpty) 0L
+    else spark.read.parquet(dvs.map(f => s"$dir/$f"): _*).count()
+  }
+
+  /** OPTIMIZE for the deletion-vector SIDECARS: rewrite the tip's dv
+    * entries keeping only those whose target data file is still in the
+    * manifest. Partition-scoped rewrites ([[compactPartition]],
+    * [[overwritePartitions]], copy-on-write deletes) materialize their
+    * files' deletes but leave the sidecar lines — the dead entries cost
+    * nothing semantically yet still count against the MoR read cap and
+    * load into every executor's dv map. On a partitioned 100 TB table
+    * the maintenance loop is: compact hot partitions (materializes their
+    * deletes), then this (sidecar-sized, no data file touched) to shrink
+    * the read-side dv state back to the LIVE delete count.
+    *
+    * Metadata-only commit: data file list unchanged; racing dv-deletes
+    * compose (their fresh sidecar lines, unknown to this rewrite, carry
+    * through — only the lines this rewrite READ are replaced). Returns
+    * (entriesBefore, entriesAfter, version); version unchanged when the
+    * tip has no dv lines.
+    */
+  def compactDeletes(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val tip = versions(spark, dir).last
+    val lines = manifestLines(spark, dir, tip)
+    val dvs = dvFiles(lines)
+    if (dvs.isEmpty) return (0L, 0L, tip)
+    val readLines = dvs.map(f => s"#dvp=$f").toSet
+    val live = lines.filterNot(_.startsWith("#"))
+    val entries = spark.read.parquet(dvs.map(f => s"$dir/$f"): _*)
+      .select(col("_dv_file"), col("_dv_idx"))
+    val before = entries.count()
+    // live-file filter as a join, not an isin literal: a million-file
+    // manifest must not inline into the plan
+    val liveDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_dv_file",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val surviving = entries.join(
+      org.apache.spark.sql.functions.broadcast(liveDf), Seq("_dv_file"))
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dvDir = s"$DvDir/$commitId-rewrite"
+    surviving.write.parquet(s"$dir/$dvDir")
+    val fs = fsOf(spark, dir)
+    val after = spark.read.parquet(s"$dir/$dvDir").count()
+    val fresh =
+      if (after == 0) Seq.empty
+      else fs.listStatus(new Path(dir, dvDir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(s => s"$dvDir/${s.getPath.getName}")
+    if (after == 0) fs.delete(new Path(dir, dvDir), true)
+    val v = try {
+      commit(spark, dir, identity[Seq[String]],
+        mkDv = tipDv => tipDv.filterNot(readLines) ++
+          fresh.map(f => s"#dvp=$f"),
+        op = "compact_dv").get
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        fs.delete(new Path(dir, dvDir), true); throw e
+    }
+    (before, after, v)
+  }
+
   /** `dir` as an absolute filesystem path — manifest-relative paths are
     * computed by stripping this, and a RELATIVE `dir` (scratch paths)
     * would make stripPrefix a silent no-op against the absolute paths

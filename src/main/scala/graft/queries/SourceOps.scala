@@ -1150,6 +1150,14 @@ object SourceOps {
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")))
     s.sql(s"DELETE FROM $cat.gold.ld WHERE l_returnflag = 'A' AND l_quantity > 25")
     s.sql(s"DELETE FROM $cat.gold.ld WHERE l_orderkey <= 100 OR l_returnflag = 'N'")
+    // at-scale escape hatch (surfaced by the sf10 escalation): these two
+    // statements delete ~half the table — past the MoR read cap that
+    // delete fraction calls for OPTIMIZE (full compact materializes the
+    // deletes and clears the vectors). Below the dial the MoR read path
+    // stays exercised.
+    val cap = s.conf.get("spark.graft.catalog.morMaxEntries", "10000000").toLong
+    if (graft.core.TableLog.dvEntryCount(s, s"$wh/gold/ld") > cap / 2)
+      graft.core.TableLog.compact(s, s"$wh/gold/ld")
     s.sql(s"""
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(l_quantity) AS DOUBLE) AS qty
@@ -1198,6 +1206,17 @@ object SourceOps {
     // partition-column update: rows MOVE from l_returnflag=R to =X
     s.sql(s"UPDATE $cat.gold.lu SET l_returnflag = 'X' " +
       "WHERE l_returnflag = 'R' AND l_orderkey % 10 = 1")
+    // at-scale escape hatch (surfaced by the sf10 escalation): past the
+    // MoR read cap the playbook is OPTIMIZE — compact each partition
+    // (materializes its deletes) then retire the now-inert sidecar
+    // entries. Below the dial the MoR read path stays exercised.
+    val cap = s.conf.get("spark.graft.catalog.morMaxEntries", "10000000").toLong
+    if (graft.core.TableLog.dvEntryCount(s, s"$wh/gold/lu") > cap / 2) {
+      Seq("A", "N", "R", "X").foreach(v =>
+        graft.core.TableLog.compactPartition(s, s"$wh/gold/lu",
+          ("l_returnflag", v)))
+      graft.core.TableLog.compactDeletes(s, s"$wh/gold/lu")
+    }
     s.sql(s"""
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(l_quantity) AS DOUBLE) AS qty

@@ -138,6 +138,43 @@ class TableLogDvSpec extends SparkSpec {
     assert(TableLog.read(spark, dir).count() == 90)
   }
 
+  test("compactDeletes retires entries gone inert after a partition rewrite") {
+    val dir = freshDir()
+    // two appends -> 2 files per partition, so compactPartition has
+    // something to rewrite (it no-ops on single-file partitions)
+    TableLog.append(spark, dir,
+      spark.range(0, 200).select($"id", ($"id" % 4).as("p"))
+        .repartition(4, $"p"),
+      partitionBy = Seq("p"))
+    TableLog.append(spark, dir,
+      spark.range(200, 400).select($"id", ($"id" % 4).as("p"))
+        .repartition(4, $"p"),
+      partitionBy = Seq("p"))
+    TableLog.deleteWhereDv(spark, dir, $"id" % 10 === 3) // odd ids: 20 in p=1, 20 in p=3
+    assert(TableLog.dvEntryCount(spark, dir) == 40)
+    // rewrite ONE partition: its 20 entries go inert but stay COUNTED
+    TableLog.compactPartition(spark, dir, ("p", "1"), targetBytes = 1L)
+    assert(TableLog.table(spark, dir).count() == 360)
+    assert(TableLog.dvEntryCount(spark, dir) == 40) // inert still counted
+    val visibleBefore = TableLog.table(spark, dir)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    val (before, after, _) = TableLog.compactDeletes(spark, dir)
+    assert(before == 40 && after == 20) // p=1's inert entries retired
+    assert(TableLog.dvEntryCount(spark, dir) == 20)
+    // semantically a no-op: the visible row set is identical
+    assert(TableLog.table(spark, dir)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq == visibleBefore)
+  }
+
+  test("compactDeletes on a dv-free table is a no-op") {
+    val dir = freshDir()
+    TableLog.append(spark, dir, spark.range(0, 10).toDF("id"))
+    val tip = TableLog.versions(spark, dir).last
+    val (b, a, v) = TableLog.compactDeletes(spark, dir)
+    assert(b == 0 && a == 0 && v == tip)
+    assert(TableLog.dvEntryCount(spark, dir) == 0)
+  }
+
   test("history surfaces delete_dv commits; file count never changes") {
     val dir = freshDir()
     TableLog.append(spark, dir, spark.range(0, 50).select($"id"))
