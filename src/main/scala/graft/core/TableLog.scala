@@ -1376,7 +1376,8 @@ object TableLog {
     * tip has no dv lines.
     */
   def compactDeletes(spark: SparkSession, dir: String): (Long, Long, Long) = {
-    val tip = versions(spark, dir).last
+    // never-committed table: nothing to compact (mirror dvEntryCount's 0)
+    val tip = versions(spark, dir).lastOption.getOrElse(return (0L, 0L, 0L))
     val lines = manifestLines(spark, dir, tip)
     val dvs = dvFiles(lines)
     if (dvs.isEmpty) return (0L, 0L, tip)
@@ -1690,14 +1691,29 @@ object TableLog {
   private[graft] case class DeltaSpec(partCols: Seq[String],
                                       l2p: Map[String, String],
                                       statsCols: Seq[String],
-                                      snapFiles: Set[String])
+                                      snapFiles: Set[String],
+                                      snapDv: Set[String])
 
+  /** `pinnedLines`: the manifest lines of the SNAPSHOT the row-level
+    * scan read (the [[graft.sources]] GraftTable's lazy `lines`). The
+    * spec MUST derive from that same snapshot, not a re-read tip: a
+    * compaction committing between the scan's analysis and the write's
+    * construction would otherwise pass the snapFiles.subsetOf(base)
+    * conflict check while the dv entries target files already gone from
+    * the manifest — the delete half of an UPDATE silently inert, the
+    * inserted image duplicating the still-visible old row.
+    */
   private[graft] def deltaWriteSpec(spark: SparkSession, dir: String,
-                                    declaredPartCols: Seq[String]): DeltaSpec = {
-    val vs = versions(spark, dir)
-    if (vs.isEmpty)
-      return DeltaSpec(declaredPartCols, Map.empty, Seq.empty, Set.empty)
-    val lines = manifestLines(spark, dir, vs.last)
+                                    declaredPartCols: Seq[String],
+                                    pinnedLines: Option[Seq[String]] = None)
+      : DeltaSpec = {
+    val lines = pinnedLines.getOrElse {
+      val vs = versions(spark, dir)
+      if (vs.isEmpty) Seq.empty else manifestLines(spark, dir, vs.last)
+    }
+    if (lines.isEmpty)
+      return DeltaSpec(declaredPartCols, Map.empty, Seq.empty, Set.empty,
+        Set.empty)
     val (partCols, transforms, statsCols) = tipLayout(lines)
     if (transforms.nonEmpty)
       throw new UnsupportedOperationException(
@@ -1706,7 +1722,8 @@ object TableLog {
           "(TableLog.upsert / deleteWhereDv)")
     DeltaSpec(partCols,
       metaSchema(lines).map(renameMap).getOrElse(Map.empty),
-      statsCols, lines.filterNot(_.startsWith("#")).toSet)
+      statsCols, lines.filterNot(_.startsWith("#")).toSet,
+      dvLines(lines).toSet)
   }
 
   /** Commit a ROW-LEVEL DELTA — the merge-on-read twin of [[upsert]],
@@ -1728,7 +1745,8 @@ object TableLog {
   private[graft] def commitDelta(spark: SparkSession, dir: String,
                                  added: Seq[String], dvSidecars: Seq[String],
                                  snapFiles: Set[String], op: String,
-                                 statsCols: Seq[String]): Long = {
+                                 statsCols: Seq[String],
+                                 snapDv: Set[String] = Set.empty): Long = {
     val fs = fsOf(spark, dir)
     def cleanup(): Unit = {
       (added ++ dvSidecars).foreach(f =>
@@ -1759,6 +1777,8 @@ object TableLog {
       if (added.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
       else collectStats(spark, dir, added, statsCols)
     val guard = serializableGuard(spark, snapFiles, op)
+    val serializable = spark.conf
+      .get("spark.graft.commit.isolation", "snapshot") == "serializable"
     try {
       commit(spark, dir,
         mkFiles = base => {
@@ -1769,7 +1789,21 @@ object TableLog {
           base ++ added
         },
         freshStats = stats,
-        mkDv = tipDv => tipDv ++ dvSidecars.map(f => s"#dvp=$f"),
+        mkDv = tipDv => {
+          // Under serializable, a MERGE/UPDATE must also lose to a racing
+          // dv/eq DELETE of the same snapshot: the two compose under
+          // snapshot isolation, but the update's re-inserted image would
+          // resurrect a row the concurrent delete hid — no serial order
+          // exists (Iceberg's validateNoConflictingDeleteFiles for
+          // RowDelta). serializableGuard only sees DATA files, so the
+          // sidecar-line drift is checked here.
+          if (serializable && tipDv.toSet != snapDv)
+            throw new java.util.ConcurrentModificationException(
+              s"$op under serializable isolation lost to a concurrent " +
+                s"delete commit that changed the dv/eq sidecar set under " +
+                s"$dir after this operation's read snapshot; re-read and retry")
+          tipDv ++ dvSidecars.map(f => s"#dvp=$f")
+        },
         op = op).get
     } catch {
       case e: java.util.ConcurrentModificationException =>

@@ -1237,7 +1237,7 @@ object SourceOps {
 
   /** SQL `MERGE INTO` through the graft catalog, hash-gated — the
     * reference's dimension maintenance IS a MERGE (reference:
-    * src/utils/scd2_upsert.py), here as Spark's full three-clause form
+    * src/utils/scd_type2.py), here as Spark's full three-clause form
     * (MATCHED DELETE + MATCHED UPDATE + NOT MATCHED INSERT) against a
     * TableLog table. Delta-based merge-on-read: the join's matched
     * positions become dv entries, updated/inserted images fresh files,
@@ -1296,7 +1296,7 @@ object SourceOps {
       |  SELECT s.o_orderkey, s.p, s.o_orderstatus
       |  FROM src s ANTI JOIN tgt t ON s.o_orderkey = t.o_orderkey)
       |SELECT o_orderstatus, count(*) AS n,
-      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -195,6 +195,13 @@ class GraftTable(spark: SparkSession, dir: String,
   private lazy val (index, dataSchema, lines) =
     graft.core.TableLog.snapshotIndex(spark, dir, version, asOfTimestamp)
 
+  /** The manifest lines of THIS table's pinned snapshot — what the
+    * row-level write path must validate its positions against (see
+    * [[graft.core.TableLog.deltaWriteSpec]]'s pinnedLines doc).
+    */
+  private[sources] def pinnedLines: Seq[String] =
+    if (isEmpty) Seq.empty else lines
+
   // ALTER TABLE metadata of THIS snapshot (time travel pins the schema
   // that was current at the pinned version)
   private lazy val metaLogical: Option[StructType] =

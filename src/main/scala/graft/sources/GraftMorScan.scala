@@ -91,24 +91,47 @@ object GraftMorScan {
     * to the TABLE column types at load, so a sidecar written with a
     * narrower key type (INT keys against a BIGINT column) still hides
     * its rows — matching the API path's cast-coercing `<=>` anti-join.
+    * `touched` is the sorted distinct set of manifest-relative data-file
+    * paths the dv entries target — driver-sized (bounded by the manifest
+    * the driver already holds) — so the scan can keep the stock
+    * VECTORIZED path for a snapshot region no delete touches.
     */
   case class MorDeletes(dvSidecars: Array[String],
-                        eq: Seq[(Seq[String], Set[Seq[Any]])])
+                        eq: Seq[(Seq[String], Set[Seq[Any]])],
+                        touched: Array[String])
+
+  /** Content fingerprint of a (manifest, schema) pair — SHA-256, NOT a
+    * 32-bit hashCode: the broadcast cache below lives for a whole
+    * session of commits, and a colliding Int key would silently serve
+    * the WRONG delete set. A 256-bit digest makes collision structurally
+    * impossible rather than merely unlikely-per-pair.
+    */
+  private[sources] def snapshotFingerprint(lines: Seq[String],
+                                           tableSchema: StructType): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    lines.foreach { l =>
+      md.update(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0: Byte) // line delimiter: ["ab","c"] != ["a","bc"]
+    }
+    md.update(tableSchema.catalogString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   // one broadcast per (dir, snapshot fingerprint), LRU-bounded: evicted
   // entries unpersist (not destroy — in-flight scans can re-fetch from
   // the driver), so long sessions don't accumulate broadcast blocks
   private val bcastCache =
-    new java.util.LinkedHashMap[(String, Int), Broadcast[MorDeletes]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), Broadcast[MorDeletes]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Broadcast[MorDeletes]]): Boolean =
+          e: java.util.Map.Entry[(String, String), Broadcast[MorDeletes]]): Boolean =
         if (size > 32) { e.getValue.unpersist(false); true } else false
     }
 
   def deletesFor(spark: SparkSession, dir: String, lines: Seq[String],
                  tableSchema: StructType): Broadcast[MorDeletes] =
     bcastCache.synchronized {
-      val key = (dir, (lines, tableSchema).hashCode)
+      val key = (dir, snapshotFingerprint(lines, tableSchema))
       Option(bcastCache.get(key)).getOrElse {
         val b = spark.sparkContext.broadcast(
           loadDeletes(spark, dir, lines, tableSchema))
@@ -143,12 +166,19 @@ object GraftMorScan {
     val qualified = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
     val dvs = graft.core.TableLog.dvFiles(lines)
       .map(f => s"$qualified/$f").toArray
+    var touched = Array.empty[String]
     if (dvs.nonEmpty) {
-      // cap check is a distributed count — dv ROWS never reach the driver
-      val n = spark.read.parquet(dvs.toIndexedSeq: _*).count()
+      // cap check + touched-file census in one distributed pass — dv
+      // ROWS never reach the driver, only one (file, count) row per
+      // TOUCHED data file (bounded by the manifest, which the driver
+      // already holds line-by-line)
+      val perFile = spark.read.parquet(dvs.toIndexedSeq: _*)
+        .groupBy("_dv_file").count().collect()
+      val n = perFile.map(_.getLong(1)).sum
       require(n <= cap, s"snapshot at $dir carries $n deletion-vector " +
         s"entries (> spark.graft.catalog.morMaxEntries=$cap); run " +
         "OPTIMIZE (TableLog.compact) to materialize the deletes first")
+      touched = perFile.map(_.getString(0)).sorted
     }
     // deterministic group order: the scan builder indexes into this seq
     val eqGroups = graft.core.TableLog.eqLines(lines).groupBy(_._2).toSeq
@@ -175,7 +205,7 @@ object GraftMorScan {
       }.toSet
       (cols, keys)
     }
-    MorDeletes(dvs, eqSets)
+    MorDeletes(dvs, eqSets, touched)
   }
 }
 
@@ -349,12 +379,42 @@ private[sources] class GraftMorScanImpl(
   // stock partitions, small-file coalescing included: each PartitionedFile
   // inside a multi-file partition still names its file, which is all the
   // per-file dv lookup needs (the factory chains one delegate per file)
-  override def planInputPartitions(): Array[InputPartition] =
+  private lazy val plannedPartitions: Array[InputPartition] =
     inner.planInputPartitions()
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  /** Whole-scan vectorized dial for MoR snapshots whose deletes don't
+    * touch the files this query reads: Spark's DSv2 exec REQUIRES all
+    * partitions of one scan to agree on columnar vs row, so the decision
+    * is global — when every planned file (post partition-pruning and
+    * stats skipping) is absent from the dv touched-file set, no
+    * eq-delete group exists (eq keys hide rows in ANY file), and the
+    * per-file `_file` constant is not requested, the readers hand the
+    * stock vectorized ColumnarBatches straight through (minus the
+    * internal row-index vector — a column-reference re-wrap, no copy).
+    * A mostly-clean 100 TB snapshot then pays the row-based trade only
+    * on queries that actually overlap dv-touched files.
+    */
+  private lazy val columnarOk: Boolean =
+    eqBound.isEmpty && !outOrdinals.contains(innerRow.length) && {
+      val touched = deletes.value.touched
+      touched.isEmpty || {
+        val tset = touched.toSet
+        plannedPartitions.forall {
+          case fp: FilePartition => fp.files.forall { f =>
+            !tset.contains(f.toPath.toUri.getPath
+              .stripPrefix(qualifiedDir).stripPrefix("/"))
+          }
+          case _ => false
+        }
+      }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMorReaderFactory(inner.createReaderFactory(), innerRow,
-      outOrdinals, rowIdxOrd, qualifiedDir, deletes, confB, eqBound)
+      outOrdinals, rowIdxOrd, qualifiedDir, deletes, confB, eqBound,
+      columnarOk)
 }
 
 /** Row-based reader wrapper: chains one stock parquet reader per file in
@@ -368,13 +428,37 @@ private[sources] class GraftMorReaderFactory(
     outOrdinals: Array[Int], rowIdxOrd: Int, qualifiedDir: String,
     deletes: Broadcast[GraftMorScan.MorDeletes],
     confB: Broadcast[SerializableHadoopConf],
-    eqBound: Array[(Array[Int], Array[DataType])])
+    eqBound: Array[(Array[Int], Array[DataType])],
+    columnarOk: Boolean = false)
   extends PartitionReaderFactory {
 
-  // MoR snapshots read row-based: per-row subtraction can't run on a
-  // ColumnarBatch without a selection-vector protocol Spark doesn't
-  // expose. Compaction retires the vectors and the vectorized path.
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  // MoR snapshots whose deletes overlap the planned files read
+  // row-based: per-row subtraction can't run on a ColumnarBatch without
+  // a selection-vector protocol Spark doesn't expose (compaction retires
+  // the vectors and the vectorized path). When the SCAN proved every
+  // planned file untouched (columnarOk, see GraftMorScanImpl), batches
+  // pass through vectorized.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarOk && inner.supportColumnarReads(partition)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val delegate = inner.createColumnarReader(partition)
+    // no row survives subtraction checks here by construction (untouched
+    // files, no eq groups) — the wrapper only projects out the internal
+    // row-index vector, re-wrapping the delegate batch's column
+    // references (zero data movement)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = delegate.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = delegate.get()
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          outOrdinals.map(b.column(_)
+            : org.apache.spark.sql.vectorized.ColumnVector), b.numRows())
+      }
+      override def close(): Unit = delegate.close()
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[FilePartition]

@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** SQL `UPDATE` / `MERGE INTO` (and non-translatable `DELETE`) for
   * TableLog tables — Spark's DSv2 row-level-operation contract,
   * implemented DELTA-based (merge-on-read): the reference's dimension
-  * maintenance is a MERGE (reference: src/utils/scd2_upsert.py — the
+  * maintenance is a MERGE (reference: src/utils/scd_type2.py — the
   * SCD2 upsert the API path mirrors in [[graft.core.Scd2]]), and through
   * SQL it must not rewrite every file holding a matched row.
   *
@@ -75,7 +75,8 @@ class GraftRowLevelOperation(table: GraftTable, dir: String,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(SparkSession.active, dir, info, cmd)
+        new GraftDeltaWrite(SparkSession.active, dir, info, cmd,
+          table.pinnedLines)
     }
 
   override def rowId(): Array[NamedReference] = Array(
@@ -134,25 +135,32 @@ private[sources] object ParquetSideWriter {
 }
 
 class GraftDeltaWrite(spark: SparkSession, dir: String,
-                      info: LogicalWriteInfo, cmd: RowLevelOperation.Command)
+                      info: LogicalWriteInfo, cmd: RowLevelOperation.Command,
+                      pinnedLines: Seq[String])
   extends DeltaWrite {
 
   override def description(): String = s"GraftDeltaWrite($cmd, $dir)"
 
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(spark, dir, info, cmd)
+    new GraftDeltaBatchWrite(spark, dir, info, cmd, pinnedLines)
 }
 
 class GraftDeltaBatchWrite(spark: SparkSession, dir: String,
-                           info: LogicalWriteInfo, cmd: RowLevelOperation.Command)
+                           info: LogicalWriteInfo, cmd: RowLevelOperation.Command,
+                           pinnedLines: Seq[String])
   extends DeltaBatchWrite {
 
   private val commitId = UUID.randomUUID().toString.take(8)
 
   // declared partition columns seed the layout of a never-written table
-  // (MERGE with only NOT MATCHED inserts on a fresh CREATE TABLE)
+  // (MERGE with only NOT MATCHED inserts on a fresh CREATE TABLE).
+  // The spec derives from the SAME pinned snapshot the row-level scan
+  // read — not a re-read tip — so the commit-time conflict check really
+  // validates the row positions' snapshot (a compaction landing between
+  // analysis and write-construction must abort, not slip through).
   private val spec = graft.core.TableLog.deltaWriteSpec(spark, dir,
-    GraftTableSidecar.read(spark, dir).map(_._2).getOrElse(Seq.empty))
+    GraftTableSidecar.read(spark, dir).map(_._2).getOrElse(Seq.empty),
+    pinnedLines = if (pinnedLines.isEmpty) None else Some(pinnedLines))
 
   private val qualifiedDir: String = {
     val p = new Path(dir)
@@ -194,7 +202,8 @@ class GraftDeltaBatchWrite(spark: SparkSession, dir: String,
       dvSidecars = msgs.flatMap(_.dvSidecars).toSeq,
       snapFiles = spec.snapFiles,
       op = cmd.toString.toLowerCase + "_delta",
-      statsCols = spec.statsCols)
+      statsCols = spec.statsCols,
+      snapDv = spec.snapDv)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -113,4 +113,96 @@ class TableLogConflictSpec extends SparkSpec {
     assert(n >= 1)
     assert(TableLog.read(spark, dir).count() == 45)
   }
+
+  test("delta write validates against the PINNED snapshot: a compaction " +
+    "landing between scan analysis and write construction aborts the commit") {
+    // ADVICE round-8: deltaWriteSpec used to re-read the tip when the
+    // write was constructed, so a compaction in that window slipped past
+    // the snapFiles.subsetOf(base) check while the dv positions targeted
+    // files already gone — the delete half of an UPDATE silently inert.
+    val dir = freshDir()
+    TableLog.append(spark, dir,
+      spark.range(0, 60).select($"id", ($"id" % 3).as("v")).coalesce(1))
+    // the scan's pinned snapshot (what GraftTable.lines holds at analysis)
+    val pinned = TableLog.manifestLines(spark, dir,
+      TableLog.versions(spark, dir).last)
+    val spec = TableLog.deltaWriteSpec(spark, dir, Seq.empty, Some(pinned))
+    assert(spec.snapFiles == pinned.filterNot(_.startsWith("#")).toSet)
+    // the race: a compaction rewrites every file before the write commits
+    TableLog.compact(spark, dir, targetBytes = 1L << 30)
+    // the OLD (re-read-tip) spec would now "validate" against the
+    // compacted tip and pass — the pinned spec must abort instead
+    val tipSpec = TableLog.deltaWriteSpec(spark, dir, Seq.empty)
+    assert(tipSpec.snapFiles != spec.snapFiles,
+      "compaction did not change the file set; test is vacuous")
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commitDelta(spark, dir,
+        added = Seq.empty, dvSidecars = Seq("_graft_dv/ghost/d.parquet"),
+        snapFiles = spec.snapFiles, op = "update_delta",
+        statsCols = Seq.empty, snapDv = spec.snapDv)
+    }
+  }
+
+  test("serializable isolation: a row-level delta racing a dv delete " +
+    "aborts; snapshot isolation composes") {
+    // ADVICE round-8: serializableGuard only inspects added DATA files, so
+    // a MERGE racing a deleteWhereDv of the same snapshot used to compose
+    // even under serializable — the merge's re-inserted image resurrecting
+    // the concurrently deleted row (Iceberg validates conflicting delete
+    // files for RowDelta; commitDelta now checks the dv/eq line drift).
+    val dir = freshDir()
+    TableLog.append(spark, dir,
+      spark.range(0, 40).select($"id", ($"id" % 4).as("v")).coalesce(1))
+    val dataFile = TableLog.manifestLines(spark, dir,
+      TableLog.versions(spark, dir).last).filterNot(_.startsWith("#")).head
+    // the delta write's read snapshot: no dv lines yet
+    val spec = TableLog.deltaWriteSpec(spark, dir, Seq.empty)
+    assert(spec.snapDv.isEmpty)
+    // racing dv delete commits first (adds a #dvp line, no file change —
+    // exactly the drift the file-only guard cannot see)
+    TableLog.deleteWhereDv(spark, dir, $"id" === 7L)
+    // a REAL staged sidecar so the composing commit leaves a valid table
+    val stagedDir = "_graft_dv/race-delta"
+    Seq((dataFile, 3L)).toDF("_dv_file", "_dv_idx")
+      .coalesce(1).write.parquet(s"$dir/$stagedDir")
+    val staged = new java.io.File(s"$dir/$stagedDir").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+      .map(n => s"$stagedDir/$n").toSeq
+    assert(staged.size == 1)
+    spark.conf.set("spark.graft.commit.isolation", "serializable")
+    try {
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        TableLog.commitDelta(spark, dir,
+          added = Seq.empty, dvSidecars = staged,
+          snapFiles = spec.snapFiles, op = "merge_delta",
+          statsCols = Seq.empty, snapDv = spec.snapDv)
+      }
+      assert(ex.getMessage.contains("dv/eq sidecar"))
+    } finally spark.conf.set("spark.graft.commit.isolation", "snapshot")
+    // under the default snapshot isolation the same delta composes: both
+    // deletes land (id=7 from the racing delete, id=3 from this delta)
+    // — cleanup() on the aborted attempt must NOT have swept the staged
+    // sidecar... it did (documented abort contract), so re-stage it
+    val restaged = {
+      Seq((dataFile, 3L)).toDF("_dv_file", "_dv_idx")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$stagedDir")
+      new java.io.File(s"$dir/$stagedDir").listFiles()
+        .map(_.getName).filter(_.startsWith("part-"))
+        .map(n => s"$stagedDir/$n").toSeq
+    }
+    val specNow = TableLog.deltaWriteSpec(spark, dir, Seq.empty)
+    TableLog.commitDelta(spark, dir,
+      added = Seq.empty, dvSidecars = restaged,
+      snapFiles = specNow.snapFiles, op = "merge_delta",
+      statsCols = Seq.empty, snapDv = specNow.snapDv)
+    assert(TableLog.read(spark, dir).count() == 38)
+    assert(TableLog.read(spark, dir)
+      .filter($"id" === 3L || $"id" === 7L).count() == 0)
+  }
+
+  test("compactDeletes on a never-committed table returns zeros, not " +
+    "NoSuchElementException") {
+    val dir = freshDir()
+    assert(TableLog.compactDeletes(spark, dir) == (0L, 0L, 0L))
+  }
 }

@@ -91,15 +91,29 @@ def main():
         try:
             exp = con.execute(oracles[name]).fetch_df()
         except Exception as e:
-            msg = ("oracle timeout after %.0fs" % timeout_s) if timed_out[0] \
+            # Timeout only when the timer actually fired AND the exception is
+            # DuckDB's interrupt — a genuine error that merely coincides with
+            # timer expiry must not be relabeled as a timeout.
+            is_timeout = timed_out[0] and isinstance(e, duckdb.InterruptException)
+            msg = ("oracle timeout after %.0fs" % timeout_s) if is_timeout \
                 else f"oracle error: {str(e)[:200]}"
             print(f"FAIL {name}: {msg}")
             rec(name, False, False, False, len(got), 0, msg)
             n_fail += 1
-            if timer: timer.cancel()
             continue
         finally:
-            if timer: timer.cancel()
+            if timer:
+                # cancel() alone races: the timer can fire in the window after
+                # fetch_df() returns, calling con.interrupt() with no query
+                # running — which would poison the NEXT oracle. join() the
+                # thread, then absorb any latent interrupt flag.
+                timer.cancel()
+                timer.join()
+                if timed_out[0]:
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:
+                        pass
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
@@ -115,12 +129,30 @@ def main():
         # dtype check (schema match proxy)
         dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype))
                        for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+        # The driver's hasher stringifies values, so int64 vs float64 on the
+        # same column (3 vs 3.0) hash-differs even when pandas says the
+        # values match — treat int-vs-float as a HARD FAIL, exactly like the
+        # driver would. (q_table_log_sql_merge r08 slipped through this gap:
+        # DuckDB sum(BIGINT) -> HUGEINT -> float64 while Spark emits int64.)
+        def _num_kind(dt):
+            if pd.api.types.is_integer_dtype(dt): return "int"
+            if pd.api.types.is_float_dtype(dt): return "float"
+            return "other"
+        hard_dt = [(c, a, b) for c, a, b in dt_mismatch
+                   if {_num_kind(g[c].dtype), _num_kind(e[c].dtype)}
+                   == {"int", "float"}]
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=True)
         except AssertionError as ex:
             print(f"FAIL {name}: values differ: {str(ex)[:500]}")
             rec(name, True, not dt_mismatch, False, len(g), len(e), None)
+            n_fail += 1; continue
+        if hard_dt:
+            print(f"FAIL {name}: int-vs-float dtype mismatch {hard_dt} "
+                  f"(values match, but the driver's hash would differ)")
+            rec(name, True, False, False, len(g), len(e),
+                f"int-vs-float dtype mismatch: {hard_dt}")
             n_fail += 1; continue
         if dt_mismatch:
             print(f"WARN {name}: dtype mismatch {dt_mismatch} (values match)")
