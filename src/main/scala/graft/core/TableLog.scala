@@ -1,8 +1,8 @@
 package graft.core
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** A minimal manifest-log table format over plain parquet — the engine's
   * stand-in for the Delta transaction log the reference leans on
@@ -1993,6 +1993,165 @@ object TableLog {
     * metadata; pre-op manifests read as "write") and file count. A pure
     * metadata read: manifests only, no data files touched.
     */
+  /** Log-derived CHANGE FEED over a version window — the Delta CDF role
+    * for this table format (reference consumers: the SCD2 dimension
+    * maintenance in src/utils/scd_type2.py wants exactly "what changed
+    * since version N" to drive downstream incremental gold): one row per
+    * changed row for every data-change commit in `(fromVersion,
+    * toVersion]`, stamped `_change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage} and `_commit_version`.
+    *
+    * Per commit the feed is reconstructed from the manifest delta alone:
+    *  - POST-images = rows of the commit's ADDED files (as written);
+    *  - PRE-images  = rows of REMOVED files that were visible at v-1
+    *    (copy-on-write rewrites) + rows the commit's NEW dv entries hide
+    *    (row-level UPDATE/MERGE/delete_dv — read from the dv-touched
+    *    files only, never a full scan) + rows matching NEW eq-delete keys.
+    *  - `keys` (the business key) pairs them: keys present on both sides
+    *    become update_preimage/update_postimage, pre-only rows are
+    *    deletes, post-only rows are inserts — full CDF fidelity for SQL
+    *    UPDATE and MERGE INTO commits. Without `keys` a delta commit
+    *    degrades to pre→update_preimage / post→update_postimage (a pure
+    *    UPDATE is exactly that; a MERGE's unmatched inserts are then
+    *    labeled postimage — pass the key for exact classification).
+    *  - Rewrites that change NO logical rows (compact / compact_dv /
+    *    alter / analyze) emit nothing — Delta's dataChange=false rule.
+    *
+    * SCALE: cost is O(changed data) per commit — added files, removed
+    * files, and dv-TOUCHED files are read; untouched data never is. The
+    * dv-entry and eq-key join build sides are changed-row-count sized
+    * (broadcastable); the key-pairing joins carry only the commit's own
+    * change set. At 100 TB an incremental consumer pays for its deltas,
+    * not the table.
+    */
+  def changes(spark: SparkSession, dir: String,
+              fromVersion: Long, toVersion: Long,
+              keys: Seq[String] = Seq.empty): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    require(fromVersion >= 0 && toVersion <= vs.last &&
+      fromVersion <= toVersion,
+      s"invalid change window ($fromVersion, $toVersion] for tip ${vs.last}")
+    val noChangeOps = Seq("compact", "alter", "analyze", "create")
+    val perVersion = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val op = versionMeta(spark, dir, v).find(_.startsWith("#op="))
+        .map(_.stripPrefix("#op=")).getOrElse("write")
+      if (noChangeOps.exists(op.startsWith)) None
+      else {
+        val cur = manifestLines(spark, dir, v)
+        val prev = if (v <= 1) Seq.empty else manifestLines(spark, dir, v - 1)
+        changeRowsOf(spark, dir, v, op, prev, cur, keys)
+      }
+    }
+    if (perVersion.isEmpty) {
+      // typed empty frame: logical tip schema + the two feed columns
+      val s = logicalSchema(spark, dir)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(s.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType))))
+    } else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One commit's change rows (None when it changed nothing). */
+  private def changeRowsOf(spark: SparkSession, dir: String, v: Long,
+                           op: String, prev: Seq[String], cur: Seq[String],
+                           keys: Seq[String]): Option[DataFrame] = {
+    val curFiles = cur.filterNot(_.startsWith("#"))
+    val prevFiles = prev.filterNot(_.startsWith("#"))
+    val addedFiles = curFiles.filterNot(prevFiles.toSet)
+    val removedFiles = prevFiles.filterNot(curFiles.toSet)
+    val prevDv = dvFiles(prev)
+    val newDvSidecars = dvFiles(cur).filterNot(prevDv.toSet)
+    val newEq = eqLines(cur).filterNot(eqLines(prev).toSet)
+    val ms = metaSchema(cur)
+    val partCols = pathPartCols(curFiles ++ prevFiles)
+
+    val post: Option[DataFrame] =
+      if (addedFiles.isEmpty) None
+      else Some(toLogical(
+        spark.read.option("mergeSchema", "true").option("basePath", dir)
+          .parquet(addedFiles.map(f => s"$dir/$f"): _*),
+        ms, passthrough = partCols))
+
+    // pre (a): removed files' rows AS VISIBLE at v-1 (dv/eq applied —
+    // rows already hidden were not logically present, so not "deleted")
+    val preRewrite: Option[DataFrame] =
+      if (removedFiles.isEmpty) None
+      else Some(toLogical(applyEqDeletes(spark, dir,
+        applyDv(spark, dir, lineageScan(spark, dir, removedFiles), prevDv),
+        prev), ms, passthrough = partCols))
+
+    // pre (b): rows the commit's NEW dv entries hide — read ONLY the
+    // dv-touched files (a driver-sized census of the new sidecars), with
+    // v-1's own deletes subtracted first so a double-listed position
+    // cannot produce a phantom pre-image
+    val preDv: Option[DataFrame] =
+      if (newDvSidecars.isEmpty) None
+      else {
+        val entries = spark.read
+          .parquet(newDvSidecars.map(f => s"$dir/$f"): _*)
+          .select(col("_dv_file"), col("_dv_idx"))
+        val touched = entries.select("_dv_file").distinct()
+          .collect().map(_.getString(0)).toSeq
+          .filter(prevFiles.toSet) // positions only bind to v-1 files
+        if (touched.isEmpty) None
+        else Some(toLogical(applyEqDeletes(spark, dir,
+          applyDv(spark, dir, lineageScan(spark, dir, touched), prevDv),
+          prev)
+          .join(entries, Seq("_dv_file", "_dv_idx"), "left_semi"),
+          ms, passthrough = partCols))
+      }
+
+    // pre (c): rows of v-1 matching NEW equality-delete key sets
+    // (sidecars carry PHYSICAL key names; the visible frame is logical)
+    val preEq: Option[DataFrame] =
+      if (newEq.isEmpty) None
+      else {
+        val p2l = ms.map(s => s.fields.map(f => physName(f) -> f.name).toMap)
+          .getOrElse(Map.empty[String, String])
+        val visible = read(spark, dir, Some(v - 1))
+        val frames = newEq.groupBy(_._2).map { case (cols, entries) =>
+          val keyDf = spark.read.parquet(entries.map(e => s"$dir/${e._1}"): _*)
+          val cond = cols.map(c =>
+            visible(p2l.getOrElse(c, c)) <=> keyDf(c)).reduce(_ && _)
+          visible.join(keyDf, cond, "left_semi")
+        }
+        frames.reduceOption(_.unionByName(_))
+      }
+
+    val pre = Seq(preRewrite, preDv, preEq).flatten
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    val stamp = (df: DataFrame, ct: String) => df
+      .withColumn("_change_type", lit(ct))
+      .withColumn("_commit_version", lit(v))
+    (pre, post) match {
+      case (None, None) => None
+      case (Some(p), None) => Some(stamp(p, "delete"))
+      case (None, Some(q)) => Some(stamp(q, "insert"))
+      case (Some(p), Some(q)) if keys.isEmpty =>
+        // no business key: a delta/rewrite commit's two sides can only be
+        // labeled wholesale (exact for a pure UPDATE; see scaladoc)
+        Some(stamp(p, "update_preimage").unionByName(
+          stamp(q, "update_postimage"), allowMissingColumns = true))
+      case (Some(p), Some(q)) =>
+        // pair by key: INTERSECT is null-safe, so null-keyed rows pair too
+        val shared = p.select(keys.map(col): _*)
+          .intersect(q.select(keys.map(col): _*))
+          .select(keys.map(k => col(k).as(s"_ck_$k")): _*)
+        def cond(df: DataFrame) =
+          keys.map(k => df(k) <=> col(s"_ck_$k")).reduce(_ && _)
+        Some(Seq(
+          stamp(p.join(shared, cond(p), "left_semi"), "update_preimage"),
+          stamp(p.join(shared, cond(p), "left_anti"), "delete"),
+          stamp(q.join(shared, cond(q), "left_semi"), "update_postimage"),
+          stamp(q.join(shared, cond(q), "left_anti"), "insert"))
+          .reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
+  }
+
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // op/txn come from the version's own log file (one small read each);

@@ -1245,6 +1245,86 @@ object SourceOps {
     * join + anti join over the raw table); a duplicated insert, a
     * surviving deleted row, or a half-applied clause breaks the hash.
     */
+  /** Change feed over SQL row-level DML — the Delta-CDF role for the
+    * delta (merge-on-read) commits: append (v1), SQL `UPDATE` (v2, an
+    * update_delta commit: dv pre-images + re-inserted post-images), SQL
+    * `MERGE INTO` (v3, merge_delta: matched deletes, matched updates,
+    * unmatched inserts), then [[graft.core.TableLog.changes]] keyed on
+    * the business key reconstructs per-version
+    * insert/delete/update_preimage/update_postimage rows from the
+    * manifest deltas alone — no data file is re-diffed. The gate hashes
+    * per-(step, change_type) counts, key sums, and integer-cents price
+    * sums, so a misclassified or missing change row flips the hash.
+    */
+  def tableLogCdcDml: Q = (s, d) => {
+    val wh = Scratch.dir("tlogcdml_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_cdml_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = s"$wh/gold/cd"
+    graft.core.TableLog.append(s, dir,
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .filter(col("o_orderkey") % 3 === 0))
+    val v1 = graft.core.TableLog.versions(s, dir).last
+    s.sql(s"UPDATE $cat.gold.cd SET o_totalprice = -1.0 " +
+      "WHERE o_orderkey % 7 = 0")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("graft_cdml_src")
+    s.sql(s"""MERGE INTO $cat.gold.cd t USING graft_cdml_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderkey % 20 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+        VALUES (s.o_orderkey, s.p, s.o_orderstatus)""")
+    val vTip = graft.core.TableLog.versions(s, dir).last
+    graft.core.TableLog.changes(s, dir, v1, vTip, keys = Seq("o_orderkey"))
+      .groupBy((col("_commit_version") - v1).as("step"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(Num.cents(col("o_totalprice"))).as("cents"))
+      .orderBy(col("step"), col("change_type"))
+  }
+
+  val tableLogCdcDmlSql: String =
+    """WITH t0 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+      |upd AS (SELECT o_orderkey, o_totalprice FROM t0 WHERE o_orderkey % 7 = 0),
+      |v2 AS (SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN -1.0 ELSE o_totalprice END AS p
+      |       FROM t0),
+      |src AS (SELECT o_orderkey, o_totalprice * 2 AS p
+      |        FROM orders WHERE o_orderkey % 2 = 0),
+      |matched AS (SELECT v2.o_orderkey, v2.p
+      |            FROM v2 JOIN src ON v2.o_orderkey = src.o_orderkey),
+      |chg AS (
+      |  SELECT 1 AS step, 'update_preimage' AS change_type,
+      |         o_orderkey, o_totalprice AS p FROM upd
+      |  UNION ALL SELECT 1, 'update_postimage', o_orderkey, -1.0 FROM upd
+      |  UNION ALL SELECT 2, 'delete', o_orderkey, p
+      |    FROM matched WHERE o_orderkey % 20 = 0
+      |  UNION ALL SELECT 2, 'update_preimage', o_orderkey, p
+      |    FROM matched WHERE o_orderkey % 20 <> 0
+      |  UNION ALL SELECT 2, 'update_postimage', s.o_orderkey, s.p
+      |    FROM src s JOIN t0 ON s.o_orderkey = t0.o_orderkey
+      |    WHERE s.o_orderkey % 20 <> 0
+      |  UNION ALL SELECT 2, 'insert', s.o_orderkey, s.p
+      |    FROM src s ANTI JOIN t0 ON s.o_orderkey = t0.o_orderkey)
+      |SELECT CAST(step AS BIGINT) AS step, change_type,
+      |  count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM chg GROUP BY step, change_type
+      |ORDER BY step, change_type""".stripMargin
+
   def tableLogSqlMerge: Q = (s, d) => {
     val wh = Scratch.dir("tlogsqlmrg_" + java.lang.Integer.toHexString(d.hashCode))
     val p = new org.apache.hadoop.fs.Path(wh)
@@ -1326,6 +1406,7 @@ object SourceOps {
     "q_table_log_merge" -> tableLogMerge,
     "q_table_log_skipping" -> tableLogSkipping,
     "q_table_log_cdc" -> tableLogCdc,
+    "q_table_log_cdc_dml" -> tableLogCdcDml,
     "q_table_log_restore" -> tableLogRestore,
     "q_table_log_ckpt" -> tableLogCkpt,
   )
@@ -1357,6 +1438,7 @@ object SourceOps {
     "q_table_log_merge" -> tableLogMergeSql,
     "q_table_log_skipping" -> tableLogSkippingSql,
     "q_table_log_cdc" -> tableLogCdcSql,
+    "q_table_log_cdc_dml" -> tableLogCdcDmlSql,
     "q_table_log_restore" -> tableLogRestoreSql,
     "q_table_log_ckpt" -> tableLogCkptSql,
   )
