@@ -343,6 +343,53 @@ object TableLog {
     org.apache.spark.sql.types.StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(physName(f), f.dataType, f.nullable)))
 
+  /** Is `from` → `to` a LOSSLESS type widening the parquet readers can
+    * serve per file at read time (Spark's ParquetVectorUpdaterFactory
+    * ships IntegerToLong / IntegerToDouble / FloatToDouble updaters, and
+    * decimal precision growth re-scales on read)? This is the Delta/
+    * Iceberg `ALTER COLUMN TYPE` widening subset: old files keep their
+    * narrow physical type, new files write the wide one, and every read
+    * requests the WIDE type so both decode correctly — no rewrite.
+    */
+  private[graft] def isSafeWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (IntegerType, LongType) => true
+      case (IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+  }
+
+  /** Union-by-name schema merge that tolerates WIDENED twins: where
+    * Spark's `mergeSchema` read throws CANNOT_MERGE_SCHEMAS on an
+    * int32-file/int64-file pair, this keeps the WIDER of two safely
+    * widenable types (and the first otherwise — the #schema= metadata,
+    * not this fallback, is authoritative whenever an ALTER ever ran).
+    */
+  private def lenientMerge(
+      schemas: Seq[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    schemas.iterator.flatMap(_.fields).foreach { f =>
+      out.get(f.name) match {
+        case None => out(f.name) = f
+        case Some(prev) =>
+          if (isSafeWidening(prev.dataType, f.dataType))
+            out(f.name) = f.copy(nullable = f.nullable || prev.nullable)
+          else if (prev.nullable != (prev.nullable || f.nullable))
+            out(f.name) = prev.copy(nullable = true)
+      }
+    }
+    StructType(out.values.toSeq)
+  }
+
   /** Project a PHYSICAL-named frame to the logical schema: rename mapped
     * columns, null-fill logical columns no file carries yet, drop
     * physical columns outside the logical schema (DROPped), and pass
@@ -354,10 +401,15 @@ object TableLog {
                                passthrough: Seq[String] = Seq.empty): DataFrame =
     meta.fold(df) { ls =>
       val present = df.columns.toSet
+      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val cols = ls.fields.toSeq.map { f =>
         val p = physName(f)
-        if (present(p)) df(p).as(f.name)
-        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        if (present(p)) {
+          // widened column read through a pre-widening file schema:
+          // surface the DECLARED type (lossless by isSafeWidening)
+          if (byName(p) != f.dataType) df(p).cast(f.dataType).as(f.name)
+          else df(p).as(f.name)
+        } else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
       } ++ passthrough.filter(present).map(df(_))
       df.select(cols: _*)
     }
@@ -433,13 +485,18 @@ object TableLog {
     removedOrRenamed.foreach(cf => require(!constraintRefs.contains(cf.name),
       s"column ${cf.name} is referenced by a CHECK constraint; drop the " +
         "constraint first"))
-    // no type changes: the vectorized parquet reader cannot up-cast a
-    // file's physical type per-file, so widening would need a rewrite
+    // type changes: the WIDENING subset only (int→long, int/float→double,
+    // decimal precision growth) — served by the parquet readers' per-file
+    // upcast at read time (isSafeWidening). Anything lossy (narrowing,
+    // cross-family) still refuses: old files could hold values the new
+    // type cannot represent, and a read-time cast would corrupt silently.
     current.fields.foreach { cf =>
       next.fields.find(nf => physName(nf) == physName(cf)).foreach(nf =>
-        require(nf.dataType == cf.dataType,
+        require(isSafeWidening(cf.dataType, nf.dataType),
           s"cannot change type of ${cf.name}: ${cf.dataType.simpleString} " +
-            s"-> ${nf.dataType.simpleString} (rewrite the table instead)"))
+            s"-> ${nf.dataType.simpleString} is not a lossless widening " +
+            "(int->long, int/float->double, decimal precision growth); " +
+            "rewrite the table instead"))
     }
     val _ = currentByName // (kept for clarity of the diff-based checks)
     val line = "#schema=" + StructType(next.fields.toIndexedSeq).json
@@ -569,12 +626,16 @@ object TableLog {
     * `input_file_name()` which loses meaning after the first join.
     */
   private def lineageScan(spark: SparkSession, dir: String,
-                          files: Seq[String]): DataFrame = {
+                          files: Seq[String],
+                          // declared PHYSICAL schema: required instead of
+                          // mergeSchema once a column was ever WIDENED
+                          // (mixed-width files refuse to schema-merge)
+                          declared: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions.substring_index
     val qd = qualifiedDir(spark, dir)
-    spark.read
-      .option("mergeSchema", "true")
-      .option("basePath", dir)
+    val r0 = spark.read.option("basePath", dir)
+    declared.fold(r0.option("mergeSchema", "true"))(r0.schema)
       .parquet(files.map(f => s"$dir/$f"): _*)
       .withColumn("_dv_file",
         substring_index(col("_metadata.file_path"), qd + "/", -1))
@@ -1142,15 +1203,23 @@ object TableLog {
     // surface the new column as null (Delta's mergeSchema semantics).
     // basePath re-derives hive-style partition columns from file paths.
     val dvs = dvFiles(lines)
-    def scan(fl: Seq[String]) = // fl: manifest-RELATIVE names
+    // when ALTER metadata exists, read with the DECLARED physical schema
+    // instead of mergeSchema: a widened column's int32-era and int64-era
+    // files cannot schema-merge, but every parquet reader can serve the
+    // declared wide type per file; hive partition columns still append
+    // via basePath inference, dropped physical columns are simply not
+    // requested, and added columns null-fill (same semantics as before)
+    val declared = metaSchema(lines).map(physicalSchema)
+    def scan(fl: Seq[String]) = { // fl: manifest-RELATIVE names
       // dv-free tables take the plain scan — zero plan overhead; with dvs
       // the lineage-tagged anti-join hides deleted rows (merge-on-read)
-      if (dvs.isEmpty) spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", dir)
-        .parquet(fl.map(f => s"$dir/$f"): _*)
-      else applyDv(spark, dir, lineageScan(spark, dir, fl), dvs)
+      if (dvs.isEmpty) {
+        val r0 = spark.read.option("basePath", dir)
+        declared.fold(r0.option("mergeSchema", "true"))(r0.schema)
+          .parquet(fl.map(f => s"$dir/$f"): _*)
+      } else applyDv(spark, dir, lineageScan(spark, dir, fl, declared), dvs)
         .drop("_dv_file", "_dv_idx")
+    }
     // a filter matching zero files is a legitimate empty partition/range,
     // not an error: return an empty frame with the snapshot's schema —
     // derived from ONE representative file per directory (mergeSchema
@@ -1227,10 +1296,13 @@ object TableLog {
     val baseName = (f: String) => f.drop(f.lastIndexOf('/') + 1)
     val reps = all.groupBy(f => baseName(f).takeWhile(_ != '-'))
       .values.map(_.head).toSeq
+    // one footer read per representative, merged LENIENTLY: a widened
+    // column's int32-era and int64-era files must not abort planning
+    // (Spark's mergeSchema throws CANNOT_MERGE_SCHEMAS); the widest
+    // type wins, matching what every read will request
     val dataSchema = org.apache.spark.sql.types.StructType(
-      spark.read.option("mergeSchema", "true")
-        .parquet(reps.map(f => s"$dir/$f"): _*)
-        .schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+      lenientMerge(reps.map(f => spark.read.parquet(s"$dir/$f").schema))
+        .filterNot(f => partSchema.fieldNames.contains(f.name)))
     val transforms = layoutTransforms(lines)
     val index = new graft.sources.TableLogFileIndex(
       spark, qd, entries, fileStats(lines), partSchema, transforms)
@@ -1334,9 +1406,11 @@ object TableLog {
     // dv-applied: the partition rewrite materializes ITS deletes; dv
     // lines stay (other partitions may still need them — the rewritten
     // files' entries go inert with the rename).
+    val tipLines = manifestLines(spark, dir, tip)
     val rows = applyDv(spark, dir,
-        lineageScan(spark, dir, affected.toSeq),
-        dvFiles(manifestLines(spark, dir, tip)))
+        lineageScan(spark, dir, affected.toSeq,
+          metaSchema(tipLines).map(physicalSchema)),
+        dvFiles(tipLines))
       .drop("_dv_file", "_dv_idx")
       .repartition(nFiles)
     val (v, fresh) = replaceFiles(spark, dir, affected, rows, partCols,
@@ -1458,7 +1532,8 @@ object TableLog {
     // LOGICAL names, so the caller's predicate resolves post-rename
     def visible(fl: Seq[String]) =
       toLogical(applyEqDeletes(spark, dir,
-        applyDv(spark, dir, lineageScan(spark, dir, fl), dvs), lines),
+        applyDv(spark, dir, lineageScan(spark, dir, fl,
+          metaSchema(lines).map(physicalSchema)), dvs), lines),
         metaSchema(lines), passthrough = lineageCols)
     val affected = visible(all).filter(cond)
       .select(col("_dv_file")).distinct()
@@ -1537,7 +1612,8 @@ object TableLog {
     val all = lines.filterNot(_.startsWith("#"))
     val snapFiles = all.toSet
     val matches = toLogical(applyEqDeletes(spark, dir,
-      applyDv(spark, dir, lineageScan(spark, dir, all), dvFiles(lines)), lines),
+      applyDv(spark, dir, lineageScan(spark, dir, all,
+        metaSchema(lines).map(physicalSchema)), dvFiles(lines)), lines),
       metaSchema(lines),
       passthrough = pathPartCols(all) ++ Seq("_dv_file", "_dv_idx"))
       .filter(org.apache.spark.sql.functions.coalesce(
@@ -1660,7 +1736,8 @@ object TableLog {
     // LOGICAL names, so `updates`' key columns resolve post-rename
     def visible(fl: Seq[String]) =
       toLogical(applyEqDeletes(spark, dir,
-        applyDv(spark, dir, lineageScan(spark, dir, fl), dvs), lines),
+        applyDv(spark, dir, lineageScan(spark, dir, fl,
+          metaSchema(lines).map(physicalSchema)), dvs), lines),
         metaSchema(lines), passthrough = lineageCols)
     val affected = visible(all)
       .join(org.apache.spark.sql.functions.broadcast(
@@ -2081,7 +2158,8 @@ object TableLog {
     val preRewrite: Option[DataFrame] =
       if (removedFiles.isEmpty) None
       else Some(toLogical(applyEqDeletes(spark, dir,
-        applyDv(spark, dir, lineageScan(spark, dir, removedFiles), prevDv),
+        applyDv(spark, dir, lineageScan(spark, dir, removedFiles,
+          metaSchema(prev).map(physicalSchema)), prevDv),
         prev), ms, passthrough = partCols))
 
     // pre (b): rows the commit's NEW dv entries hide — read ONLY the
@@ -2099,7 +2177,8 @@ object TableLog {
           .filter(prevFiles.toSet) // positions only bind to v-1 files
         if (touched.isEmpty) None
         else Some(toLogical(applyEqDeletes(spark, dir,
-          applyDv(spark, dir, lineageScan(spark, dir, touched), prevDv),
+          applyDv(spark, dir, lineageScan(spark, dir, touched,
+            metaSchema(prev).map(physicalSchema)), prevDv),
           prev)
           .join(entries, Seq("_dv_file", "_dv_idx"), "left_semi"),
           ms, passthrough = partCols))

@@ -1127,6 +1127,61 @@ object SourceOps {
       |FROM t WHERE qty < 40
       |GROUP BY coalesce(note, '_none') ORDER BY note""".stripMargin
 
+  /** Type-widening `ALTER COLUMN TYPE` (Delta/Iceberg's widening subset:
+    * int→long, float→double, decimal precision growth) — metadata-only;
+    * old files keep their narrow physical type and every read requests
+    * the WIDE type per file (Spark's ParquetVectorUpdaterFactory
+    * IntegerToLong/FloatToDouble updaters), so a 100 TB table widens in
+    * one manifest commit, no rewrite. The gate writes int32/float files,
+    * widens through the SQL front door, appends a row only BIGINT can
+    * hold, and hash-gates an aggregate spanning both file generations.
+    * Cents use the floor(x·100+0.5) pure-arithmetic form ([[Num.roundAt]]
+    * rationale): identical IEEE ops on both engines, no round() builtin.
+    */
+  def tableLogWiden: Q = (s, d) => {
+    val wh = Scratch.dir("tlogwid_" + java.lang.Integer.toHexString(d.hashCode))
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_wid_" + java.lang.Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.core.TableLog.append(s, s"$wh/gold/wd",
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_totalprice").cast("float").as("price"),
+          col("o_orderstatus")))
+    s.sql(s"ALTER TABLE $cat.gold.wd ALTER COLUMN k TYPE BIGINT")
+    s.sql(s"ALTER TABLE $cat.gold.wd ALTER COLUMN price TYPE DOUBLE")
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 1)
+      .select((col("o_orderkey") + 10000000000L).as("k"),
+        col("o_totalprice").as("price"), col("o_orderstatus"))
+      .writeTo(s"$cat.gold.wd").append()
+    s.sql(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             sum(k) AS key_sum,
+             CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM $cat.gold.wd
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  val tableLogWidenSql: String =
+    """WITH u AS (
+      |  SELECT CAST(CAST(o_orderkey AS INT) AS BIGINT) AS k,
+      |         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price,
+      |         o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000000, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 1)
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS key_sum,
+      |       CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** SQL `DELETE FROM` through the graft catalog ([[GraftTable]]'s
     * `SupportsDelete`): two statement-level deletes — a compound
     * predicate and an OR of pushable shapes — each committing a
@@ -1393,6 +1448,7 @@ object SourceOps {
     "q_table_log_sql_write" -> tableLogSqlWrite,
     "q_table_log_sql_pow" -> tableLogSqlPow,
     "q_table_log_alter" -> tableLogAlter,
+    "q_table_log_widen" -> tableLogWiden,
     "q_table_log_sql_delete" -> tableLogSqlDelete,
     "q_table_log_sql_update" -> tableLogSqlUpdate,
     "q_table_log_sql_merge" -> tableLogSqlMerge,
@@ -1425,6 +1481,7 @@ object SourceOps {
     "q_table_log_sql_write" -> tableLogSqlWriteSql,
     "q_table_log_sql_pow" -> tableLogSqlPowSql,
     "q_table_log_alter" -> tableLogAlterSql,
+    "q_table_log_widen" -> tableLogWidenSql,
     "q_table_log_sql_delete" -> tableLogSqlDeleteSql,
     "q_table_log_sql_update" -> tableLogSqlUpdateSql,
     "q_table_log_sql_merge" -> tableLogSqlMergeSql,

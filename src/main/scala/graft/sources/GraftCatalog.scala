@@ -593,9 +593,10 @@ class GraftCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     import org.apache.spark.sql.types.{StructField, StructType => ST}
     val colChanges = changes.collect {
-      case c: TableChange.AddColumn    => c
-      case c: TableChange.RenameColumn => c
-      case c: TableChange.DeleteColumn => c
+      case c: TableChange.AddColumn        => c
+      case c: TableChange.RenameColumn     => c
+      case c: TableChange.DeleteColumn     => c
+      case c: TableChange.UpdateColumnType => c
     }
     val setProps = changes.collect {
       case p: TableChange.SetProperty => p.property -> p.value }.toMap
@@ -608,9 +609,7 @@ class GraftCatalog extends TableCatalog {
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change(s) " +
-          s"${unsupported.map(_.getClass.getSimpleName).mkString(", ")} " +
-          "(type changes need a rewrite: the vectorized parquet reader " +
-          "cannot up-cast a file's physical type per file)")
+          s"${unsupported.map(_.getClass.getSimpleName).mkString(", ")}")
 
     def one(names: Array[String], what: String): String = {
       require(names.length == 1,
@@ -653,6 +652,12 @@ class GraftCatalog extends TableCatalog {
           if (!s.fieldNames.contains(n)) {
             require(d.ifExists, s"column $n does not exist"); s
           } else ST(s.fields.filterNot(_.name == n))
+        case u: TableChange.UpdateColumnType =>
+          // widening-only; TableLog.alterSchema validates isSafeWidening
+          // against the committed schema and refuses anything lossy
+          val n = one(u.fieldNames, "ALTER TYPE")
+          val i = s.fieldIndex(n)
+          ST(s.fields.updated(i, s.fields(i).copy(dataType = u.newDataType())))
       } }
 
     val vs = graft.core.TableLog.versions(spark, dir)

@@ -147,4 +147,72 @@ class GraftAlterTableSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.s VALUES (1, 'x', 0.5)")
     assert(spark.sql(s"SELECT label FROM $cat.db.s").as[String].head() == "x")
   }
+
+  test("ALTER COLUMN TYPE: lossless widening reads old and new files; " +
+    "narrowing refuses") {
+    val (cat, wh) = freshWh("wide")
+    spark.sql(s"CREATE TABLE $cat.db.w (k INT, r FLOAT, d DECIMAL(7,2))")
+    spark.sql(s"INSERT INTO $cat.db.w SELECT CAST(id AS INT), " +
+      "CAST(id AS FLOAT), CAST(id AS DECIMAL(7,2)) FROM range(0, 50)")
+    // widen all three families: int->long, float->double, decimal growth
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN r TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN d TYPE DECIMAL(12,2)")
+    assert(spark.table(s"$cat.db.w").schema
+      .map(f => f.name -> f.dataType.simpleString) ==
+      Seq("k" -> "bigint", "r" -> "double", "d" -> "decimal(12,2)"))
+    // a value only BIGINT can hold lands in a NEW file; the snapshot now
+    // spans int32-era and int64-era files — both must read
+    spark.sql(s"INSERT INTO $cat.db.w VALUES " +
+      s"(${Int.MaxValue.toLong + 1}, 1.5, CAST(9999999999.25 AS DECIMAL(12,2)))")
+    assert(spark.table(s"$cat.db.w").count() == 51)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.db.w").as[Long].head() ==
+      (0L until 50L).sum + Int.MaxValue.toLong + 1)
+    assert(spark.sql(s"SELECT sum(r) FROM $cat.db.w").as[Double].head() ==
+      (0 until 50).map(_.toFloat.toDouble).sum + 1.5)
+    // the API read path agrees (explicit declared schema, not mergeSchema)
+    val dir = s"$wh/db/w"
+    assert(TableLog.read(spark, dir).agg(sum($"k")).as[Long].head() ==
+      (0L until 50L).sum + Int.MaxValue.toLong + 1)
+    assert(TableLog.table(spark, dir).count() == 51)
+    // MoR composes: dv-delete a pre-widening row, read through SQL
+    TableLog.deleteWhereDv(spark, dir, $"k" === 7L)
+    assert(spark.table(s"$cat.db.w").count() == 50)
+    // time travel to the pre-widening version still shows INT
+    assert(spark.sql(s"SELECT * FROM $cat.db.w VERSION AS OF 1")
+      .schema("k").dataType.simpleString == "int")
+    // narrowing refuses — Spark's analyzer itself rejects BIGINT->INT
+    // (NOT_SUPPORTED_CHANGE_COLUMN) before the catalog is consulted
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN k TYPE INT")
+    }
+    // upcasts the ANALYZER allows but the FILES cannot serve per-field
+    // refuse with OUR widening message: double->string re-renders values,
+    // and a decimal SCALE change re-scales them — both need a rewrite
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN r TYPE STRING")
+    }
+    assert(e1.getMessage.contains("widening"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN d TYPE DECIMAL(14,4)")
+    }
+    assert(e2.getMessage.contains("widening"), e2.getMessage)
+  }
+
+  test("widening composes with RENAME: the mapping carries the wide type " +
+    "under the old on-disk name") {
+    val (cat, wh) = freshWh("widren")
+    spark.sql(s"CREATE TABLE $cat.db.v (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.v VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $cat.db.v RENAME COLUMN k TO key")
+    spark.sql(s"ALTER TABLE $cat.db.v ALTER COLUMN key TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.db.v VALUES (${1L << 40}, 'c')")
+    assert(spark.sql(s"SELECT sum(key) FROM $cat.db.v").as[Long].head() ==
+      3L + (1L << 40))
+    // cow upsert through the API path on the widened key
+    TableLog.upsert(spark, s"$wh/db/v",
+      Seq((2L, "B")).toDF("key", "v"), Seq("key"))
+    assert(spark.sql(s"SELECT v FROM $cat.db.v WHERE key = 2").as[String]
+      .head() == "B")
+  }
 }
