@@ -11,9 +11,12 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
+# SPARK_EXTRA_JAVA_OPTS: extra -D flags (e.g. spark.io.compression.codec
+# for spill-heavy scale runs — SparkConf picks spark.* system props up)
 exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  ${SPARK_EXTRA_JAVA_OPTS:-} \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "$@"
