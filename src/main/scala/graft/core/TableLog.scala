@@ -1296,13 +1296,23 @@ object TableLog {
     val baseName = (f: String) => f.drop(f.lastIndexOf('/') + 1)
     val reps = all.groupBy(f => baseName(f).takeWhile(_ != '-'))
       .values.map(_.head).toSeq
-    // one footer read per representative, merged LENIENTLY: a widened
-    // column's int32-era and int64-era files must not abort planning
-    // (Spark's mergeSchema throws CANNOT_MERGE_SCHEMAS); the widest
-    // type wins, matching what every read will request
+    // ONE mergeSchema read over the representatives (the fast path every
+    // never-widened table keeps — a single DataSource resolution); a
+    // widened column's int32-era and int64-era files throw
+    // CANNOT_MERGE_SCHEMAS there, and only then does planning fall back
+    // to per-rep footer reads merged LENIENTLY (widest type wins,
+    // matching what every read will request)
+    val mergedSchema =
+      try spark.read.option("mergeSchema", "true")
+        .parquet(reps.map(f => s"$dir/$f"): _*).schema
+      catch {
+        case e: org.apache.spark.SparkException
+            if e.getMessage.contains("CANNOT_MERGE_SCHEMAS") ||
+              e.getMessage.contains("Failed merging schemas") =>
+          lenientMerge(reps.map(f => spark.read.parquet(s"$dir/$f").schema))
+      }
     val dataSchema = org.apache.spark.sql.types.StructType(
-      lenientMerge(reps.map(f => spark.read.parquet(s"$dir/$f").schema))
-        .filterNot(f => partSchema.fieldNames.contains(f.name)))
+      mergedSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
     val transforms = layoutTransforms(lines)
     val index = new graft.sources.TableLogFileIndex(
       spark, qd, entries, fileStats(lines), partSchema, transforms)
