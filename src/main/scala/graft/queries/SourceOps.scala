@@ -1147,10 +1147,13 @@ object SourceOps {
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // pmod keeps the narrow-era keys inside int32 at ANY scale factor
+    // (sf10's key-shifted copies exceed 2^31 — a bare cast would wrap on
+    // the Spark side and ERROR on the DuckDB side)
     graft.core.TableLog.append(s, s"$wh/gold/wd",
       Tables.orders(s, d)
         .filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey").cast("int").as("k"),
+        .select(pmod(col("o_orderkey"), lit(1000000000)).cast("int").as("k"),
           col("o_totalprice").cast("float").as("price"),
           col("o_orderstatus")))
     s.sql(s"ALTER TABLE $cat.gold.wd ALTER COLUMN k TYPE BIGINT")
@@ -1170,7 +1173,7 @@ object SourceOps {
 
   val tableLogWidenSql: String =
     """WITH u AS (
-      |  SELECT CAST(CAST(o_orderkey AS INT) AS BIGINT) AS k,
+      |  SELECT CAST(CAST(o_orderkey % 1000000000 AS INT) AS BIGINT) AS k,
       |         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price,
       |         o_orderstatus
       |  FROM orders WHERE o_orderkey % 3 = 0

@@ -37,6 +37,14 @@ def main():
                         "hash_match": hash_match, "spark_rows": spark_rows,
                         "oracle_rows": oracle_rows, "err": err}
     con = duckdb.connect()
+    # GRAFT_ORACLE_MEM (e.g. "60GB"): cap DuckDB's memory so a heavy
+    # oracle SPILLS to .tmp instead of ballooning past RAM — the round-9
+    # sf10 ngram oracle hit 121 GB RSS and took the OOM killer (and the
+    # whole batch's results) with it. Default of 80% of RAM is fine at
+    # driver SFs; scale escalations should set this.
+    mem = os.environ.get("GRAFT_ORACLE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     tables = ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]
     for t in tables:

@@ -23,7 +23,8 @@ for q in $QUERIES; do
   fi
   echo "ORACLE $q ..."
   ( cd "$SPILL" && GRAFT_CHECK_ONLY=$q GRAFT_ORACLE_TIMEOUT=${GRAFT_ORACLE_TIMEOUT:-2400} \
-      timeout 3000 python3 /root/repo/tools/check_correctness.py \
+      GRAFT_ORACLE_MEM=${GRAFT_ORACLE_MEM:-60GB} \
+      timeout 3000 python3 -u /root/repo/tools/check_correctness.py \
       "$SF" "$DUMPS" "$OUTDIR/$q.json" ) > "/tmp/oracle_sf10_$q.log" 2>&1
   echo "ORACLE $q exit=$? $(tail -2 /tmp/oracle_sf10_$q.log | head -1)"
   rm -rf "$SPILL/.tmp"
