@@ -373,7 +373,8 @@ object TableLog {
     * not this fallback, is authoritative whenever an ALTER ever ran).
     */
   private def lenientMerge(
-      schemas: Seq[org.apache.spark.sql.types.StructType])
+      schemas: Seq[org.apache.spark.sql.types.StructType],
+      original: Option[Throwable] = None)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val out = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
@@ -383,8 +384,20 @@ object TableLog {
         case Some(prev) =>
           if (isSafeWidening(prev.dataType, f.dataType))
             out(f.name) = f.copy(nullable = f.nullable || prev.nullable)
-          else if (prev.nullable != (prev.nullable || f.nullable))
-            out(f.name) = prev.copy(nullable = true)
+          else if (isSafeWidening(f.dataType, prev.dataType)) {
+            if (prev.nullable != (prev.nullable || f.nullable))
+              out(f.name) = prev.copy(nullable = true)
+          } else {
+            // genuinely incompatible twins (e.g. a string file next to an
+            // int file) and no #schema= metadata to arbitrate: rethrow the
+            // planner's original CANNOT_MERGE_SCHEMAS now, rather than
+            // picking the first-seen type and deferring to a confusing
+            // per-file cast error mid-read. With a declared schema the
+            // first-seen pick is harmless — #schema= is authoritative.
+            original.foreach(e => throw e)
+            if (prev.nullable != (prev.nullable || f.nullable))
+              out(f.name) = prev.copy(nullable = true)
+          }
       }
     }
     StructType(out.values.toSeq)
@@ -1309,7 +1322,8 @@ object TableLog {
         case e: org.apache.spark.SparkException
             if e.getMessage.contains("CANNOT_MERGE_SCHEMAS") ||
               e.getMessage.contains("Failed merging schemas") =>
-          lenientMerge(reps.map(f => spark.read.parquet(s"$dir/$f").schema))
+          lenientMerge(reps.map(f => spark.read.parquet(s"$dir/$f").schema),
+            original = if (metaSchema(lines).isEmpty) Some(e) else None)
       }
     val dataSchema = org.apache.spark.sql.types.StructType(
       mergedSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
@@ -2097,10 +2111,14 @@ object TableLog {
     *  - `keys` (the business key) pairs them: keys present on both sides
     *    become update_preimage/update_postimage, pre-only rows are
     *    deletes, post-only rows are inserts — full CDF fidelity for SQL
-    *    UPDATE and MERGE INTO commits. Without `keys` a delta commit
-    *    degrades to pre→update_preimage / post→update_postimage (a pure
-    *    UPDATE is exactly that; a MERGE's unmatched inserts are then
-    *    labeled postimage — pass the key for exact classification).
+    *    UPDATE and MERGE INTO commits. Keyed pairs whose row is IDENTICAL
+    *    on both sides (a copy-on-write rewrite carries every row of the
+    *    rewritten file, changed or not) are SUPPRESSED, matching Delta
+    *    CDF's only-actually-changed-rows contract — an SCD2 consumer sees
+    *    no spurious history versions. Without `keys` a delta commit
+    *    degrades to pre→update_preimage / post→update_postimage for ALL
+    *    carried rows, unchanged ones included (a pure UPDATE is exactly
+    *    that; pass the key for exact, no-op-suppressed classification).
     *  - Rewrites that change NO logical rows (compact / compact_dv /
     *    alter / analyze) emit nothing — Delta's dataChange=false rule.
     *
@@ -2108,8 +2126,21 @@ object TableLog {
     * files, and dv-TOUCHED files are read; untouched data never is. The
     * dv-entry and eq-key join build sides are changed-row-count sized
     * (broadcastable); the key-pairing joins carry only the commit's own
-    * change set. At 100 TB an incremental consumer pays for its deltas,
-    * not the table.
+    * change set. One exception: an EQUALITY-delete commit's pre-images
+    * must probe the v-1 snapshot for the deleted keys (eq sidecars carry
+    * keys, not file positions), so such a commit costs one semi-join
+    * filtered scan of the table at v-1 — O(table), like Iceberg's eq-
+    * delete read amplification; dv/CoW commits stay O(changed). At 100 TB
+    * an incremental consumer pays for its deltas, not the table.
+    *
+    * WIDE WINDOWS: insert-only commits are batched into ONE scan per
+    * `#schema=` era (rows version-stamped via a broadcast file→version
+    * join), so a months-long append window plans as a handful of nodes,
+    * not one union branch per commit; only genuine DML commits add
+    * per-commit branches. Windows reaching below the earliest RETAINED
+    * version (vacuumed) are refused up front with retention advice —
+    * within retention, every pre-image file is still referenced by a
+    * retained manifest and therefore still on disk.
     */
   def changes(spark: SparkSession, dir: String,
               fromVersion: Long, toVersion: Long,
@@ -2119,18 +2150,75 @@ object TableLog {
     require(fromVersion >= 0 && toVersion <= vs.last &&
       fromVersion <= toVersion,
       s"invalid change window ($fromVersion, $toVersion] for tip ${vs.last}")
-    val noChangeOps = Seq("compact", "alter", "analyze", "create")
-    val perVersion = ((fromVersion + 1) to toVersion).flatMap { v =>
+    // VACUUM contract (Delta parity): the feed reads pre-images from
+    // files referenced by the WINDOW'S OWN manifests, and [[vacuum]]
+    // keeps data files and dv/eq sidecars alive exactly as long as a
+    // retained manifest references them — so the window is servable iff
+    // every manifest in [fromVersion, toVersion] is retained. Refuse a
+    // vacuumed window UP FRONT with retention advice instead of dying
+    // with a mid-query FileNotFoundException on a reclaimed pre-image.
+    val floor = vs.head
+    require(fromVersion >= floor || (floor == 1 && fromVersion == 0),
+      s"change window ($fromVersion, $toVersion] reaches below the " +
+        s"earliest retained version $floor of $dir (older versions were " +
+        s"vacuumed, and their pre-image files may be reclaimed). Start " +
+        s"from fromVersion >= $floor, or raise vacuum's keepVersions " +
+        "above the consumer's replay horizon.")
+    // EXACT op tokens (argument list stripped: "restore(3)" -> "restore")
+    // that never change logical rows — prefix matching would silently
+    // skip a future data-changing op that merely shares a prefix (e.g. a
+    // hypothetical "alter_x" rewriting rows)
+    val noChangeOps = Set("compact", "compact_dv", "alter", "analyze",
+      "create", "add_constraint")
+    // One driver pass over the window classifies each data-change commit:
+    // INSERT-ONLY commits (plain appends — the dominant shape of a long
+    // CDC window on a hot table) are BATCHED, everything else (rewrites,
+    // dv/eq deletes, restores) goes through the exact per-commit path.
+    // The snapshot cache makes each manifestLines call incremental off
+    // its predecessor, so the pass is O(window's delta lines) on the
+    // driver, not O(versions × manifest size).
+    val window = ((fromVersion + 1) to toVersion).flatMap { v =>
       val op = versionMeta(spark, dir, v).find(_.startsWith("#op="))
         .map(_.stripPrefix("#op=")).getOrElse("write")
-      if (noChangeOps.exists(op.startsWith)) None
-      else {
-        val cur = manifestLines(spark, dir, v)
-        val prev = if (v <= 1) Seq.empty else manifestLines(spark, dir, v - 1)
-        changeRowsOf(spark, dir, v, op, prev, cur, keys)
+      if (noChangeOps.contains(op.takeWhile(_ != '('))) None else Some((v, op))
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // insert-only commits grouped by their #schema= line: one scan per
+    // schema ERA (not per commit), version-stamped per file — a
+    // 1000-append window plans as ~1 scan + 1 broadcast join instead of
+    // 1000 union branches
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    var pendingLines: Seq[String] = Seq.empty
+    def flush(): Unit = if (pending.nonEmpty) {
+      frames ++= insertBatch(spark, dir, pending.toSeq, pendingLines)
+      pending.clear()
+    }
+    window.foreach { case (v, op) =>
+      val cur = manifestLines(spark, dir, v)
+      val prev = if (v <= 1) Seq.empty else manifestLines(spark, dir, v - 1)
+      val curFiles = cur.filterNot(_.startsWith("#"))
+      val prevFiles = prev.filterNot(_.startsWith("#"))
+      val added = curFiles.filterNot(prevFiles.toSet)
+      val removed = prevFiles.filterNot(curFiles.toSet)
+      val newDv = dvFiles(cur).filterNot(dvFiles(prev).toSet)
+      val newEq = eqLines(cur).filterNot(eqLines(prev).toSet)
+      // batchable = pure insert: nothing removed/hidden, and no STANDING
+      // eq-delete lines that could conditionally hide appended rows
+      val batchable = removed.isEmpty && newDv.isEmpty && newEq.isEmpty &&
+        eqLines(cur).isEmpty && added.nonEmpty
+      if (batchable) {
+        val sl = cur.find(_.startsWith("#schema="))
+        if (pending.nonEmpty &&
+          sl != pendingLines.find(_.startsWith("#schema="))) flush()
+        pendingLines = cur
+        pending += ((v, added))
+      } else {
+        flush()
+        changeRowsOf(spark, dir, v, op, prev, cur, keys).foreach(frames += _)
       }
     }
-    if (perVersion.isEmpty) {
+    flush()
+    if (frames.isEmpty) {
       // typed empty frame: logical tip schema + the two feed columns
       val s = logicalSchema(spark, dir)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -2139,7 +2227,50 @@ object TableLog {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("_commit_version",
             org.apache.spark.sql.types.LongType))))
-    } else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One scan for a group of INSERT-ONLY commits sharing a `#schema=`
+    * line: all their added files in a single mergeSchema read, each row
+    * stamped with its commit's version through a broadcast file→version
+    * join — O(1) plan nodes per schema era instead of one union branch
+    * (and one DataSource resolution) per commit. Falls back to the
+    * per-commit shape if the cross-commit footer merge refuses (drifting
+    * file schemas on a never-altered table).
+    */
+  private def insertBatch(spark: SparkSession, dir: String,
+                          group: Seq[(Long, Seq[String])],
+                          lines: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, substring_index}
+    val files = group.flatMap(_._2)
+    if (files.isEmpty) None
+    else {
+      val ms = metaSchema(lines)
+      val partCols = pathPartCols(files)
+      def perCommit: DataFrame = group.map { case (v, fl) =>
+        toLogical(spark.read.option("mergeSchema", "true")
+          .option("basePath", dir).parquet(fl.map(f => s"$dir/$f"): _*),
+          ms, passthrough = partCols)
+          .withColumn("_commit_version", lit(v))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val stamped =
+        if (group.size == 1) perCommit
+        else try {
+          import spark.implicits._
+          val qd = qualifiedDir(spark, dir)
+          val fileVer = group
+            .flatMap { case (v, fl) => fl.map(f => (f, v)) }
+            .toDF("_chg_file", "_commit_version")
+          val tagged = spark.read.option("mergeSchema", "true")
+            .option("basePath", dir).parquet(files.map(f => s"$dir/$f"): _*)
+            .withColumn("_chg_file",
+              substring_index(col("_metadata.file_path"), qd + "/", -1))
+          toLogical(tagged.join(broadcast(fileVer), Seq("_chg_file")),
+            ms, passthrough = partCols :+ "_commit_version")
+            .drop("_chg_file")
+        } catch { case scala.util.control.NonFatal(_) => perCommit }
+      Some(stamped.withColumn("_change_type", lit("insert")))
+    }
   }
 
   /** One commit's change rows (None when it changed nothing). */
@@ -2156,12 +2287,31 @@ object TableLog {
     val ms = metaSchema(cur)
     val partCols = pathPartCols(curFiles ++ prevFiles)
 
+    val curDv = dvFiles(cur)
+    val curEq = eqLines(cur)
     val post: Option[DataFrame] =
       if (addedFiles.isEmpty) None
-      else Some(toLogical(
-        spark.read.option("mergeSchema", "true").option("basePath", dir)
-          .parquet(addedFiles.map(f => s"$dir/$f"): _*),
-        ms, passthrough = partCols))
+      else if (curDv.isEmpty && curEq.isEmpty)
+        // fast path (append-only tables): one mergeSchema read, no
+        // lineage columns, no join
+        Some(toLogical(
+          spark.read.option("mergeSchema", "true").option("basePath", dir)
+            .parquet(addedFiles.map(f => s"$dir/$f"): _*),
+          ms, passthrough = partCols))
+      else
+        // a commit can (re-)add files TOGETHER with dv/eq lines hiding
+        // some of their rows — restore(v) re-instates the target's dv
+        // sidecars with its files, and an appended row can match a
+        // pre-existing equality-delete key. Post-images are the added
+        // files' rows AS VISIBLE at v (same dv/eq application as
+        // [[read]]): a hidden row was never logically inserted.
+        Some(toLogical(applyEqDeletes(spark, dir,
+          applyDv(spark, dir, lineageScan(spark, dir, addedFiles,
+            ms.map(physicalSchema)), curDv),
+          cur), ms, passthrough = partCols)
+          // toLogical(None) is identity (never-altered tables): the
+          // lineage columns must still not leak into the feed schema
+          .drop("_dv_file", "_dv_idx"))
 
     // pre (a): removed files' rows AS VISIBLE at v-1 (dv/eq applied —
     // rows already hidden were not logically present, so not "deleted")
@@ -2170,7 +2320,8 @@ object TableLog {
       else Some(toLogical(applyEqDeletes(spark, dir,
         applyDv(spark, dir, lineageScan(spark, dir, removedFiles,
           metaSchema(prev).map(physicalSchema)), prevDv),
-        prev), ms, passthrough = partCols))
+        prev), ms, passthrough = partCols)
+        .drop("_dv_file", "_dv_idx"))
 
     // pre (b): rows the commit's NEW dv entries hide — read ONLY the
     // dv-touched files (a driver-sized census of the new sidecars), with
@@ -2191,7 +2342,8 @@ object TableLog {
             metaSchema(prev).map(physicalSchema)), prevDv),
           prev)
           .join(entries, Seq("_dv_file", "_dv_idx"), "left_semi"),
-          ms, passthrough = partCols))
+          ms, passthrough = partCols)
+          .drop("_dv_file", "_dv_idx"))
       }
 
     // pre (c): rows of v-1 matching NEW equality-delete key sets
@@ -2230,12 +2382,27 @@ object TableLog {
         val shared = p.select(keys.map(col): _*)
           .intersect(q.select(keys.map(col): _*))
           .select(keys.map(k => col(k).as(s"_ck_$k")): _*)
+        // Delta-CDF fidelity: a copy-on-write rewrite carries EVERY row
+        // of the rewritten file through pre and post — rows whose values
+        // did not change are not updates (a 1-row upsert into a 20-row
+        // file is 1 update pair, not 20). Suppress keys whose full row is
+        // identical on both sides (null-safe set intersect over all
+        // columns); they emit nothing, like Delta's change files. Both
+        // sides are commit-sized frames, so the extra intersect/except
+        // carries only the commit's own change set. Skipped when the two
+        // sides' column sets differ (schema changed mid-commit) — then
+        // "identical" is ill-defined and every pair stays an update.
+        val changedShared =
+          if (p.columns.sorted.toSeq != q.columns.sorted.toSeq) shared
+          else shared.except(
+            p.intersect(q.select(p.columns.map(col).toIndexedSeq: _*))
+              .select(keys.map(k => col(k).as(s"_ck_$k")): _*))
         def cond(df: DataFrame) =
           keys.map(k => df(k) <=> col(s"_ck_$k")).reduce(_ && _)
         Some(Seq(
-          stamp(p.join(shared, cond(p), "left_semi"), "update_preimage"),
+          stamp(p.join(changedShared, cond(p), "left_semi"), "update_preimage"),
           stamp(p.join(shared, cond(p), "left_anti"), "delete"),
-          stamp(q.join(shared, cond(q), "left_semi"), "update_postimage"),
+          stamp(q.join(changedShared, cond(q), "left_semi"), "update_postimage"),
           stamp(q.join(shared, cond(q), "left_anti"), "insert"))
           .reduce(_.unionByName(_, allowMissingColumns = true)))
     }

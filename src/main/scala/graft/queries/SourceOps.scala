@@ -1383,6 +1383,109 @@ object SourceOps {
       |FROM chg GROUP BY step, change_type
       |ORDER BY step, change_type""".stripMargin
 
+  /** The change feed CONSUMED AS A STREAM — the Delta `readChangeFeed`
+    * streaming-source role (round-9 verdict ask 3): the same UPDATE +
+    * MERGE window as [[tableLogCdcDml]], but delivered through
+    * [[graft.sources.TableLogCdcSource]] across THREE separate
+    * checkpoint-restarted `Trigger.AvailableNow` runs (subscribe →
+    * UPDATE → catch-up → MERGE → catch-up). Each drain appends its
+    * micro-batches to a parquet sink; the gate aggregates the SINK, so a
+    * change row dropped, duplicated, or misclassified anywhere across
+    * the restarts flips the hash against the batch-CDC oracle. This is
+    * the incremental-SCD2 consumption shape the reference's medallion
+    * rebuild (src/utils/scd_type2.py:111-226) would upgrade to at 100 TB:
+    * per-trigger cost is the window's changed rows, never the table.
+    */
+  def streamCdc: Q = (s, d) => {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val wh = Scratch.dir("tlogscdc_" + hex)
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_scdc_" + hex
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = s"$wh/gold/sc"
+    val out = Scratch.dir("tlogscdc_out_" + hex)
+    val ck = Scratch.dir("tlogscdc_ck_" + hex)
+    Scratch.wipe(out); Scratch.wipe(ck)
+    def drain(): Unit = {
+      val q = s.readStream
+        .format(classOf[graft.sources.TableLogStreamProvider].getName)
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("keys", "o_orderkey").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000); ()
+    }
+    graft.core.TableLog.append(s, dir,
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .filter(col("o_orderkey") % 3 === 0))
+    val v1 = graft.core.TableLog.versions(s, dir).last
+    drain() // run 1: initial load arrives as inserts
+    s.sql(s"UPDATE $cat.gold.sc SET o_totalprice = -1.0 " +
+      "WHERE o_orderkey % 7 = 0")
+    drain() // run 2 (restart): exactly the UPDATE's change rows
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("graft_scdc_src")
+    s.sql(s"""MERGE INTO $cat.gold.sc t USING graft_scdc_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderkey % 20 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+        VALUES (s.o_orderkey, s.p, s.o_orderstatus)""")
+    drain() // run 3 (restart): exactly the MERGE's change rows
+    s.read.parquet(out)
+      .groupBy((col("_commit_version") - v1).as("step"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(Num.cents(col("o_totalprice"))).as("cents"))
+      .orderBy(col("step"), col("change_type"))
+  }
+
+  val streamCdcSql: String =
+    """WITH t0 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+      |upd AS (SELECT o_orderkey, o_totalprice FROM t0 WHERE o_orderkey % 7 = 0),
+      |v2 AS (SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN -1.0 ELSE o_totalprice END AS p
+      |       FROM t0),
+      |src AS (SELECT o_orderkey, o_totalprice * 2 AS p
+      |        FROM orders WHERE o_orderkey % 2 = 0),
+      |matched AS (SELECT v2.o_orderkey, v2.p
+      |            FROM v2 JOIN src ON v2.o_orderkey = src.o_orderkey),
+      |chg AS (
+      |  SELECT 0 AS step, 'insert' AS change_type,
+      |         o_orderkey, o_totalprice AS p FROM t0
+      |  UNION ALL SELECT 1, 'update_preimage', o_orderkey, o_totalprice FROM upd
+      |  UNION ALL SELECT 1, 'update_postimage', o_orderkey, -1.0 FROM upd
+      |  UNION ALL SELECT 2, 'delete', o_orderkey, p
+      |    FROM matched WHERE o_orderkey % 20 = 0
+      |  UNION ALL SELECT 2, 'update_preimage', o_orderkey, p
+      |    FROM matched WHERE o_orderkey % 20 <> 0
+      |  UNION ALL SELECT 2, 'update_postimage', s.o_orderkey, s.p
+      |    FROM src s JOIN t0 ON s.o_orderkey = t0.o_orderkey
+      |    WHERE s.o_orderkey % 20 <> 0
+      |  UNION ALL SELECT 2, 'insert', s.o_orderkey, s.p
+      |    FROM src s ANTI JOIN t0 ON s.o_orderkey = t0.o_orderkey)
+      |SELECT CAST(step AS BIGINT) AS step, change_type,
+      |  count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM chg GROUP BY step, change_type
+      |ORDER BY step, change_type""".stripMargin
+
   def tableLogSqlMerge: Q = (s, d) => {
     val wh = Scratch.dir("tlogsqlmrg_" + java.lang.Integer.toHexString(d.hashCode))
     val p = new org.apache.hadoop.fs.Path(wh)
@@ -1466,6 +1569,7 @@ object SourceOps {
     "q_table_log_skipping" -> tableLogSkipping,
     "q_table_log_cdc" -> tableLogCdc,
     "q_table_log_cdc_dml" -> tableLogCdcDml,
+    "q_stream_cdc" -> streamCdc,
     "q_table_log_restore" -> tableLogRestore,
     "q_table_log_ckpt" -> tableLogCkpt,
   )
@@ -1499,6 +1603,7 @@ object SourceOps {
     "q_table_log_skipping" -> tableLogSkippingSql,
     "q_table_log_cdc" -> tableLogCdcSql,
     "q_table_log_cdc_dml" -> tableLogCdcDmlSql,
+    "q_stream_cdc" -> streamCdcSql,
     "q_table_log_restore" -> tableLogRestoreSql,
     "q_table_log_ckpt" -> tableLogCkptSql,
   )

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -56,18 +57,34 @@ class TableLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val dir = dirOf(parameters)
     val s = schema.getOrElse(
       TableLog.read(ctx.sparkSession, dir).schema)
-    (s"graft-tablelog:$dir", s)
+    if (parameters.getOrElse("readChangeFeed", "false").toBoolean)
+      (s"graft-tablelog-cdf:$dir", StructType(s.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))))
+    else (s"graft-tablelog:$dir", s)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new TableLogStreamSource(ctx.sparkSession, dirOf(parameters),
-      sourceSchema(ctx, schema, providerName, parameters)._2,
-      skipChangeCommits =
-        parameters.getOrElse("skipChangeCommits", "false").toBoolean,
-      maxVersionsPerTrigger =
-        parameters.get("maxVersionsPerTrigger").map(_.toInt))
+    if (parameters.getOrElse("readChangeFeed", "false").toBoolean)
+      new TableLogCdcSource(ctx.sparkSession, dirOf(parameters),
+        sourceSchema(ctx, schema, providerName, parameters)._2,
+        keys = parameters.get("keys").toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+        startingVersion =
+          parameters.getOrElse("startingVersion", "0").toLong,
+        maxVersionsPerTrigger =
+          parameters.get("maxVersionsPerTrigger").map(_.toInt))
+    else
+      new TableLogStreamSource(ctx.sparkSession, dirOf(parameters),
+        sourceSchema(ctx, schema, providerName, parameters)._2,
+        skipChangeCommits =
+          parameters.getOrElse("skipChangeCommits", "false").toBoolean,
+        maxVersionsPerTrigger =
+          parameters.get("maxVersionsPerTrigger").map(_.toInt))
 }
 
 class TableLogStreamSource(
@@ -165,6 +182,84 @@ class TableLogStreamSource(
     val unhidden = hidden.foldLeft(df)((d, c) => d.drop(c))
     TableLog.toLogical(unhidden, meta,
       passthrough = partSchema.fieldNames.toSeq.filterNot(hidden))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** TableLog's CHANGE FEED as a streaming source — the Delta
+  * `readChangeFeed` streaming role: `.option("readChangeFeed", "true")`
+  * turns each micro-batch into [[TableLog.changes]] rows over the batch's
+  * version window, i.e. typed `_change_type` / `_commit_version` rows for
+  * every data-change commit — inserts AND row-level UPDATE / MERGE /
+  * DELETE — instead of the append-only file tail. This is the incremental
+  * SCD2 / gold consumer's upgrade path at 100 TB: the reference's
+  * medallion consumers (src/utils/scd_type2.py:111-226) re-merge full
+  * snapshots every run; a CDC subscriber pays O(changed rows) per
+  * trigger.
+  *
+  * Offsets are VERSION NUMBERS, exactly like the append source: a batch
+  * is `changes(start, end]`, re-derivable from the immutable log, so
+  * checkpoint recovery replays precisely the unprocessed versions —
+  * exactly-once without any source-side state beyond one long.
+  *
+  * Options: `keys` (comma-separated business key) enables exact
+  * update/insert/delete classification and no-op suppression (see
+  * [[TableLog.changes]]); `startingVersion` (default 0 = full history as
+  * inserts; Delta's streaming CDF defaults to latest-only — pass the
+  * current tip for that behavior); `maxVersionsPerTrigger` rate-limits
+  * catch-up. Vacuumed windows are refused up front by changes()'s
+  * retention guard — keep vacuum's keepVersions above the checkpoint
+  * horizon.
+  *
+  * SCALE: per-trigger planning is the window's manifest deltas (driver
+  * strings, snapshot-cached); the data read is the window's changed
+  * files only. A long catch-up window batches its insert-only commits
+  * into one scan per schema era (changes()'s wide-window path), so
+  * recovery after downtime does not plan one union branch per missed
+  * commit.
+  */
+class TableLogCdcSource(
+    spark: SparkSession,
+    dir: String,
+    override val schema: StructType,
+    keys: Seq[String],
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+
+  private def version(o: Offset): Long = o match {
+    case LongOffset(v)       => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => throw new IllegalStateException(s"unexpected offset $other")
+  }
+
+  private var lastEnd: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
+    val vs = TableLog.versions(spark, dir)
+    vs.lastOption.map { tip =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(k) =>
+          val from = lastEnd.getOrElse(startingVersion)
+          vs.filter(_ > from).take(k).lastOption.getOrElse(from)
+        case None => tip
+      }
+      LongOffset(math.max(capped, startingVersion))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val sv = start.map(version).getOrElse(startingVersion)
+    val ev = version(end)
+    lastEnd = Some(ev)
+    val batch =
+      if (ev <= sv) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else TableLog.changes(spark, dir, sv, ev, keys)
+    // align to the declared column order, then wrap as a streaming frame
+    // (V1 getBatch contract) — the plan compiles here, runs per trigger
+    val aligned = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    org.apache.spark.sql.graftshim.GraftShim.asStreaming(spark, aligned)
   }
 
   override def stop(): Unit = ()

@@ -171,6 +171,25 @@ class TableLogAlterSpec extends SparkSpec {
     }
   }
 
+  test("incompatible file-schema twins with no #schema= metadata fail at " +
+    "PLANNING (CANNOT_MERGE_SCHEMAS), not as a per-file cast error mid-read") {
+    val dir = freshDir("alter_conflict")
+    TableLog.append(spark, dir, Seq((1L, 10)).toDF("k", "v").coalesce(1))
+    // a second append whose `v` is a STRING — not a widening in either
+    // direction; nothing arbitrates (the table never ran an ALTER)
+    TableLog.append(spark, dir, Seq((2L, "oops")).toDF("k", "v").coalesce(1))
+    val e = intercept[org.apache.spark.SparkException] {
+      TableLog.table(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("CANNOT_MERGE_SCHEMAS") ||
+      e.getMessage.contains("Failed merging schemas"), e.getMessage)
+    // widenable twins (int-file + long-file) still plan fine leniently
+    val dir2 = freshDir("alter_widen_ok")
+    TableLog.append(spark, dir2, Seq((1L, 10)).toDF("k", "v").coalesce(1))
+    TableLog.append(spark, dir2, Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+    assert(TableLog.table(spark, dir2).agg(sum($"v")).as[Long].head() == 30L)
+  }
+
   test("table properties: set, merge, unset; carried across appends") {
     val dir = freshDir("alter_props")
     TableLog.append(spark, dir, Seq((1L, "a")).toDF("k", "v").coalesce(1))

@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.GraftCatalog
@@ -101,11 +103,13 @@ class TableLogChangesSpec extends SparkSpec {
     TableLog.upsert(spark, dir,
       Seq((3L, -3L), (99L, -99L)).toDF("id", "v"), Seq("id"))           // v2
     val f = feed(dir, 1, 2, Seq("id"))
-    // the cow rewrite re-writes the whole touched file, but key pairing
-    // collapses unchanged-key rows into update pairs, not delete+insert
+    // the cow rewrite re-writes the whole 20-row file, but key pairing
+    // SUPPRESSES the 19 carried-unchanged rows (Delta CDF emits only
+    // actually-changed rows): exactly one update pair survives
     assert(f((2L, "insert")) == 1L)          // 99 is new
     assert(!f.contains((2L, "delete")))      // no key vanished
-    assert(f((2L, "update_preimage")) == f((2L, "update_postimage")))
+    assert(f((2L, "update_preimage")) == 1L)
+    assert(f((2L, "update_postimage")) == 1L)
     // value check on the real update
     val upd = TableLog.changes(spark, dir, 1, 2, Seq("id"))
       .filter($"id" === 3L).select($"_change_type", $"v")
@@ -123,5 +127,100 @@ class TableLogChangesSpec extends SparkSpec {
     TableLog.deleteKeys(spark, dir, Seq(4L).toDF("u"))                    // v2
     val f = feed(dir, 1, 2, Seq("id"))
     assert(f == Map((2L, "delete") -> 3L), f)
+    // an append AFTER the eq-delete whose rows match the standing key is
+    // not visible to read() — so it must not surface as inserts either
+    TableLog.append(spark, dir,
+      Seq((100L, 4L), (101L, 5L)).toDF("id", "u").coalesce(1))            // v3
+    assert(feed(dir, 2, 3, Seq("id")) == Map((3L, "insert") -> 1L))
+    assert(TableLog.changes(spark, dir, 2, 3, Seq("id"))
+      .select($"id").as[Long].collect().toSeq == Seq(101L))
+  }
+
+  test("restore post-images honor the restored dv sidecars (hidden rows " +
+    "were never inserts)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chg_rst").toString
+    TableLog.append(spark, dir,
+      spark.range(0, 20).select($"id", ($"id" * 2).as("v")).coalesce(1)) // v1
+    TableLog.deleteWhereDv(spark, dir, $"id" < 5)                        // v2: 15 visible
+    TableLog.overwrite(spark, dir,
+      spark.range(100, 103).select($"id", lit(0L).as("v")).coalesce(1))  // v3
+    TableLog.restore(spark, dir, 2L)                                     // v4
+    val f = feed(dir, 3, 4, Seq("id"))
+    // the restore re-adds v2's file TOGETHER with its dv: only the 15
+    // rows visible at v2 are inserts — not the 5 dv-hidden ones
+    assert(f == Map((4L, "delete") -> 3L, (4L, "insert") -> 15L), f)
+  }
+
+  test("wide 200-commit append window batches into one scan per schema " +
+    "era (plan stays O(1) in commits), version stamps exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chg_wide").toString
+    (1 to 100).foreach(i => TableLog.append(spark, dir,
+      Seq((i.toLong, i * 2L)).toDF("id", "v").coalesce(1)))        // v1..v100
+    TableLog.upsert(spark, dir,
+      Seq((50L, -1L)).toDF("id", "v"), Seq("id"))                  // v101: DML
+    TableLog.alterSchema(spark, dir)(s =>                          // v102: era split
+      org.apache.spark.sql.types.StructType(s.fields :+
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType)))
+    (101 to 199).foreach(i => TableLog.append(spark, dir,
+      Seq((i.toLong, i * 2L, i * 3L)).toDF("id", "v", "w").coalesce(1)))
+    val tip = TableLog.versions(spark, dir).last                   // v201
+    val df = TableLog.changes(spark, dir, 0, tip, Seq("id"))
+    // plan compactness: ~199 insert commits collapse into 2 era scans +
+    // the DML commit's own branches — NOT one scan per commit
+    val leaves = df.queryExecution.logical.collectLeaves().size
+    assert(leaves < 25, s"expected batched plan, got $leaves leaf scans")
+    val byType = df.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == 199L, byType)
+    assert(byType("update_preimage") == 1L && byType("update_postimage") == 1L)
+    // every append version stamped exactly once, with its own row
+    val stamps = df.filter($"_change_type" === "insert")
+      .groupBy($"_commit_version").count().collect()
+    assert(stamps.length == 199 && stamps.forall(_.getLong(1) == 1L))
+    val r42 = df.filter($"_commit_version" === 42L)
+      .select($"id", $"v").as[(Long, Long)].head()
+    assert(r42 == ((42L, 84L)))
+    // post-era rows carry the added column; pre-era rows read null
+    assert(df.filter($"_commit_version" === 150L).select($"w")
+      .as[Option[Long]].head().isDefined)
+  }
+
+  test("changes() refuses a window below the earliest retained version " +
+    "(vacuumed) with retention advice, up front") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chg_vac").toString
+    (1 to 6).foreach(i => TableLog.append(spark, dir,
+      Seq((i.toLong, i.toLong)).toDF("id", "v").coalesce(1)))      // v1..v6
+    TableLog.vacuum(spark, dir, keepVersions = 3, retainMs = 0L)   // keep v4..v6
+    val e = intercept[IllegalArgumentException] {
+      TableLog.changes(spark, dir, 0, 6, Seq("id"))
+    }
+    assert(e.getMessage.contains("vacuum") &&
+      e.getMessage.contains("keepVersions"), e.getMessage)
+    // a window fully inside retention still serves
+    assert(TableLog.changes(spark, dir, 4, 6, Seq("id")).count() == 2L)
+  }
+
+  test("noChangeOps is an exact op-token match: a data-changing op that " +
+    "merely shares a prefix is NOT skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chg_tok").toString
+    TableLog.append(spark, dir,
+      spark.range(0, 7).select($"id", $"id".as("v")).coalesce(1))        // v1
+    TableLog.append(spark, dir,
+      spark.range(7, 10).select($"id", $"id".as("v")).coalesce(1))       // v2
+    // rewrite v2's #op= token to a HYPOTHETICAL data-changing op whose
+    // name extends a no-change token ("alter_x" vs "alter"): prefix
+    // matching would silently drop its change rows
+    val log = java.nio.file.Paths.get(dir, "_graft_log")
+    val v2 = java.nio.file.Files.list(log).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("00000000000000000002")).next()
+    val edited = new String(java.nio.file.Files.readAllBytes(v2), "UTF-8")
+      .replace("#op=append", "#op=alter_x")
+    java.nio.file.Files.write(v2, edited.getBytes("UTF-8"))
+    assert(feed(dir, 1, 2, Seq("id")) == Map((2L, "insert") -> 3L))
+    // the EXACT token (argument list stripped) still skips: "alter(...)"
+    val edited2 = edited.replace("#op=alter_x", "#op=alter(add col)")
+    java.nio.file.Files.write(v2, edited2.getBytes("UTF-8"))
+    assert(TableLog.changes(spark, dir, 1, 2, Seq("id")).count() == 0)
   }
 }
