@@ -1486,6 +1486,74 @@ object SourceOps {
       |FROM chg GROUP BY step, change_type
       |ORDER BY step, change_type""".stripMargin
 
+  /** `MERGE INTO ... WITH SCHEMA EVOLUTION` — Delta's merge `autoMerge`
+    * role: the source carries a column (`bonus`) the target lacks; the
+    * analyzer's schema-evolution pass routes an AddColumn through the
+    * catalog's metadata-only ALTER (`#schema=` commit — zero files
+    * rewritten), then the ordinary MoR delta write lands the new column's
+    * values. Untouched rows read NULL for it (grouped as -1 here); a
+    * failed evolution, a rewritten file, or a value landing on the wrong
+    * row flips the hash. The oracle recomputes the evolved table
+    * relationally from the raw orders.
+    */
+  def tableLogMergeEvo: Q = (s, d) => {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val wh = Scratch.dir("tlogmrgevo_" + hex)
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_mrgevo_" + hex
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.core.TableLog.append(s, s"$wh/gold/me",
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .filter(col("o_orderkey") % 3 === 0))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"),
+        col("o_orderstatus"), (col("o_orderkey") % 5).as("bonus"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("graft_mrgevo_src")
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.gold.me t
+      USING graft_mrgevo_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderkey % 20 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.p, bonus = s.bonus
+      WHEN NOT MATCHED THEN INSERT
+        (o_orderkey, o_totalprice, o_orderstatus, bonus)
+        VALUES (s.o_orderkey, s.p, s.o_orderstatus, s.bonus)""")
+    s.sql(s"""
+      SELECT coalesce(bonus, -1) AS bonus_grp, count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+      FROM $cat.gold.me
+      GROUP BY coalesce(bonus, -1) ORDER BY bonus_grp""")
+  }
+
+  val tableLogMergeEvoSql: String =
+    """WITH tgt AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |src AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS p, o_orderstatus,
+      |         o_orderkey % 5 AS bonus
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT t.o_orderkey,
+      |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.p
+      |              ELSE t.o_totalprice END AS o_totalprice,
+      |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.bonus
+      |              ELSE NULL END AS bonus
+      |  FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      |  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 20 <> 0
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.p, s.bonus
+      |  FROM src s ANTI JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+      |SELECT coalesce(bonus, -1) AS bonus_grp, count(*) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS total_cents
+      |FROM merged GROUP BY coalesce(bonus, -1) ORDER BY bonus_grp""".stripMargin
+
   def tableLogSqlMerge: Q = (s, d) => {
     val wh = Scratch.dir("tlogsqlmrg_" + java.lang.Integer.toHexString(d.hashCode))
     val p = new org.apache.hadoop.fs.Path(wh)
@@ -1558,6 +1626,7 @@ object SourceOps {
     "q_table_log_sql_delete" -> tableLogSqlDelete,
     "q_table_log_sql_update" -> tableLogSqlUpdate,
     "q_table_log_sql_merge" -> tableLogSqlMerge,
+    "q_table_log_merge_evo" -> tableLogMergeEvo,
     "q_table_log_dv" -> tableLogDv,
     "q_table_log_auto" -> tableLogAuto,
     "q_table_log_hidden" -> tableLogHidden,
@@ -1592,6 +1661,7 @@ object SourceOps {
     "q_table_log_sql_delete" -> tableLogSqlDeleteSql,
     "q_table_log_sql_update" -> tableLogSqlUpdateSql,
     "q_table_log_sql_merge" -> tableLogSqlMergeSql,
+    "q_table_log_merge_evo" -> tableLogMergeEvoSql,
     "q_table_log_dv" -> tableLogDvSql,
     "q_table_log_auto" -> tableLogAutoSql,
     "q_table_log_hidden" -> tableLogHiddenSql,

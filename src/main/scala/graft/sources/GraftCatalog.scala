@@ -262,10 +262,17 @@ class GraftTable(spark: SparkSession, dir: String,
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   }
 
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into `MERGE ... WITH SCHEMA
+  // EVOLUTION`: the analyzer (ResolveMergeIntoSchemaEvolution) diffs the
+  // source schema against ours and routes the AddColumn changes through
+  // [[GraftCatalog.alterTable]] — a METADATA-ONLY `#schema=` commit (old
+  // files read null for the new column), composed with the ordinary
+  // row-level delta write. Delta Lake's merge autoMerge role.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** SQL `DELETE FROM graft.s.n WHERE p` — merge-on-read by default
     * (deletion-vector sidecar, no data file touched; the same

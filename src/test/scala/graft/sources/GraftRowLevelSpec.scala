@@ -196,4 +196,44 @@ class GraftRowLevelSpec extends SparkSpec {
     // id 5 is dv-hidden
     assert(rows.find(_.getLong(0) == 6L).get.getLong(2) == 6L)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source's new column evolves the " +
+    "target (metadata-only ALTER), old rows read null, delta write " +
+    "carries the column") {
+    val (wh, cat) = freshWh("graft_rlo_evo")
+    val dir = s"$wh/s/e"
+    TableLog.append(spark, dir,
+      spark.range(0, 20).select($"id", ($"id" * 10).as("v")).coalesce(1))
+    val filesBefore = TableLog.manifestLines(spark, dir,
+      TableLog.versions(spark, dir).last).filterNot(_.startsWith("#")).toSet
+    spark.range(10, 30)
+      .select($"id", lit(-1L).as("v"), ($"id" * 100).as("w"))
+      .createOrReplaceTempView("evo_src")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.s.e t
+      USING evo_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val t = spark.table(s"$cat.s.e")
+    assert(t.columns.toSeq == Seq("id", "v", "w"))
+    assert(t.count() == 30)
+    // untouched rows read null for the evolved column
+    assert(t.filter($"id" < 10).filter($"w".isNotNull).count() == 0)
+    // matched + inserted rows carry it
+    assert(t.filter($"id" >= 10).select(sum($"w")).as[Long].head() ==
+      (10L until 30L).map(_ * 100).sum)
+    assert(t.filter($"id" >= 10 && $"v" =!= -1L).count() == 0)
+    // the evolution was metadata + delta: the original file was NOT
+    // rewritten (still serves the tip through its pre-evolution schema)
+    val filesAfter = TableLog.manifestLines(spark, dir,
+      TableLog.versions(spark, dir).last).filterNot(_.startsWith("#")).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "schema-evolving MERGE rewrote pre-existing data files")
+    // and the change feed classifies the window exactly
+    val tip = TableLog.versions(spark, dir).last
+    val f = TableLog.changes(spark, dir, 1, tip, Seq("id"))
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("update_preimage" -> 10L, "update_postimage" -> 10L,
+      "insert" -> 10L), f)
+  }
 }
