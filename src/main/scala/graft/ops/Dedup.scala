@@ -37,6 +37,16 @@ object Dedup {
     */
   def permA(i: Int): Long = ((1103515245L * (i + 1)) & 0x3FFFFFFFL) | 1L
   def permB(i: Int): Long = (2654435761L * (i + 1)) & 0x3FFFFFFFL
+
+  /** The candidate-pruning threshold consistent with the ROUNDED output
+    * filter: every pair list reports its similarity rounded half-up to
+    * 4 dp and filters `rounded ≥ t`, which admits true similarity down to
+    * t − 5e-5. Size/prefix prune bounds must therefore use this effective
+    * threshold, not t itself — pruning at t drops knife-edge pairs whose
+    * similarity rounds UP across the threshold (bit us at 30× scale: a
+    * J = 0.29996 pair is a reported 0.3 pair).
+    */
+  private[graft] def roundedThreshold(t: Double): Double = t - 0.5 / 10000
   val PermMod: Long = 2147483647L // 2^31 - 1
   val HashMask: Long = 0x3FFFFFFFL // keep 30 bits of the base hash
 
@@ -416,10 +426,15 @@ object Dedup {
     // length filter inside the join condition: J ≥ t ⟹ t·max ≤ min, so
     // size-mismatched pairs are pruned per shared-shingle row, before the
     // pair-count shuffle ever sees them (their exact count would be
-    // discarded by the threshold anyway — dropping them is exact)
+    // discarded by the threshold anyway — dropping them is exact).
+    // The bound uses the ROUNDING-ADJUSTED threshold: the output filter
+    // below accepts floor(J·1e4 + 0.5)/1e4 ≥ t, which admits true J down
+    // to t − 5e-5 — pruning at t exactly could drop a knife-edge pair
+    // whose J rounds UP across the threshold.
+    val tEff = roundedThreshold(minJaccard)
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol") &&
-        greatest(col("a.n_sh"), col("b.n_sh")) * lit(minJaccard) <=
+        greatest(col("a.n_sh"), col("b.n_sh")) * lit(tEff) <=
           least(col("a.n_sh"), col("b.n_sh")))(_ && _)
     val inter = a.join(b, blockCond)
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
@@ -503,9 +518,12 @@ object Dedup {
       .agg(count(lit(1)).as("freq"))
     val byRarity = Window.partitionBy(col(idCol))
       .orderBy(col("freq").asc, col("s").asc)
+    // pigeonhole prefix sized by the ROUNDING-ADJUSTED threshold (see
+    // [[roundedThreshold]]): a reported pair has true C ≥ t − 5e-5
     val prefixes = exploded.join(freq, blockCols :+ "s")
       .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(minContainment)) + 1)
+      .filter(col("rn") <= col("n_sh") -
+        ceil(col("n_sh") * lit(roundedThreshold(minContainment))) + 1)
       .select((col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+ col("s"): _*)
     val p = prefixes.alias("p")
     val f = exploded.alias("f")
@@ -684,7 +702,7 @@ object Dedup {
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col(s"a.$idCol") < col(s"b.$idCol") &&
-        greatest(col("a.n_sh"), col("b.n_sh")) * lit(minJaccard) <=
+        greatest(col("a.n_sh"), col("b.n_sh")) * lit(roundedThreshold(minJaccard)) <=
           least(col("a.n_sh"), col("b.n_sh")))(_ && _)
     val cands = a.join(b, cond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
@@ -804,28 +822,35 @@ object Dedup {
       .agg(count(lit(1)).as("freq"))
     val byRarity = Window.partitionBy(col(idCol))
       .orderBy(col("freq").asc, col("s").asc)
+    // prefix length and size prune both use the ROUNDING-ADJUSTED
+    // threshold (see [[roundedThreshold]]): a reported pair has true
+    // J ≥ t − 5e-5, so |∩| ≥ ⌈t_eff·|s|⌉ and the pigeonhole prefix is
+    // |s| − ⌈t_eff·|s|⌉ + 1 — recall stays exactly 1 under the rounded
+    // output filter, knife-edge pairs included
+    val tEff = roundedThreshold(minJaccard)
     val prefixes = exploded.join(freq, blockCols :+ "s")
       .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(minJaccard)) + 1)
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(tEff)) + 1)
       .select((col(idCol) +: blockCols.map(col)) :+ col("n_sh") :+ col("s"): _*)
     val a = prefixes.alias("a")
     val b = prefixes.alias("b")
-    // length filter rides the candidate join: J ≥ t ⟹ t·max(|A|,|B|) ≤
-    // min(|A|,|B|) — prunes size-mismatched prefix collisions before the
-    // pair ever materializes
+    // length filter rides the candidate join: J ≥ t_eff ⟹ t_eff·max ≤ min
+    // — prunes size-mismatched prefix collisions before the pair ever
+    // materializes
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol") &&
-        greatest(col("a.n_sh"), col("b.n_sh")) * lit(minJaccard) <=
+        greatest(col("a.n_sh"), col("b.n_sh")) * lit(tEff) <=
           least(col("a.n_sh"), col("b.n_sh")))(_ && _)
     val cands = a.join(b, blockCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    cands
-      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-        col("n_sh").as("n_a")), "id_a")
-      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-        col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    // verify through [[pairIntersections]] (group-local, arrays ship once
+    // per duplicate clique) — the naive per-pair array join here spilled
+    // ~79 GB to disk-full at 30× scale, exactly the blowup the
+    // containment-prefix and LSH verifies already route around
+    pairIntersections(cands, base.select(col(idCol).as("id"), col("sh")))
+      .join(base.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         floor(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")) * 10000 + 0.5) / 10000)

@@ -154,9 +154,9 @@ object DedupOps {
     * `spark.graft.neardup.directMaxInputBytes` (default 2 MiB of documents
     * input; sf1's 153 s vs 8 s measured the crossover) the scale-safe form
     * takes over: the banded multi-index for simhash (recall EXACTLY 1 by
-    * pigeonhole — a pure planner decision), MinHash-LSH candidates + exact
-    * verify for low-threshold Jaccard (recall 1−(1−J)^16, documented at
-    * [[Dedup.ngramJaccardPairsLsh]]). `spark.graft.neardup.join` forces
+    * pigeonhole — a pure planner decision), prefix filtering for
+    * low-threshold Jaccard (recall exactly 1,
+    * [[Dedup.ngramJaccardPairsPrefix]]). `spark.graft.neardup.join` forces
     * `direct` or the scale form (`banded` / `lsh` / `scale` — synonyms;
     * the judge-facing name is per-operator).
     */
@@ -283,17 +283,24 @@ object DedupOps {
     * stages cost more than its weak pruning saves at EVERY size (measured
     * 3.4x slower at sf1) — prefix filtering pays off at high thresholds
     * (the containment gate's t = 0.8 flips to it). The at-scale path for
-    * LOW-threshold similarity is candidate generation by MinHash-LSH, and
-    * [[neardupScaleMode]] now routes there IN CODE: above the size
-    * threshold candidates come from 16 OR-composed minhash bands and only
-    * survivors pay the exact `array_intersect` verify
-    * ([[Dedup.ngramJaccardPairsLsh]] — precision 1, recall 1−(1−J)^16;
-    * `spark.graft.neardup.join = direct` forces the exact join).
+    * LOW-threshold similarity is PREFIX FILTERING
+    * ([[Dedup.ngramJaccardPairsPrefix]], the SSJoin/PPJoin scheme):
+    * candidates come from each set's rarest-shingle prefix, recall is
+    * EXACTLY 1 by pigeonhole, and only candidates pay the
+    * `array_intersect` verify — so BOTH dial positions hash-match the
+    * naive oracle at every SF, like the simhash-banded and
+    * containment-prefix gates. (This replaced MinHash-LSH candidates
+    * here: LSH's recall 1−(1−J)^16 is probabilistic, and a 30×-scale run
+    * produced exactly one organic J=0.36 pair whose 16 bands all missed
+    * — a documented caveat, but a hash break. LSH stays available as
+    * [[Dedup.ngramJaccardPairsLsh]] for recall-tolerant pipelines;
+    * `spark.graft.neardup.join = direct` still forces the exact
+    * self-join.)
     */
   def dedupNgramJaccard: Q = (s, d) =>
     (if (neardupScaleMode(s, d))
-       Dedup.ngramJaccardPairsLsh(corpusNear(s, d, 7), "doc_id", "text",
-         blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3, numPerm = 16)
+       Dedup.ngramJaccardPairsPrefix(corpusNear(s, d, 7), "doc_id", "text",
+         blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
      else
        Dedup.ngramJaccardPairs(corpusNear(s, d, 7), "doc_id", "text",
          blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3))
