@@ -2111,11 +2111,14 @@ object TableLog {
     *  - `keys` (the business key) pairs them: keys present on both sides
     *    become update_preimage/update_postimage, pre-only rows are
     *    deletes, post-only rows are inserts — full CDF fidelity for SQL
-    *    UPDATE and MERGE INTO commits. Keyed pairs whose row is IDENTICAL
-    *    on both sides (a copy-on-write rewrite carries every row of the
-    *    rewritten file, changed or not) are SUPPRESSED, matching Delta
-    *    CDF's only-actually-changed-rows contract — an SCD2 consumer sees
-    *    no spurious history versions. Without `keys` a delta commit
+    *    UPDATE and MERGE INTO commits. On REWRITE commits (files
+    *    removed), keyed pairs whose row is IDENTICAL on both sides (a
+    *    copy-on-write rewrite carries every row of the rewritten file,
+    *    changed or not) are SUPPRESSED, matching Delta CDF's
+    *    only-actually-changed-rows contract — an SCD2 consumer sees no
+    *    spurious history versions; delta (dv) commits carry exactly the
+    *    rows the command touched and skip the compare. Without `keys` a
+    *    delta commit
     *    degrades to pre→update_preimage / post→update_postimage for ALL
     *    carried rows, unchanged ones included (a pure UPDATE is exactly
     *    that; pass the key for exact, no-op-suppressed classification).
@@ -2389,11 +2392,16 @@ object TableLog {
         // identical on both sides (null-safe set intersect over all
         // columns); they emit nothing, like Delta's change files. Both
         // sides are commit-sized frames, so the extra intersect/except
-        // carries only the commit's own change set. Skipped when the two
-        // sides' column sets differ (schema changed mid-commit) — then
-        // "identical" is ill-defined and every pair stays an update.
+        // carries only the commit's own change set. ONLY rewrite commits
+        // (files removed) need it: a dv-delta commit's pre/post hold
+        // exactly the rows the command touched — Delta CDF emits those
+        // as-is, and the two set ops would cost a pure-delta window ~45%
+        // for nothing (measured on the cdc_dml gate). Also skipped when
+        // the two sides' column sets differ (schema changed mid-commit) —
+        // then "identical" is ill-defined and every pair stays an update.
         val changedShared =
-          if (p.columns.sorted.toSeq != q.columns.sorted.toSeq) shared
+          if (removedFiles.isEmpty ||
+            p.columns.sorted.toSeq != q.columns.sorted.toSeq) shared
           else shared.except(
             p.intersect(q.select(p.columns.map(col).toIndexedSeq: _*))
               .select(keys.map(k => col(k).as(s"_ck_$k")): _*))

@@ -154,9 +154,10 @@ object DedupOps {
     * `spark.graft.neardup.directMaxInputBytes` (default 2 MiB of documents
     * input; sf1's 153 s vs 8 s measured the crossover) the scale-safe form
     * takes over: the banded multi-index for simhash (recall EXACTLY 1 by
-    * pigeonhole — a pure planner decision), prefix filtering for
-    * low-threshold Jaccard (recall exactly 1,
-    * [[Dedup.ngramJaccardPairsPrefix]]). `spark.graft.neardup.join` forces
+    * pigeonhole — a pure planner decision), the probing-prefix form for
+    * high-threshold containment. (Low-threshold Jaccard does NOT dial:
+    * see [[dedupNgramJaccard]] — the inverted-index join is already the
+    * exact at-scale form there.) `spark.graft.neardup.join` forces
     * `direct` or the scale form (`banded` / `lsh` / `scale` — synonyms;
     * the judge-facing name is per-operator).
     */
@@ -282,28 +283,26 @@ object DedupOps {
     * `n − ⌈0.3n⌉ + 1` ≈ 70% of every set, so the prefix form's extra
     * stages cost more than its weak pruning saves at EVERY size (measured
     * 3.4x slower at sf1) — prefix filtering pays off at high thresholds
-    * (the containment gate's t = 0.8 flips to it). The at-scale path for
-    * LOW-threshold similarity is PREFIX FILTERING
-    * ([[Dedup.ngramJaccardPairsPrefix]], the SSJoin/PPJoin scheme):
-    * candidates come from each set's rarest-shingle prefix, recall is
-    * EXACTLY 1 by pigeonhole, and only candidates pay the
-    * `array_intersect` verify — so BOTH dial positions hash-match the
-    * naive oracle at every SF, like the simhash-banded and
-    * containment-prefix gates. (This replaced MinHash-LSH candidates
-    * here: LSH's recall 1−(1−J)^16 is probabilistic, and a 30×-scale run
-    * produced exactly one organic J=0.36 pair whose 16 bands all missed
-    * — a documented caveat, but a hash break. LSH stays available as
-    * [[Dedup.ngramJaccardPairsLsh]] for recall-tolerant pipelines;
-    * `spark.graft.neardup.join = direct` still forces the exact
-    * self-join.)
+    * (the containment gate's t = 0.8 flips to it). For LOW-threshold
+    * Jaccard (t = 0.3 here) the inverted-index self-join with the
+    * in-join size prune IS the exact at-scale form, at every SF:
+    *  - prefix filtering degenerates at low t (the pigeonhole prefix is
+    *    |s| − ⌈t·|s|⌉ + 1 ≈ 0.7·|s| — nearly the whole set; measured at
+    *    30× scale it re-derived the full candidate blowup and spilled to
+    *    disk-full);
+    *  - MinHash-LSH is sublinear but PROBABILISTIC (recall 1−(1−J)^16):
+    *    the same 30× run produced one organic J=0.36 pair whose 16 bands
+    *    all missed — a documented caveat, but a hash break. LSH stays
+    *    available as [[Dedup.ngramJaccardPairsLsh]] for recall-tolerant
+    *    pipelines.
+    * The direct join's cost is Θ(co-occurring, size-compatible pairs) —
+    * the problem's own output-sensitive lower bound (the oracle pays the
+    * same); measured at 30× scale: 1.05 G join rows / 337 M co-occurring
+    * pairs → 2.9 M results, minutes on 32 cores, no pathological spill.
     */
   def dedupNgramJaccard: Q = (s, d) =>
-    (if (neardupScaleMode(s, d))
-       Dedup.ngramJaccardPairsPrefix(corpusNear(s, d, 7), "doc_id", "text",
-         blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
-     else
-       Dedup.ngramJaccardPairs(corpusNear(s, d, 7), "doc_id", "text",
-         blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3))
+    Dedup.ngramJaccardPairs(corpusNear(s, d, 7), "doc_id", "text",
+      blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupNgramJaccardSql: String =
