@@ -114,6 +114,30 @@ class TableLogCdcSourceSpec extends SparkSpec {
     assert(versionsPerBatch.forall(_ <= 2L), versionsPerBatch)
   }
 
+  test("a vacuumed window is refused up front with retention advice, " +
+    "not a mid-batch FileNotFoundException") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_vac").toString
+    (1 to 6).foreach(i => TableLog.append(spark, dir,
+      Seq((i.toLong, i.toLong)).toDF("id", "v").coalesce(1)))        // v1..v6
+    TableLog.vacuum(spark, dir, keepVersions = 3, retainMs = 0L)     // keep v4..v6
+    val ck = java.nio.file.Files.createTempDirectory("graft_cdc_ck4").toString
+    val q = spark.readStream.format(provider).option("path", dir)
+      .option("readChangeFeed", "true").option("keys", "id").load()
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+    }
+    assert(e.getCause.getMessage.contains("vacuum"), e.getCause.getMessage)
+    // subscribing inside retention works
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    drain(dir, java.nio.file.Files.createTempDirectory("graft_cdc_ck5").toString,
+      sink, Map("startingVersion" -> "4"))
+    assert(sink.map(_._1).sorted.toSeq == Seq(5L, 6L), sink)
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
