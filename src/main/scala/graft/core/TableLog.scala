@@ -77,6 +77,37 @@ object TableLog {
   private val LogDir = "_graft_log"
   private val DvDir = "_graft_dv"
 
+  /** Materialized change-data sidecars (the Delta `_change_data` role):
+    * `_change_data/_commit_version=<v>/part-*.parquet` + `_SUCCESS`,
+    * written at commit time when the table opts in (see [[CdfProp]]).
+    * Hive-partitioned by version on purpose: one basePath scan over MANY
+    * materialized commits re-derives `_commit_version` as a partition
+    * column, so a rewrite-heavy [[changes]] window plans as one scan per
+    * schema era instead of one reconstruction branch per commit.
+    */
+  private[graft] val ChangeDataDir = "_change_data"
+
+  /** Table property opting into change-data materialization (Delta's
+    * `delta.enableChangeDataFeed`): every data-changing non-insert commit
+    * writes its typed change rows as a [[ChangeDataDir]] sidecar.
+    */
+  private[graft] val CdfProp = "graft.enableChangeDataFeed"
+
+  /** Comma-separated business key used for the materialized feed's
+    * update/insert/delete classification and no-op suppression (see
+    * [[changes]]). A [[changes]] call requesting a DIFFERENT key falls
+    * back to per-commit reconstruction — the sidecar's classification is
+    * key-dependent and must not be served under another key.
+    */
+  private[graft] val CdfKeysProp = "graft.changeDataFeed.keys"
+
+  private[graft] def cdfEnabled(props: Map[String, String]): Boolean =
+    props.get(CdfProp).exists(_.trim.equalsIgnoreCase("true"))
+
+  private[graft] def cdfKeys(props: Map[String, String]): Seq[String] =
+    props.get(CdfKeysProp).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -911,6 +942,11 @@ object TableLog {
           (v, logFileId(fs, target), state))
         catch { case _: java.io.IOException => () }
         committed = v
+        // change-data materialization (opt-in, see maybeMaterializeChanges):
+        // runs AFTER the CAS win, against the exact pre/post line sets of
+        // the won commit — a failure here leaves the commit durable and
+        // the feed serving this version via reconstruction
+        maybeMaterializeChanges(spark, dir, v, op, tipLines, state)
       }
     }
     Some(committed)
@@ -2017,6 +2053,9 @@ object TableLog {
     drop.foreach { v =>
       fs.delete(manifestPath(dir, v), false)
       fs.delete(deltaPath(dir, v), false)
+      // a vacuumed version's change window is refused anyway (retention
+      // guard in [[changes]]) — its materialized sidecar goes with it
+      fs.delete(changeDataVersionDir(dir, v), true)
     }
     // recursive walk so files inside partition subdirs are reclaimed too;
     // matching is on the manifest's RELATIVE path (qualified base — an
@@ -2167,12 +2206,6 @@ object TableLog {
         s"vacuumed, and their pre-image files may be reclaimed). Start " +
         s"from fromVersion >= $floor, or raise vacuum's keepVersions " +
         "above the consumer's replay horizon.")
-    // EXACT op tokens (argument list stripped: "restore(3)" -> "restore")
-    // that never change logical rows — prefix matching would silently
-    // skip a future data-changing op that merely shares a prefix (e.g. a
-    // hypothetical "alter_x" rewriting rows)
-    val noChangeOps = Set("compact", "compact_dv", "alter", "analyze",
-      "create", "add_constraint")
     // One driver pass over the window classifies each data-change commit:
     // INSERT-ONLY commits (plain appends — the dominant shape of a long
     // CDC window on a hot table) are BATCHED, everything else (rewrites,
@@ -2181,10 +2214,13 @@ object TableLog {
     // its predecessor, so the pass is O(window's delta lines) on the
     // driver, not O(versions × manifest size).
     val window = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val op = versionMeta(spark, dir, v).find(_.startsWith("#op="))
-        .map(_.stripPrefix("#op=")).getOrElse("write")
-      if (noChangeOps.contains(op.takeWhile(_ != '('))) None else Some((v, op))
+      val op = opOf(spark, dir, v)
+      if (isNoChangeOp(op)) None else Some((v, op))
     }
+    // materialized sidecars servable for THIS read: version -> part files.
+    // One fs listing; a sidecar only substitutes for reconstruction when
+    // the requested key matches the key it was classified under.
+    val materialized = materializedChangeVersions(spark, dir)
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // insert-only commits grouped by their #schema= line: one scan per
     // schema ERA (not per commit), version-stamped per file — a
@@ -2195,6 +2231,21 @@ object TableLog {
     def flush(): Unit = if (pending.nonEmpty) {
       frames ++= insertBatch(spark, dir, pending.toSeq, pendingLines)
       pending.clear()
+    }
+    // materialized DML commits grouped the same way: a run of consecutive
+    // sidecar-served commits in one schema era is ONE basePath scan
+    // (`_commit_version` re-derived as a hive partition column) — a year
+    // of daily MERGEs plans as one scan, not 365 reconstruction branches
+    val pendingMat = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var pendingMatLines: Seq[String] = Seq.empty
+    def flushMat(): Unit = if (pendingMat.nonEmpty) {
+      val files = pendingMat.toSeq.flatten
+      if (files.nonEmpty)
+        frames += spark.read.option("mergeSchema", "true")
+          .option("basePath", s"$dir/$ChangeDataDir")
+          .parquet(files.map(f => s"$dir/$f"): _*)
+          .withColumn("_commit_version", col("_commit_version").cast("long"))
+      pendingMat.clear()
     }
     window.foreach { case (v, op) =>
       val cur = manifestLines(spark, dir, v)
@@ -2209,18 +2260,31 @@ object TableLog {
       // eq-delete lines that could conditionally hide appended rows
       val batchable = removed.isEmpty && newDv.isEmpty && newEq.isEmpty &&
         eqLines(cur).isEmpty && added.nonEmpty
+      // sidecar-served: materialized at commit time UNDER THE SAME KEY
+      // the caller is asking for (the classification is key-dependent)
+      val props = metaProps(cur)
+      val sidecar = !batchable && materialized.contains(v) &&
+        cdfEnabled(props) && keys == cdfKeys(props)
       if (batchable) {
+        flushMat()
         val sl = cur.find(_.startsWith("#schema="))
         if (pending.nonEmpty &&
           sl != pendingLines.find(_.startsWith("#schema="))) flush()
         pendingLines = cur
         pending += ((v, added))
-      } else {
+      } else if (sidecar) {
         flush()
+        val sl = cur.find(_.startsWith("#schema="))
+        if (pendingMat.nonEmpty &&
+          sl != pendingMatLines.find(_.startsWith("#schema="))) flushMat()
+        pendingMatLines = cur
+        pendingMat += materialized(v)
+      } else {
+        flush(); flushMat()
         changeRowsOf(spark, dir, v, op, prev, cur, keys).foreach(frames += _)
       }
     }
-    flush()
+    flush(); flushMat()
     if (frames.isEmpty) {
       // typed empty frame: logical tip schema + the two feed columns
       val s = logicalSchema(spark, dir)
@@ -2231,6 +2295,107 @@ object TableLog {
           org.apache.spark.sql.types.StructField("_commit_version",
             org.apache.spark.sql.types.LongType))))
     } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** EXACT op tokens (argument list stripped: "restore(3)" -> "restore")
+    * that never change logical rows — prefix matching would silently
+    * skip a future data-changing op that merely shares a prefix (e.g. a
+    * hypothetical "alter_x" rewriting rows).
+    */
+  private val NoChangeOps = Set("compact", "compact_dv", "alter", "analyze",
+    "create", "add_constraint")
+
+  private[graft] def isNoChangeOp(op: String): Boolean =
+    NoChangeOps.contains(op.takeWhile(_ != '('))
+
+  /** The `#op=` token version `v` was committed with ("write" pre-op). */
+  private[graft] def opOf(spark: SparkSession, dir: String, v: Long): String =
+    versionMeta(spark, dir, v).find(_.startsWith("#op="))
+      .map(_.stripPrefix("#op=")).getOrElse("write")
+
+  private def changeDataVersionDir(dir: String, v: Long): Path =
+    new Path(new Path(dir, ChangeDataDir), s"_commit_version=$v")
+
+  /** Versions with a COMPLETE materialized change sidecar (a `_SUCCESS`
+    * marker — a crash mid-write leaves no marker and the version falls
+    * back to reconstruction), mapped to their part files' table-relative
+    * paths. One recursive listing of `_change_data/`, driver-cheap:
+    * sidecar volume is changed-row sized by construction.
+    */
+  private[graft] def materializedChangeVersions(
+      spark: SparkSession, dir: String): Map[Long, Seq[String]] = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir, ChangeDataDir)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_commit_version="))
+      .flatMap { s =>
+        val v = s.getPath.getName.stripPrefix("_commit_version=").toLong
+        if (!fs.exists(new Path(s.getPath, "_SUCCESS"))) None
+        else Some(v -> fs.listStatus(s.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => s"$ChangeDataDir/_commit_version=$v/${f.getPath.getName}"))
+      }.toMap
+  }
+
+  /** One commit's typed change rows, reconstructed from the log — the
+    * per-version unit [[changes]] batches over, exposed for the DSv2
+    * change-feed stream's spool path ([[graft.sources]]). None when the
+    * commit changed no logical rows.
+    */
+  private[graft] def changesOfVersion(spark: SparkSession, dir: String,
+                                      v: Long, keys: Seq[String])
+      : Option[DataFrame] = {
+    val cur = manifestLines(spark, dir, v)
+    val prev = if (v <= 1) Seq.empty else manifestLines(spark, dir, v - 1)
+    changeRowsOf(spark, dir, v, opOf(spark, dir, v), prev, cur, keys)
+  }
+
+  /** Commit-time change-data materialization (the Delta `_change_data`
+    * writer role): when the committed snapshot's `#tblprop=` carries
+    * [[CdfProp]] and the commit is a genuine non-insert data change, the
+    * typed change rows are reconstructed ONCE — while the commit's pre
+    * and post file sets are both guaranteed retained — and written under
+    * [[ChangeDataDir]], hive-partitioned by `_commit_version`. Readers
+    * ([[changes]] and the streaming change feed) then serve the window
+    * with one scan per schema era, never re-deriving the same commit
+    * twice. Pure inserts are skipped: stamping added files is already
+    * O(1)-per-era via [[insertBatch]], so a sidecar would only duplicate
+    * the inserted bytes. A crash between the commit and the `_SUCCESS`
+    * marker is safe: the incomplete sidecar is invisible (no marker) and
+    * the version reconstructs on read like any unmaterialized commit.
+    */
+  private def maybeMaterializeChanges(spark: SparkSession, dir: String,
+                                      v: Long, op: String,
+                                      prev: Seq[String],
+                                      cur: Seq[String]): Unit = {
+    val props = metaProps(cur)
+    if (!cdfEnabled(props) || isNoChangeOp(op)) return
+    val curFiles = cur.filterNot(_.startsWith("#"))
+    val prevFiles = prev.filterNot(_.startsWith("#"))
+    val added = curFiles.filterNot(prevFiles.toSet)
+    val removed = prevFiles.filterNot(curFiles.toSet)
+    val newDv = dvFiles(cur).filterNot(dvFiles(prev).toSet)
+    val newEq = eqLines(cur).filterNot(eqLines(prev).toSet)
+    val pureInsert = removed.isEmpty && newDv.isEmpty && newEq.isEmpty &&
+      eqLines(cur).isEmpty
+    if (pureInsert) return
+    val fs = fsOf(spark, dir)
+    val target = changeDataVersionDir(dir, v)
+    if (fs.exists(new Path(target, "_SUCCESS"))) return // idempotent
+    changeRowsOf(spark, dir, v, op, prev, cur, cdfKeys(props)).foreach { df =>
+      // _commit_version lives in the directory name; a reader re-derives
+      // it as a partition column (and the empty-change case writes just
+      // the marker — zero part files, zero rows served)
+      df.drop("_commit_version").write.mode("overwrite")
+        .parquet(target.toString)
+    }
+    if (!fs.exists(new Path(target, "_SUCCESS"))) {
+      fs.mkdirs(target)
+      fs.create(new Path(target, "_SUCCESS"), true).close()
+    }
   }
 
   /** One scan for a group of INSERT-ONLY commits sharing a `#schema=`
@@ -2396,7 +2561,15 @@ object TableLog {
         // (files removed) need it: a dv-delta commit's pre/post hold
         // exactly the rows the command touched — Delta CDF emits those
         // as-is, and the two set ops would cost a pure-delta window ~45%
-        // for nothing (measured on the cdc_dml gate). Also skipped when
+        // for nothing (measured on the cdc_dml gate). Known divergence
+        // from Delta CDF: suppression keys on VALUE change, not on the
+        // command-touched set — a genuine no-op UPDATE (SET v = v hitting
+        // a copy-on-write rewrite) emits nothing here, whereas Delta
+        // writes update_preimage/update_postimage for every matched row
+        // even when values are unchanged. We prefer the value-change
+        // contract (a consumer reacting to "changes" gets only changes);
+        // callers needing command-touched fidelity can read the pre/post
+        // frames of the commit directly. Also skipped when
         // the two sides' column sets differ (schema changed mid-commit) —
         // then "identical" is ill-defined and every pair stays an update.
         val changedShared =

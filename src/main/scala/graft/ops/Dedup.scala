@@ -44,9 +44,16 @@ object Dedup {
     * t − 5e-5. Size/prefix prune bounds must therefore use this effective
     * threshold, not t itself — pruning at t drops knife-edge pairs whose
     * similarity rounds UP across the threshold (bit us at 30× scale: a
-    * J = 0.29996 pair is a reported 0.3 pair).
+    * J = 0.29996 pair is a reported 0.3 pair). We subtract a full 1e-4
+    * (double the real-arithmetic boundary of 5e-5): the prunes compare
+    * `greatest(n_a,n_b)*tEff <= least(n_a,n_b)` in doubles, so a pair
+    * sitting exactly ON the boundary could still be dropped by one-ulp FP
+    * error. Loosening the size prune / lengthening the pigeonhole prefix
+    * is strictly sound — the rounded `≥ t` output filter stays the exact
+    * gate — so the extra slack buys FP safety at negligible candidate
+    * cost.
     */
-  private[graft] def roundedThreshold(t: Double): Double = t - 0.5 / 10000
+  private[graft] def roundedThreshold(t: Double): Double = t - 1.0 / 10000
   val PermMod: Long = 2147483647L // 2^31 - 1
   val HashMask: Long = 0x3FFFFFFFL // keep 30 bits of the base hash
 

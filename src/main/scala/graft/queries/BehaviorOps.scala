@@ -134,7 +134,7 @@ object BehaviorOps {
       .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
     val spine = bounds
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
-      .crossJoin(daily.select(col("event_type")).distinct())
+      .crossJoin(broadcast(daily.select(col("event_type")).distinct()))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(daily, Seq("event_type", "day"), "left")

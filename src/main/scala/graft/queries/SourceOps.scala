@@ -490,22 +490,28 @@ object SourceOps {
     * no file-registry state — the log IS the registry.
     */
   def tableLogSource: Q = (s, d) => {
-    val dir = Scratch.dir("tlog_src_" + java.lang.Integer.toHexString(d.hashCode))
-    val p = new org.apache.hadoop.fs.Path(dir)
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val wh = Scratch.dir("tlog_src_" + hex)
+    val p = new org.apache.hadoop.fs.Path(wh)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_tls_" + hex
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = s"$wh/gold/src"
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
     (0 to 2).foreach(i =>
       graft.core.TableLog.append(s, dir, li.filter(col("l_orderkey") % 3 === i)))
-    val sink = "graft_tlog_source_sink_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val sink = "graft_tlog_source_sink_" + hex
     val ckpt = Scratch.dir(s"stream_ckpt_$sink")
     Scratch.wipe(ckpt)
     s.catalog.dropTempView(sink)
-    val q = s.readStream
-      .format(classOf[graft.sources.TableLogStreamProvider].getName)
-      .option("path", dir).load()
+    // the CATALOG front door: the table advertises MICRO_BATCH_READ, so
+    // `readStream.table` plans the DSv2 micro-batch stream — no provider
+    // class name, same stock parquet partition readers per window
+    val q = s.readStream.table(s"$cat.gold.src")
       .writeStream.format("memory").queryName(sink)
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
@@ -1383,6 +1389,74 @@ object SourceOps {
       |FROM chg GROUP BY step, change_type
       |ORDER BY step, change_type""".stripMargin
 
+  /** The MATERIALIZED change feed through the DSv2 BATCH door — the
+    * Delta `_change_data` role end-to-end: the table opts in with
+    * `graft.enableChangeDataFeed` (+ the declared business key), so the
+    * SQL UPDATE and MERGE commits write their typed change rows as
+    * hive-partitioned sidecar parquet AT COMMIT TIME (while pre- and
+    * post-image files are both guaranteed retained), and the read —
+    * `spark.read.format("graft").option("readChangeFeed", "true")` with
+    * a (startingVersion, endingVersion] window — plans the sidecars as
+    * plain file partitions: ONE scan regardless of how many rewrite
+    * commits the window holds, zero reconstruction joins at read time.
+    * Same oracle as the reconstruction gate [[tableLogCdcDml]]: the
+    * materialized rows must be byte-equivalent to what reconstruction
+    * derives, or the hash flips.
+    *
+    * SCALE: this is the rewrite-heavy-window fix — a year of daily
+    * MERGEs on a hot table reads as one sidecar scan (the sidecars are
+    * changed-row sized), not 365 per-commit reconstruction branches.
+    */
+  def tableLogCdfMat: Q = (s, d) => {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val wh = Scratch.dir("tlogcdfm_" + hex)
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_cdfm_" + hex
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = s"$wh/gold/cf"
+    graft.core.TableLog.append(s, dir,
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .filter(col("o_orderkey") % 3 === 0))
+    graft.core.TableLog.setTableProperties(s, dir, Map(
+      graft.core.TableLog.CdfProp -> "true",
+      graft.core.TableLog.CdfKeysProp -> "o_orderkey"))
+    val v0 = graft.core.TableLog.versions(s, dir).last
+    s.sql(s"UPDATE $cat.gold.cf SET o_totalprice = -1.0 " +
+      "WHERE o_orderkey % 7 = 0")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("graft_cdfm_src")
+    s.sql(s"""MERGE INTO $cat.gold.cf t USING graft_cdfm_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderkey % 20 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+        VALUES (s.o_orderkey, s.p, s.o_orderstatus)""")
+    val vTip = graft.core.TableLog.versions(s, dir).last
+    s.read.format("graft")
+      .option("readChangeFeed", "true").option("keys", "o_orderkey")
+      .option("startingVersion", v0.toString)
+      .option("endingVersion", vTip.toString)
+      .load(dir)
+      .groupBy((col("_commit_version") - v0).as("step"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(Num.cents(col("o_totalprice"))).as("cents"))
+      .orderBy(col("step"), col("change_type"))
+  }
+
+  // identical change semantics to the reconstruction feed — only the
+  // serving mechanism differs, which is exactly the point
+  val tableLogCdfMatSql: String = tableLogCdcDmlSql
+
   /** The change feed CONSUMED AS A STREAM — the Delta `readChangeFeed`
     * streaming-source role (round-9 verdict ask 3): the same UPDATE +
     * MERGE window as [[tableLogCdcDml]], but delivered through
@@ -1411,8 +1485,12 @@ object SourceOps {
     val ck = Scratch.dir("tlogscdc_ck_" + hex)
     Scratch.wipe(out); Scratch.wipe(ck)
     def drain(): Unit = {
+      // the DSv2 path front door (format("graft") is the registered
+      // TableProvider): the change feed streams as a MicroBatchStream —
+      // reconstruction commits spool once under the checkpoint's own
+      // metadata path, insert commits stamp their added files in place
       val q = s.readStream
-        .format(classOf[graft.sources.TableLogStreamProvider].getName)
+        .format("graft")
         .option("path", dir).option("readChangeFeed", "true")
         .option("keys", "o_orderkey").load()
         .writeStream
@@ -1422,7 +1500,11 @@ object SourceOps {
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(600000); ()
+      // awaitTermination(timeout) returns false on timeout with the query
+      // still running — failing fast here turns a wedged drain into a
+      // clear error instead of an ambiguous hash mismatch from a sink
+      // that keeps receiving writes during the next DML statement.
+      assert(q.awaitTermination(600000), "CDC drain timed out after 600s")
     }
     graft.core.TableLog.append(s, dir,
       Tables.orders(s, d)
@@ -1638,6 +1720,7 @@ object SourceOps {
     "q_table_log_skipping" -> tableLogSkipping,
     "q_table_log_cdc" -> tableLogCdc,
     "q_table_log_cdc_dml" -> tableLogCdcDml,
+    "q_table_log_cdf_mat" -> tableLogCdfMat,
     "q_stream_cdc" -> streamCdc,
     "q_table_log_restore" -> tableLogRestore,
     "q_table_log_ckpt" -> tableLogCkpt,
@@ -1673,6 +1756,7 @@ object SourceOps {
     "q_table_log_skipping" -> tableLogSkippingSql,
     "q_table_log_cdc" -> tableLogCdcSql,
     "q_table_log_cdc_dml" -> tableLogCdcDmlSql,
+    "q_table_log_cdf_mat" -> tableLogCdfMatSql,
     "q_stream_cdc" -> streamCdcSql,
     "q_table_log_restore" -> tableLogRestoreSql,
     "q_table_log_ckpt" -> tableLogCkptSql,

@@ -182,7 +182,12 @@ private[sources] object GraftTable {
 }
 
 class GraftTable(spark: SparkSession, dir: String,
-                 version: Option[Long], asOfTimestamp: Option[Long])
+                 version: Option[Long], asOfTimestamp: Option[Long],
+                 // path-based `readChangeFeed` reads surface the feed
+                 // columns in the TABLE schema (catalog resolution takes
+                 // Table.schema() before reader options exist, so the CDC
+                 // door is the path provider — same split as Delta CDF)
+                 cdcSchema: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -233,7 +238,12 @@ class GraftTable(spark: SparkSession, dir: String,
 
   // visible schema: data + hive partition columns, MINUS hidden-layout
   // directories (their pruning still runs in listFiles)
-  override def schema(): StructType =
+  override def schema(): StructType = {
+    val base = baseSchema()
+    if (cdcSchema) StructType(base.fields ++ GraftCdc.feedFields) else base
+  }
+
+  private def baseSchema(): StructType =
     if (isEmpty)
       sidecar.map(_._1).getOrElse(throw new IllegalStateException(
         s"table at $dir has no committed versions and no declared schema"))
@@ -270,6 +280,7 @@ class GraftTable(spark: SparkSession, dir: String,
   // row-level delta write. Delta Lake's merge autoMerge role.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
@@ -309,8 +320,24 @@ class GraftTable(spark: SparkSession, dir: String,
     m
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    scanBuilder(options, forceWrapper = false)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (options.getBoolean("readChangeFeed", false)) {
+      require(version.isEmpty && asOfTimestamp.isEmpty,
+        s"readChangeFeed cannot target a time-travel-pinned snapshot of $dir")
+      val full =
+        if (cdcSchema) schema()
+        else StructType(baseSchema().fields ++ GraftCdc.feedFields)
+      return new GraftCdcScanBuilder(spark, dir, full, options)
+    }
+    scanBuilder(options, forceWrapper = false) match {
+      case e: GraftEmptyScan => e // nothing committed: nothing to stream
+      case b => new GraftStreamableScanBuilder(
+        b.asInstanceOf[ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+          with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters],
+        spark, dir, options)
+    }
+  }
 
   /** The row-level-operation read path: ALWAYS the
     * [[GraftMorScanBuilder]] wrapper so the `_file`/`_pos` row-ID
@@ -489,7 +516,8 @@ class GraftSource extends TableProvider
       throw new IllegalArgumentException("graft: missing path (use .load(dir))"))
     new GraftTable(SparkSession.active, path,
       Option(options.get("versionAsOf")).map(_.toLong),
-      Option(options.get("timestampAsOf")).map(_.toLong))
+      Option(options.get("timestampAsOf")).map(_.toLong),
+      cdcSchema = options.getBoolean("readChangeFeed", false))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -1,18 +1,37 @@
 package graft.sources
 
+import java.util
+
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.TableLog
 
 /** TableLog as a STREAMING SOURCE — the Delta streaming-source role:
   * `readStream.format("graft.sources.TableLogStreamProvider")
   * .option("path", dir)` tails the commit log, emitting each version's
-  * newly-added files as a micro-batch.
+  * newly-added files as a micro-batch; add
+  * `.option("readChangeFeed", "true")` for typed change rows instead.
+  *
+  * This class is BOTH a DSv2 [[TableProvider]] and a V1
+  * [[StreamSourceProvider]]. Spark prefers the V2 face for streaming —
+  * the returned [[GraftTable]] advertises `MICRO_BATCH_READ`, so every
+  * query through this format name runs the DSv2
+  * [[GraftAppendMicroBatchStream]] / [[GraftCdcMicroBatchStream]]
+  * (admission control, `Trigger.AvailableNow` catch-up semantics, stock
+  * parquet partition readers — see [[GraftStreamPlanner]]). The V1
+  * `Source` below remains ONLY as the fallback Spark uses when the class
+  * is listed in `spark.sql.streaming.disabledV2MicroBatchReaders`, and it
+  * serves just the append tail — the change feed is V2-only, because the
+  * V1 contract cannot bound `maxVersionsPerTrigger` per batch under
+  * AvailableNow and needs a private-API doorway to return non-file-scan
+  * batches.
   *
   * Offsets are VERSION NUMBERS: the log is the single source of truth,
   * manifests are immutable once committed, and a batch is re-derivable
@@ -21,34 +40,42 @@ import graft.core.TableLog
   * exactly-once SINK gate proves from the other side; keep `vacuum`'s
   * retention above the checkpoint horizon).
   *
-  * A batch's DataFrame is a [[TableLogFileIndex]]-backed relation over
-  * ONLY the files the offset range added, wrapped as a STREAMING logical
-  * relation — the stock vectorized parquet read path, zero custom row
-  * decoding, partition columns re-derived, hidden layout columns
-  * dropped.
-  *
   * Append-only contract (Delta's): a version that REMOVES files
   * (overwrite, delete, compaction) or adds deletion vectors breaks the
   * stream with an explanatory error unless `skipChangeCommits=true`, in
   * which case change commits contribute only their ADDED files (their
   * removals/dvs are ignored) — matching Delta's option of the same name.
-  * Note compaction rewrites count as changes: already-emitted rows are
-  * NOT re-emitted, new layout files of the same rows are skipped only
-  * under skipChangeCommits=false erroring, so schedule OPTIMIZE outside
-  * live tailing or accept skipChangeCommits' semantics.
   *
   * SCALE: per-batch planning is two manifest reads + a set difference;
   * state is ONE long in the checkpoint. No directory listing ever
   * happens — the log says what is new, which is the entire point of a
   * log-structured table format under a streaming reader at 100 TB.
   */
-class TableLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TableLogStreamProvider extends StreamSourceProvider
+  with DataSourceRegister with TableProvider {
 
   override def shortName(): String = "graft-tablelog"
 
   private def dirOf(params: Map[String, String]): String =
     params.getOrElse("path", throw new IllegalArgumentException(
       "graft-tablelog source requires .option(\"path\", <table dir>)"))
+
+  // ---- DSv2 face (the one streaming queries actually take) ----
+
+  private def tableFor(options: CaseInsensitiveStringMap): GraftTable =
+    new GraftTable(SparkSession.active,
+      Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+        "graft-tablelog source requires .option(\"path\", <table dir>)")),
+      None, None, cdcSchema = options.getBoolean("readChangeFeed", false))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    tableFor(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    tableFor(new CaseInsensitiveStringMap(properties))
+
+  // ---- V1 fallback (append tail only) ----
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
@@ -57,27 +84,17 @@ class TableLogStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val dir = dirOf(parameters)
     val s = schema.getOrElse(
       TableLog.read(ctx.sparkSession, dir).schema)
-    if (parameters.getOrElse("readChangeFeed", "false").toBoolean)
-      (s"graft-tablelog-cdf:$dir", StructType(s.fields ++ Seq(
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType))))
-    else (s"graft-tablelog:$dir", s)
+    (s"graft-tablelog:$dir", s)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     if (parameters.getOrElse("readChangeFeed", "false").toBoolean)
-      new TableLogCdcSource(ctx.sparkSession, dirOf(parameters),
-        sourceSchema(ctx, schema, providerName, parameters)._2,
-        keys = parameters.get("keys").toSeq
-          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
-        startingVersion =
-          parameters.getOrElse("startingVersion", "0").toLong,
-        maxVersionsPerTrigger =
-          parameters.get("maxVersionsPerTrigger").map(_.toInt))
+      throw new UnsupportedOperationException(
+        "the change feed streams through the DSv2 micro-batch reader " +
+          "only; remove this class from " +
+          "spark.sql.streaming.disabledV2MicroBatchReaders")
     else
       new TableLogStreamSource(ctx.sparkSession, dirOf(parameters),
         sourceSchema(ctx, schema, providerName, parameters)._2,
@@ -113,10 +130,13 @@ class TableLogStreamSource(
     * role at version granularity): advance at most k versions past the
     * last served batch, stepping only onto RETAINED manifests so a
     * vacuumed prefix can never strand the cursor. Under a repeating
-    * trigger the cursor drains to the tip batch by batch; under
+    * trigger the cursor drains to the tip batch by batch. KNOWN V1
+    * LIMITATION (the reason the DSv2 face above is the default): under
     * `Trigger.AvailableNow` the V1 contract snapshots this offset ONCE,
     * so a rate-capped run processes one bounded window per invocation
-    * (checkpoint-consistent — rerun to continue).
+    * (checkpoint-consistent — rerun to continue); the DSv2 stream's
+    * [[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]
+    * applies the cap per micro-batch while draining to the pinned tip.
     */
   override def getOffset: Option[Offset] = {
     val vs = TableLog.versions(spark, dir)
@@ -182,84 +202,6 @@ class TableLogStreamSource(
     val unhidden = hidden.foldLeft(df)((d, c) => d.drop(c))
     TableLog.toLogical(unhidden, meta,
       passthrough = partSchema.fieldNames.toSeq.filterNot(hidden))
-  }
-
-  override def stop(): Unit = ()
-}
-
-/** TableLog's CHANGE FEED as a streaming source — the Delta
-  * `readChangeFeed` streaming role: `.option("readChangeFeed", "true")`
-  * turns each micro-batch into [[TableLog.changes]] rows over the batch's
-  * version window, i.e. typed `_change_type` / `_commit_version` rows for
-  * every data-change commit — inserts AND row-level UPDATE / MERGE /
-  * DELETE — instead of the append-only file tail. This is the incremental
-  * SCD2 / gold consumer's upgrade path at 100 TB: the reference's
-  * medallion consumers (src/utils/scd_type2.py:111-226) re-merge full
-  * snapshots every run; a CDC subscriber pays O(changed rows) per
-  * trigger.
-  *
-  * Offsets are VERSION NUMBERS, exactly like the append source: a batch
-  * is `changes(start, end]`, re-derivable from the immutable log, so
-  * checkpoint recovery replays precisely the unprocessed versions —
-  * exactly-once without any source-side state beyond one long.
-  *
-  * Options: `keys` (comma-separated business key) enables exact
-  * update/insert/delete classification and no-op suppression (see
-  * [[TableLog.changes]]); `startingVersion` (default 0 = full history as
-  * inserts; Delta's streaming CDF defaults to latest-only — pass the
-  * current tip for that behavior); `maxVersionsPerTrigger` rate-limits
-  * catch-up. Vacuumed windows are refused up front by changes()'s
-  * retention guard — keep vacuum's keepVersions above the checkpoint
-  * horizon.
-  *
-  * SCALE: per-trigger planning is the window's manifest deltas (driver
-  * strings, snapshot-cached); the data read is the window's changed
-  * files only. A long catch-up window batches its insert-only commits
-  * into one scan per schema era (changes()'s wide-window path), so
-  * recovery after downtime does not plan one union branch per missed
-  * commit.
-  */
-class TableLogCdcSource(
-    spark: SparkSession,
-    dir: String,
-    override val schema: StructType,
-    keys: Seq[String],
-    startingVersion: Long,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
-
-  private def version(o: Offset): Long = o match {
-    case LongOffset(v)       => v
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => throw new IllegalStateException(s"unexpected offset $other")
-  }
-
-  private var lastEnd: Option[Long] = None
-
-  override def getOffset: Option[Offset] = {
-    val vs = TableLog.versions(spark, dir)
-    vs.lastOption.map { tip =>
-      val capped = maxVersionsPerTrigger match {
-        case Some(k) =>
-          val from = lastEnd.getOrElse(startingVersion)
-          vs.filter(_ > from).take(k).lastOption.getOrElse(from)
-        case None => tip
-      }
-      LongOffset(math.max(capped, startingVersion))
-    }
-  }
-
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val sv = start.map(version).getOrElse(startingVersion)
-    val ev = version(end)
-    lastEnd = Some(ev)
-    val batch =
-      if (ev <= sv) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else TableLog.changes(spark, dir, sv, ev, keys)
-    // align to the declared column order, then wrap as a streaming frame
-    // (V1 getBatch contract) — the plan compiles here, runs per trigger
-    val aligned = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    org.apache.spark.sql.graftshim.GraftShim.asStreaming(spark, aligned)
   }
 
   override def stop(): Unit = ()

@@ -17,18 +17,4 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
-
-  /** Wrap an arbitrary BATCH DataFrame as a streaming one (isStreaming =
-    * true) for a V1 `Source.getBatch` return value — the change-feed
-    * source's batches are multi-join reconstructions over the commit
-    * log, not single file scans, and MicroBatchExecution asserts the
-    * returned frame is streaming. Same `LogicalRDD.fromDataset` doorway
-    * Delta's CDF source crosses for exactly this reason; the batch plan
-    * is compiled here, executed when the micro-batch runs.
-    */
-  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
-    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD.fromDataset(
-      ds.queryExecution.toRdd, ds, isStreaming = true))
-  }
 }
