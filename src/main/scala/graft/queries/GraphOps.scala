@@ -33,7 +33,7 @@ object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Fixed iteration count — parity with the unrolled oracle. */
-  private val Iters = 5
+  private[queries] val Iters = 5
   private val TopN = 25
 
   // ------------------------------------------------- join-geometry switch
@@ -295,7 +295,7 @@ object GraphOps {
 
   // --------------------------------------------- label propagation (LPA)
 
-  private val LpaIters = 3
+  private[queries] val LpaIters = 3
   private val LpaTop = 15
 
   /** Community detection by synchronous label propagation over the
@@ -374,7 +374,7 @@ object GraphOps {
   }
 
   /** Co-purchase edge list shared by the census and LPA gates. */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val lp = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     lp.as("a").join(lp.as("b"),
@@ -451,7 +451,7 @@ object GraphOps {
   // --------------------------------------------- weighted shortest paths
 
   /** Bounded Bellman-Ford rounds — parity with the unrolled oracle. */
-  private val SsspRounds = 4
+  private[queries] val SsspRounds = 4
 
   /** The trading graph with an integer edge weight derived from the raw
     * business keys (`1 + (custkey + suppkey) % 7`, symmetric by
@@ -459,7 +459,7 @@ object GraphOps {
     * and varied enough that weighted distances genuinely diverge from hop
     * counts ([[bfsLevels]]).
     */
-  private def weightedTradingEdges(s: SparkSession, d: String,
+  private[queries] def weightedTradingEdges(s: SparkSession, d: String,
                                    copart: Boolean): DataFrame = {
     val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
@@ -560,8 +560,8 @@ object GraphOps {
     * gate's own evidence — `n_nodes` per degree bin shifts if round 3
     * still peeled anyone a 4th round would).
     */
-  private val CoreK = 3
-  private val PeelRounds = 3
+  private[queries] val CoreK = 3
+  private[queries] val PeelRounds = 3
 
   def kcore: Q = (s, d) => kcoreWith(s, d, copartitionMode(s, d))
 
