@@ -45,6 +45,9 @@ object Session {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // MERGE targets get runtime source-key pruning (SQL-only surface, so
+    // no API entry point exists to self-register it the way asof() does)
+    graft.plans.MergeRuntimeFiltering.register(spark)
     spark
   }
 
@@ -57,6 +60,7 @@ object Session {
     // whole-plan extensions ride experimental.* on live sessions (the
     // extensions-class route needs to be present at session build)
     graft.plans.AsOfJoin.register(spark)
+    graft.plans.MergeRuntimeFiltering.register(spark)
     spark
   }
 }

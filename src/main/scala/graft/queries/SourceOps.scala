@@ -1457,6 +1457,54 @@ object SourceOps {
   // serving mechanism differs, which is exactly the point
   val tableLogCdfMatSql: String = tableLogCdcDmlSql
 
+  /** Dynamic partition pruning through the graft catalog door — the
+    * 100 TB star-join shape (partitioned fact ⋈ filtered dim; the
+    * reference's gold fact table is written exactly so — reference:
+    * src/gold/facts/fact_adverse_events.py:325-327). Spark's own DSv2
+    * FileScan never implements `SupportsRuntimeFiltering`, so
+    * [[graft.sources.GraftRuntimePrune]] adds it: at execution time the
+    * dim's surviving join keys prune fact partitions/files from the
+    * manifest before they are planned. The gate pins the SEMANTICS
+    * (runtime pruning must lose no rows and invent none — hash vs the
+    * raw-table oracle); GraftDppSpec pins the file-level pruning itself.
+    */
+  def tableLogDpp: Q = (s, d) => {
+    val hex = java.lang.Integer.toHexString(d.hashCode)
+    val wh = Scratch.dir("tlogdpp_" + hex)
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val cat = "graft_dpp_" + hex
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val dir = s"$wh/gold/fact"
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.core.TableLog.append(s, dir, o.repartition(col("o_orderstatus")),
+      partitionBy = Seq("o_orderstatus"))
+    // FILE-backed dim (a LocalRelation would constant-fold its filter
+    // away and no DPP subquery gets planned): distinct statuses + flag
+    o.select(col("o_orderstatus")).distinct()
+      .withColumn("is_final", col("o_orderstatus") === "F")
+      .write.mode("overwrite").parquet(s"$wh/dim_status")
+    s.read.parquet(s"$wh/dim_status")
+      .createOrReplaceTempView(s"dpp_dim_$hex")
+    s.sql(
+      s"""SELECT f.o_orderstatus, count(*) AS n_orders,
+         |  ${Num.moneySumSql("f.o_totalprice")} AS revenue
+         |FROM $cat.gold.fact f
+         |JOIN dpp_dim_$hex d ON f.o_orderstatus = d.o_orderstatus
+         |WHERE d.is_final
+         |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin)
+  }
+
+  val tableLogDppSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+      |  ${Num.moneySumSql("o_totalprice")} AS revenue
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** The change feed CONSUMED AS A STREAM — the Delta `readChangeFeed`
     * streaming-source role (round-9 verdict ask 3): the same UPDATE +
     * MERGE window as [[tableLogCdcDml]], but delivered through
@@ -1721,6 +1769,7 @@ object SourceOps {
     "q_table_log_cdc" -> tableLogCdc,
     "q_table_log_cdc_dml" -> tableLogCdcDml,
     "q_table_log_cdf_mat" -> tableLogCdfMat,
+    "q_table_log_dpp" -> tableLogDpp,
     "q_stream_cdc" -> streamCdc,
     "q_table_log_restore" -> tableLogRestore,
     "q_table_log_ckpt" -> tableLogCkpt,
@@ -1757,6 +1806,7 @@ object SourceOps {
     "q_table_log_cdc" -> tableLogCdcSql,
     "q_table_log_cdc_dml" -> tableLogCdcDmlSql,
     "q_table_log_cdf_mat" -> tableLogCdfMatSql,
+    "q_table_log_dpp" -> tableLogDppSql,
     "q_stream_cdc" -> streamCdcSql,
     "q_table_log_restore" -> tableLogRestoreSql,
     "q_table_log_ckpt" -> tableLogCkptSql,

@@ -98,11 +98,27 @@ class TableLogSnapshotIndex(spark: SparkSession, inner: TableLogFileIndex,
       d -> es.map { case (rel, len, mod) => statusOf(rel, len, mod) }.toArray
     }
 
+  // RUNTIME (dynamic) filters, installed mid-execution by
+  // [[GraftStreamableScan.filter]] once a DPP subquery's build side has
+  // materialized — see [[GraftRuntimePrune]]. They ride the same two
+  // listFiles channels the static filters use, so partition pruning,
+  // hidden-transform pruning, and #stats= skipping all re-engage with
+  // the runtime values. Append-only per scan (each query plans over a
+  // fresh GraftTable, so the index is never shared across queries).
+  @volatile private var rtPartFilters: Seq[Expression] = Nil
+  @volatile private var rtDataFilters: Seq[Expression] = Nil
+  private[sources] def addRuntimeFilters(part: Seq[Expression],
+                                         data: Seq[Expression]): Unit = {
+    rtPartFilters ++= part
+    rtDataFilters ++= data
+  }
+
   // the whole point: pruning + stats skipping + hidden-partitioning
   // transforms answer from the manifest, identically to the V1 path
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    inner.listFiles(partitionFilters, dataFilters)
+    inner.listFiles(partitionFilters ++ rtPartFilters,
+      dataFilters ++ rtDataFilters)
 
   override def refresh(): Unit = ()
 
@@ -330,12 +346,12 @@ class GraftTable(spark: SparkSession, dir: String,
       return new GraftCdcScanBuilder(spark, dir, full, options)
     }
     scanBuilder(options, forceWrapper = false) match {
-      case e: GraftEmptyScan => e // nothing committed: nothing to stream
-      case b => new GraftStreamableScanBuilder(
+      case (e: GraftEmptyScan, _) => e // nothing committed: nothing to stream
+      case (b, pruneCtx) => new GraftStreamableScanBuilder(
         b.asInstanceOf[ScanBuilder
           with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
           with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters],
-        spark, dir, options)
+        spark, dir, options, pruneCtx)
     }
   }
 
@@ -346,18 +362,32 @@ class GraftTable(spark: SparkSession, dir: String,
     * lineage are in play).
     */
   private[sources] def lineageScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    scanBuilder(options, forceWrapper = true)
+    scanBuilder(options, forceWrapper = true) match {
+      case (e: GraftEmptyScan, _) => e
+      // same runtime-filtering wrapper as the read path: a MERGE/UPDATE
+      // whose ON key is a partition column (or hidden-transform source)
+      // gets its TARGET scan pruned by the source's join keys at
+      // execution time — a daily MERGE into a 100 TB partitioned table
+      // reads the touched partitions, not the table
+      case (b, ctx) => new GraftStreamableScanBuilder(
+        b.asInstanceOf[ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+          with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters],
+        spark, dir, options, ctx)
+    }
 
   private def scanBuilder(options: CaseInsensitiveStringMap,
-                          forceWrapper: Boolean): ScanBuilder = {
-    if (isEmpty) return new GraftEmptyScan(schema())
+                          forceWrapper: Boolean)
+      : (ScanBuilder, Option[GraftRuntimePruneCtx]) = {
+    if (isEmpty) return (new GraftEmptyScan(schema()), None)
     val hasDeletes = graft.core.TableLog.dvFiles(lines).nonEmpty ||
       graft.core.TableLog.eqLines(lines).nonEmpty
     val snapIdx = new TableLogSnapshotIndex(spark, index, entries, dir)
     // inner scans run fully in ON-DISK (physical) names; the mapping
     // wrapper below translates at the plan boundary when any column was
     // renamed (rows are positional — zero per-row cost)
-    val hidden = graft.core.TableLog.layoutTransforms(lines).map(_.dirCol).toSet
+    val transforms = graft.core.TableLog.layoutTransforms(lines)
+    val hidden = transforms.map(_.dirCol).toSet
     val physVisible = StructType(physDataSchema.fields ++
       index.partitionSchema.fields.filterNot(f => hidden.contains(f.name)))
     val innerBuilder: ScanBuilder
@@ -373,8 +403,15 @@ class GraftTable(spark: SparkSession, dir: String,
         new GraftMorScanBuilder(spark, snapIdx, physVisible, physDataSchema,
           options, dir, qualifiedDir, deletes)
       }
-    if (l2p.isEmpty) innerBuilder
-    else new GraftMappedScanBuilder(innerBuilder, l2p)
+    val pruneCtx = GraftRuntimePruneCtx(
+      snapIdx,
+      index.partitionSchema,
+      index.partitionSchema.fieldNames.toSeq.filterNot(hidden),
+      transforms.map(_.source),
+      l2p, physDataSchema)
+    (if (l2p.isEmpty) innerBuilder
+     else new GraftMappedScanBuilder(innerBuilder, l2p),
+     Some(pruneCtx))
   }
 
   /** Iceberg-named lineage metadata columns: `_file` (manifest-relative

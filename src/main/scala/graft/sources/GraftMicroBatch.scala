@@ -479,7 +479,8 @@ private[sources] class GraftCdcScan(
 private[sources] class GraftStreamableScanBuilder(
     inner: ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownCatalystFilters,
-    spark: SparkSession, dir: String, options: CaseInsensitiveStringMap)
+    spark: SparkSession, dir: String, options: CaseInsensitiveStringMap,
+    pruneCtx: Option[GraftRuntimePruneCtx] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
 
@@ -492,26 +493,41 @@ private[sources] class GraftStreamableScanBuilder(
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
+  // the rebuild thunk re-runs the INNER builder with its accumulated
+  // pushdown state: after runtime filters land in the snapshot index, a
+  // fresh inner scan plans over the PRUNED file set (side-stepping any
+  // partition caching inside the stock FileScan)
   override def build(): Scan =
-    new GraftStreamableScan(inner.build(), spark, dir, options)
+    new GraftStreamableScan(inner.build(), () => inner.build(),
+      spark, dir, options, pruneCtx)
 }
 
 private[sources] class GraftStreamableScan(
-    inner: Scan, spark: SparkSession, dir: String,
-    options: CaseInsensitiveStringMap)
-  extends Scan with SupportsReportStatistics {
+    initial: Scan, rebuild: () => Scan, spark: SparkSession, dir: String,
+    options: CaseInsensitiveStringMap,
+    pruneCtx: Option[GraftRuntimePruneCtx])
+  extends Scan with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
-  override def readSchema(): StructType = inner.readSchema()
+  // swapped by filter(): BatchScanExec re-calls toBatch/planInputPartitions
+  // after runtime filtering, and the fresh inner scan sees the pruned index
+  @volatile private var current: Scan = initial
 
-  override def toBatch: Batch = inner.toBatch
+  override def readSchema(): StructType = initial.readSchema()
 
-  override def description(): String = inner.description()
+  override def toBatch: Batch = current.toBatch
+
+  override def description(): String = current.description()
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    inner.supportedCustomMetrics()
+    initial.supportedCustomMetrics()
 
-  override def estimateStatistics(): Statistics = inner match {
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    current.reportDriverMetrics()
+
+  override def estimateStatistics(): Statistics = current match {
     case s: SupportsReportStatistics => s.estimateStatistics()
     case _ => new Statistics {
       override def sizeInBytes() = java.util.OptionalLong.empty()
@@ -519,8 +535,32 @@ private[sources] class GraftStreamableScan(
     }
   }
 
+  /** Dynamic partition / file pruning (see [[GraftRuntimePrune]]): the
+    * prunable columns, in relation-output (logical) names. Empty when
+    * the table has neither hive partitions nor hidden transforms —
+    * Spark then never inserts a DPP subquery for this scan.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    pruneCtx.map(GraftRuntimePrune.filterAttributes).getOrElse(Array.empty)
+
+  /** Called by `BatchScanExec.filteredPartitions` mid-execution, after
+    * the DPP subquery's build side materialized. Installs the translated
+    * predicates on the snapshot index and swaps in a freshly-built inner
+    * scan, so the engine's follow-up `toBatch.planInputPartitions()`
+    * plans only the surviving files.
+    */
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    pruneCtx.foreach { ctx =>
+      val (part, data) = GraftRuntimePrune.translate(ctx, filters)
+      if (part.nonEmpty || data.nonEmpty) {
+        ctx.index.addRuntimeFilters(part, data)
+        current = rebuild()
+      }
+    }
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftAppendMicroBatchStream(spark, dir, inner.readSchema(), options)
+    new GraftAppendMicroBatchStream(spark, dir, initial.readSchema(), options)
 }
 
 object GraftCdc {
