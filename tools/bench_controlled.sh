@@ -20,7 +20,7 @@ command -v pgrep >/dev/null && pgrep -f "sbt-launch|graft.Verify|duckdb" >/dev/n
 TMP=$(mktemp -d)
 for i in $(seq 1 "$N"); do
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-8g} \
-    tools/run.sh graft.Bench 2>/dev/null | grep '"metric"' > "$TMP/run$i.json"
+    tools/run.sh graft.Bench 2>/dev/null | grep '"queries"' > "$TMP/run$i.json"
   t=$(python3 -c "import json;print(json.load(open('$TMP/run$i.json'))['value'])")
   echo "run $i: ${t}s"
 done
