@@ -17,9 +17,19 @@ object DedupOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** documents ∪ exact copies of every doc_id % mod == 0 (id offset 100000). */
-  private def corpusExact(s: SparkSession, d: String, mod: Int): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+  /** documents ∪ exact copies of every doc_id % mod == 0 (id offset 100000).
+    *
+    * `spread = true` hash-repartitions the unsplittable single-file scan by
+    * doc_id before the union (guide §2.5 input skew; no-op at scale by the
+    * metadata size test — see core.Spread). Opt-in per query: only worth
+    * the extra exchange where the downstream per-doc kernel work dominates.
+    */
+  private def corpusExact(s: SparkSession, d: String, mod: Int,
+                          spread: Boolean = false): DataFrame = {
+    val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val docs = if (spread)
+      docs0.transform(graft.core.Spread.pinByKey(s, d, Seq("documents"), Seq(col("doc_id"))))
+    else docs0
     docs.unionByName(
       docs.filter(col("doc_id") % mod === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("lang"), col("text")))
@@ -32,8 +42,12 @@ object DedupOps {
       |  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % $mod = 0)""".stripMargin
 
   /** documents ∪ near-dup copies (last 5 tokens dropped) of doc_id % mod == 0. */
-  private def corpusNear(s: SparkSession, d: String, mod: Int): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+  private def corpusNear(s: SparkSession, d: String, mod: Int,
+                         spread: Boolean = false): DataFrame = {
+    val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val docs = if (spread)
+      docs0.transform(graft.core.Spread.pinByKey(s, d, Seq("documents"), Seq(col("doc_id"))))
+    else docs0
     val toks = TA.tokens(col("text"))
     val trunc = array_join(slice(toks, lit(1), greatest(size(toks) - 5, lit(3))), " ")
     docs.unionByName(
@@ -301,7 +315,7 @@ object DedupOps {
     * pairs → 2.9 M results, minutes on 32 cores, no pathological spill.
     */
   def dedupNgramJaccard: Q = (s, d) =>
-    Dedup.ngramJaccardPairs(corpusNear(s, d, 7), "doc_id", "text",
+    Dedup.ngramJaccardPairs(corpusNear(s, d, 7, spread = true), "doc_id", "text",
       blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -374,10 +388,10 @@ object DedupOps {
     */
   def dedupContainment: Q = (s, d) =>
     (if (ssjoinPrefixMode(s, d))
-       Dedup.ngramContainmentPairsPrefix(corpusNear(s, d, 7), "doc_id", "text",
+       Dedup.ngramContainmentPairsPrefix(corpusNear(s, d, 7, spread = true), "doc_id", "text",
          blockCols = Seq("lang"), shingleN = 3, minContainment = 0.8)
      else
-       Dedup.ngramContainmentPairs(corpusNear(s, d, 7), "doc_id", "text",
+       Dedup.ngramContainmentPairs(corpusNear(s, d, 7, spread = true), "doc_id", "text",
          blockCols = Seq("lang"), shingleN = 3, minContainment = 0.8))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -418,7 +432,7 @@ object DedupOps {
   def commonSubstrings: Q = (s, d) => {
     // materialized once: the fingerprint stream feeds the df table AND both
     // join sides — without the checkpoint the winnowing recomputes 4x
-    val fp = TA.withWinnowFingerprintsNative(corpusNear(s, d, 7),
+    val fp = TA.withWinnowFingerprintsNative(corpusNear(s, d, 7, spread = true),
         "text", k = 3, w = 4, out = "fps")
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .transform(graft.core.Checkpoint.apply)
@@ -460,8 +474,12 @@ object DedupOps {
     * clear J ≥ 0.3, orig~quarter (J ≈ 0.25) does NOT — so clusters require
     * transitivity, which is exactly what connectedComponents adds.
     */
-  private def corpusChain(s: SparkSession, d: String, mod: Int): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+  private def corpusChain(s: SparkSession, d: String, mod: Int,
+                          spread: Boolean = false): DataFrame = {
+    val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val docs = if (spread)
+      docs0.transform(graft.core.Spread.pinByKey(s, d, Seq("documents"), Seq(col("doc_id"))))
+    else docs0
     val toks = TA.tokens(col("text"))
     def cut(div: Int) =
       array_join(slice(toks, lit(1), greatest((size(toks) / div).cast("int"), lit(3))), " ")
@@ -491,7 +509,7 @@ object DedupOps {
     * canonical member per cluster. (Component id = min doc_id reachable.)
     */
   def dupClusters: Q = (s, d) => {
-    val pairs = Dedup.ngramJaccardPairs(corpusChain(s, d, 7), "doc_id", "text",
+    val pairs = Dedup.ngramJaccardPairs(corpusChain(s, d, 7, spread = true), "doc_id", "text",
       blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
     Dedup.connectedComponents(pairs, "id_a", "id_b")
       .groupBy(col("component"))
@@ -535,7 +553,7 @@ object DedupOps {
     * sort window — over the O(duplicated docs) component table.
     */
   def canonicalDocs: Q = (s, d) => {
-    val corpus = corpusChain(s, d, 7)
+    val corpus = corpusChain(s, d, 7, spread = true)
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -603,7 +621,7 @@ object DedupOps {
     * itself is scan-side md5 arithmetic.
     */
   def leakageSplit: Q = (s, d) => {
-    val corpus = corpusChain(s, d, 7)
+    val corpus = corpusChain(s, d, 7, spread = true)
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       blockCols = Seq("lang"), shingleN = 3, minJaccard = 0.3)
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -901,6 +919,10 @@ object DedupOps {
     // collision — ~(anchors²)/2⁶¹, negligible — would be the SAME merge on
     // both sides, never an oracle mismatch.
     val pos = Tables.documents(s, d)
+      // spread the single-file scan: the fused shingle-hash kernel below is
+      // the query's dominant cost and otherwise runs in ONE task (measured
+      // r11: 4.0 s -> 1.3 s at sf0.1)
+      .transform(graft.core.Spread.byKey(s, d, Seq("documents"), Seq(col("doc_id"))))
       .select(col("doc_id"), size(TA.tokens(col("text"))).as("n"),
         posexplode(call_function("graft_shingle_hashes", col("text"), lit(L))))
       .filter(col("n") > 0) // empty docs contribute one ""-shingle; drop them

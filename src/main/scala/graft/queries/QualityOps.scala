@@ -36,14 +36,28 @@ object QualityOps {
   def dataProfile: Q = (s, d) => {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
-    val aggs = cols.flatMap { c =>
+    val o = Tables.orders(s, d).select(cols.map(col): _*)
+      .transform(graft.core.Spread.bySize(s, d, Seq("orders")))
+    // nulls + exact distincts in one pass: all-long agg buffers keep the
+    // multi-distinct Expand rewrite in HashAggregate. min/max run as a
+    // SEPARATE grouping-free pass because min/max over var-length types
+    // (strings here) have immutable buffers, and fusing them into the
+    // Expand pass demoted the WHOLE aggregate to SortAggregate — a 7-key
+    // sort of 7x the row count that only gets worse with scale (measured
+    // r11: 3.4 s -> 0.9 s at sf0.1; the extra pass costs 1/7th of the
+    // Expand pass's rows at any SF).
+    val cntAggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
+        countDistinct(col(c)).as(s"${c}__distinct"))
+    }
+    val mmAggs = cols.flatMap { c =>
+      Seq(
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val wide = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    val wide = o.agg(cntAggs.head, cntAggs.tail: _*)
+      .crossJoin(o.agg(mmAggs.head, mmAggs.tail: _*))
     // long form via stack() over the single wide row — a per-column
     // union of selects would re-evaluate the aggregate once per column
     // (6 scans of orders at 100 TB); stack is a generator over the one
@@ -97,7 +111,9 @@ object QualityOps {
         sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
         Sketches.kmv(Hashing.md5Long(canon(c)), K).as(s"${c}__kmv"))
     }
-    val wide = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    val wide = Tables.orders(s, d)
+      .transform(graft.core.Spread.bySize(s, d, Seq("orders")))
+      .agg(aggs.head, aggs.tail: _*)
       .select(lit(1).as("_one") +: cols.flatMap(c => Seq(
         col(s"${c}__nulls"),
         Sketches.kmvEstimate(col(s"${c}__kmv"), K).as(s"${c}__approx"))): _*)
@@ -206,9 +222,13 @@ object QualityOps {
     * pattern) — the shape stays scan + tiny-join + count.
     */
   def madOutliers: Q = (s, d) => {
+    // spread the unsplittable single-row-group scan so the percentile
+    // partials (the dominant cost: per-partition value collection) run on
+    // every core instead of one (guide §2.5; no-op at scale by size test)
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"),
         (Num.cents(col("l_extendedprice")) * 2).as("c2"))
+      .transform(graft.core.Spread.bySize(s, d, Seq("lineitem")))
     val med = li.groupBy(col("l_returnflag"))
       .agg(expr("percentile(c2, 0.5)").as("med2"))
     val mad = li.join(broadcast(med), "l_returnflag")
@@ -256,6 +276,7 @@ object QualityOps {
   def winsorize: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), Num.cents(col("l_extendedprice")).as("pc"))
+      .transform(graft.core.Spread.bySize(s, d, Seq("lineitem")))
     val bounds = li.groupBy(col("l_returnflag"))
       .agg(expr("percentile(pc, array(0.0625, 0.9375))").as("bs"))
       .select(col("l_returnflag"),
