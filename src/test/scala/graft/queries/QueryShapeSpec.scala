@@ -101,14 +101,15 @@ class QueryShapeSpec extends SparkSpec {
     assert(r.getInt(2) == v.count(_ > 0))
   }
 
-  test("data profile is one pass: a single aggregate scan feeds every column's stats") {
-    // the wide agg row scans orders ONCE; the stack() unpivot is a
-    // generator over that one aggregated row — exactly one scan of orders
-    // in the whole profile plan (the old union-of-selects form evaluated
-    // the aggregate once per column: 6 scans at 100 TB)
+  test("data profile is two passes: counts stay in the Expand HashAggregate, min/max split out") {
+    // one scan feeds the nulls+distincts Expand aggregate, a second feeds
+    // the grouping-free string min/max pass (fusing them demoted the whole
+    // aggregate to SortAggregate — a 7-key sort of 7x the rows). Still
+    // column-independent: the old union-of-selects form evaluated the
+    // aggregate once per column (6 scans at 100 TB)
     val plan = QualityOps.dataProfile(spark, sf).queryExecution.optimizedPlan.toString
     val scans = plan.linesIterator.count(_.contains("Relation"))
-    assert(scans == 1, s"profile re-scans orders per column:\n$plan")
+    assert(scans == 2, s"profile scan count drifted from the two-pass split:\n$plan")
   }
 
   test("funnel stage chain reuses the user_id partitioning between stages") {
