@@ -34,6 +34,22 @@ object BenchPipeline {
       println(f"[stage] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // GRAFT_PIPE_WARM=1: run epoch 1 once untimed (JIT/codegen warm-up —
+    // the bench's pipeline entry runs after three full query passes in the
+    // same JVM), wipe, then measure — the numbers then match the bench's
+    // measurement context instead of a cold JVM's.
+    if (sys.env.contains("GRAFT_PIPE_WARM")) {
+      graft.faers.Pipeline.initDatabases(spark)
+      graft.faers.Pipeline.runBronze(spark, landing, 25, 1, clock)
+      graft.faers.Pipeline.runSilver(spark, clock)
+      graft.faers.Pipeline.runGold(spark, scd, Some(scd.today))
+      Seq("bronze", "silver", "gold").foreach { db =>
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        graft.queries.Scratch.wipe(
+          graft.queries.Scratch.dir("bench_warehouse") + s"/$db.db")
+      }
+      println("[stage] warm-up epoch done")
+    }
     graft.faers.Pipeline.initDatabases(spark)
     timed("bronze")(graft.faers.Pipeline.runBronze(spark, landing, 25, 1, clock))
     timed("silver")(graft.faers.Pipeline.runSilver(spark, clock))

@@ -39,6 +39,8 @@ object Profile {
     }
     val stages = mutable.LinkedHashMap[Int, St]()
     val stageJob = mutable.HashMap[Int, (Int, String)]()
+    case class Jb(desc: String, started: Long) { var ended: Long = 0 }
+    val jobs = mutable.LinkedHashMap[Int, Jb]()
     var collecting = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -48,7 +50,12 @@ object Profile {
             .orElse(Option(e.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
             .getOrElse("")
+          jobs(e.jobId) = Jb(desc, System.nanoTime())
           e.stageIds.foreach(sid => stageJob(sid) = (e.jobId, desc))
+        }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        if (collecting) stages.synchronized {
+          jobs.get(e.jobId).foreach(_.ended = System.nanoTime())
         }
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         if (collecting) stages.synchronized {
@@ -89,6 +96,38 @@ object Profile {
           // let straggler stage-completed events drain
           Thread.sleep(200)
           collecting = false
+          // per-job account: count, in-job wall, inter-job gaps (driver
+          // planning / fs / collect), grouped by job description so
+          // repeated per-commit work shows up as one aggregate line
+          val jsnap = stages.synchronized(jobs.toSeq.sortBy(_._1))
+          if (jsnap.nonEmpty && sys.env.contains("GRAFT_PROFILE_JOBS")) {
+            val ended = jsnap.filter(_._2.ended > 0)
+            val inJob = ended.map(j => (j._2.ended - j._2.started) / 1e9).sum
+            val gaps = jsnap.sliding(2).collect {
+              case Seq((_, a), (_, b)) if a.ended > 0 && b.started > a.ended =>
+                (b.started - a.ended) / 1e9
+            }.sum
+            println(f"  ${jsnap.size} jobs, ? in-job = $inJob%.3f s, ? inter-job gaps = $gaps%.3f s")
+            // jobs carry no description under the noop sink; fall back to
+            // the job's first stage's callsite name
+            val snapStages = stages.synchronized(stages.toSeq)
+            val jobName: Map[Int, String] = snapStages
+              .flatMap { case (sid, st) =>
+                stageJob.get(sid).map { case (jid, _) => (jid, st.name) } }
+              .groupBy(_._1).map { case (j, ns) => j -> ns.head._2 }
+            jsnap.groupBy { case (jid, jb) =>
+                (if (jb.desc.nonEmpty) jb.desc
+                 else jobName.getOrElse(jid, "")).take(60) }.toSeq
+              .map { case (d, js) =>
+                (d, js.size, js.map(j =>
+                  if (j._2.ended > 0) (j._2.ended - j._2.started) / 1e9 else 0.0).sum)
+              }
+              .sortBy(-_._3).take(14)
+              .foreach { case (d, n, t) =>
+                println(f"    jobs=$n%3d  $t%7.3f s  ${if (d.isEmpty) "(unlabeled)" else d}")
+              }
+          }
+          stages.synchronized(jobs.clear())
           println(f"%n=== $name  wall=$wall%.3f s ===")
           val snap = stages.synchronized(stages.toSeq)
           val totalStage = snap.map { case (_, s) =>

@@ -75,6 +75,34 @@ object Spread {
     ifSmall(s, dir, tables)(df)(d =>
       Checkpoint(d.repartition(s.sparkContext.defaultParallelism, keys: _*)))
 
+  /** [[bySize]] for inputs whose on-disk size the CALLER already measured
+    * (catalog tables, computed locations) — same gate, same round-robin
+    * spread, no path convention assumed.
+    */
+  def byKnownSize(s: SparkSession, inputBytes: Long)(df: DataFrame): DataFrame =
+    if (s.conf.get(EnabledConf, "auto") == "off" ||
+        inputBytes > s.conf.get(MaxBytesConf, DefaultMaxBytes.toString).toLong)
+      df
+    else df.repartition(s.sparkContext.defaultParallelism)
+
+  /** The WRITE-side counterpart of the scan spread, under the same
+    * metadata gate: a small table about to be written lands as ONE file
+    * per hive partition (keyed form) or one file total (keyless form), so
+    * a following OPTIMIZE pass finds an already-compact layout and skips
+    * its read+rewrite (Maintenance.compact's bin-packing skip). One tiny
+    * exchange of MB-sized data buys back two Spark jobs per table. Above
+    * the gate nothing is planned: at scale writers stay parallel and
+    * OPTIMIZE does its real job.
+    */
+  def packForWrite(s: SparkSession, inputBytes: Long,
+                   keys: Seq[org.apache.spark.sql.Column] = Seq.empty)(
+      df: DataFrame): DataFrame =
+    if (s.conf.get(EnabledConf, "auto") == "off" ||
+        inputBytes > s.conf.get(MaxBytesConf, DefaultMaxBytes.toString).toLong)
+      df
+    else if (keys.isEmpty) df.repartition(1)
+    else df.repartition(keys: _*)
+
   private def ifSmall(s: SparkSession, dir: String, tables: Seq[String])(
       df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     if (s.conf.get(EnabledConf, "auto") == "off") df

@@ -139,6 +139,12 @@ object Pipeline {
     }
   }
 
+  /** Total on-disk bytes of the silver layer — the metadata gate for the
+    * fact write's keyed pack (the fact derives from exactly these tables).
+    */
+  private def silverBytes(spark: SparkSession): Long =
+    Silver.all.keys.map(t => tableSizeBytes(spark, s"silver.$t")).sum
+
   /** On-disk bytes of a catalog table (0 when absent) — the auto dial's
     * size probe; pure filesystem metadata, no scan.
     */
@@ -187,23 +193,55 @@ object Pipeline {
     * scripts run no OPTIMIZE/ANALYZE (silver_demographics.py:83-95);
     * maintenance is a GOLD-layer concern (dim_patient.py:154-157).
     */
+  /** Catalog-table read with scan-parallelism repair: the bench's bronze/
+    * silver tables are one or two single-row-group parquet files, so every
+    * transform pipelined into their scan runs in ONE task regardless of
+    * core count (guide §2.5 input skew — "one huge unsplittable file …
+    * repartition immediately after the read"). Metadata-gated by the
+    * table's on-disk size ([[graft.core.Spread]]): above 1 GiB the input
+    * has real row groups, the scan parallelizes naturally, and no
+    * repartition is ever planned.
+    */
+  private[faers] def readSpread(spark: SparkSession, table: String): DataFrame =
+    graft.core.Spread.byKnownSize(spark, tableSizeBytes(spark, table))(
+      spark.table(table))
+
   def runSilver(spark: SparkSession,
                 fixedClock: Option[java.time.Instant]): Unit =
     inParallel(Silver.all.toSeq) { case (table, transform) =>
-      val latest = Transforms.readLatestPartition(spark, table)
-      transform(latest, fixedClock)
-        .write.mode("overwrite").saveAsTable(s"silver.$table")
+      timed(s"silver.$table") {
+        val latest = Transforms.readLatestPartition(spark, table)
+          .transform(graft.core.Spread.byKnownSize(spark,
+            tableSizeBytes(spark, s"bronze.$table")))
+        transform(latest, fixedClock)
+          .write.mode("overwrite").saveAsTable(s"silver.$table")
+      }
+    }
+
+  /** Per-substage stderr timing for optimization work — enabled by
+    * GRAFT_PIPELINE_TIMING=1, zero-cost otherwise.
+    */
+  private def timed[T](label: String)(f: => T): T =
+    if (!sys.env.contains("GRAFT_PIPELINE_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[gold] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
 
   def runGold(spark: SparkSession, scdClock: ScdClock,
               today: Option[java.sql.Date] = None): Unit = {
-    DimDate.create(spark, today = today)
-      .write.mode("overwrite").saveAsTable("gold.dim_date")
-    optimizeTable(spark, "gold.dim_date") // dim_date.py:182-185
-    spark.sql("ANALYZE TABLE gold.dim_date COMPUTE STATISTICS")
+    timed("dim_date write")(DimDate.create(spark, today = today)
+      .write.mode("overwrite").saveAsTable("gold.dim_date"))
+    timed("dim_date optimize")(
+      optimizeTable(spark, "gold.dim_date")) // dim_date.py:182-185
+    timed("dim_date analyze")(
+      spark.sql("ANALYZE TABLE gold.dim_date COMPUTE STATISTICS"))
 
-    inParallel(Dims.specs) { spec =>
-      val staged = spec.build(spark.table(s"silver.${spec.sourceTable}"))
+    timed("dims (pool)")(inParallel(Dims.specs) { spec =>
+      val staged = spec.build(readSpread(spark, s"silver.${spec.sourceTable}"))
       val fq = s"gold.${spec.name}"
       if (useBucketedScd2(spark, spec.name))
         // bucketed store: merge cost ∝ delta's buckets; the per-bucket
@@ -212,30 +250,56 @@ object Pipeline {
         mergeDimBucketed(spark, spec, staged, scdClock)
       else {
         val target = resolveTable(spark, fq)
+        // pack the MB-sized dim to one file so the OPTIMIZE below skips
+        // its read+rewrite (metadata-gated — at scale writers stay wide)
         val merged = Scd2.applyScdType2Merge(
           target, staged, spec.businessKeys, spec.trackedCols, scdClock)
-        if (target.isEmpty)
-          merged.write.mode("overwrite").saveAsTable(fq)
-        else overwriteViaSwap(spark, merged, fq)
+          .transform(graft.core.Spread.packForWrite(spark,
+            tableSizeBytes(spark, s"silver.${spec.sourceTable}")))
+        timed(s"${spec.name} merge+write")(
+          if (target.isEmpty)
+            merged.write.mode("overwrite").saveAsTable(fq)
+          else overwriteViaSwap(spark, merged, fq))
         // the reference's per-dim OPTIMIZE + ANALYZE (dim_patient.py:154-157)
-        optimizeTable(spark, fq)
-        spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS")
+        timed(s"${spec.name} optimize")(optimizeTable(spark, fq))
+        timed(s"${spec.name} analyze")(
+          spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS"))
       }
-    }
+    })
 
+    // only the PROBE stream needs the parallelism repair — the other six
+    // sides become broadcast builds (each already a parallel scan); the
+    // reactions⋈drug_details pair seeds the probe side whichever the
+    // planner picks as build
     val fact = FactAdverseEvents.create(
-      spark.table("silver.demographics"), spark.table("silver.drug_details"),
-      spark.table("silver.reactions"), spark.table("silver.indications"),
+      spark.table("silver.demographics"),
+      readSpread(spark, "silver.drug_details"),
+      readSpread(spark, "silver.reactions"),
+      spark.table("silver.indications"),
       spark.table("silver.therapy_dates"), spark.table("silver.outcomes"),
       spark.table("silver.reports"), spark.table("gold.dim_date"))
-    fact.write
+    // timing-only decomposition of the fact write (noop pass = compute
+    // cost alone); never runs outside GRAFT_PIPELINE_TIMING sessions
+    if (sys.env.contains("GRAFT_PIPELINE_TIMING"))
+      timed("fact compute (noop)")(
+        fact.write.format("noop").mode("overwrite").save())
+    // keyed pack: one file per (date, country) leaf, so the per-leaf
+    // OPTIMIZE below skips every rewrite (the scan spread above would
+    // otherwise fan 32 writers × ~20 leaves into ~600 small files)
+    val factArranged = fact.transform(graft.core.Spread.packForWrite(spark,
+      silverBytes(spark),
+      Seq(org.apache.spark.sql.functions.col("fact_created_date"),
+        org.apache.spark.sql.functions.col("reporter_country"))))
+    timed("fact write")(factArranged.write
       .partitionBy("fact_created_date", "reporter_country")
       .mode("overwrite")
-      .saveAsTable("gold.fact_adverse_events")
+      .saveAsTable("gold.fact_adverse_events"))
     // fact OPTIMIZE + ANALYZE (fact_adverse_events.py:330-333); per-leaf
     // compaction since the table is partitioned
-    optimizeTable(spark, "gold.fact_adverse_events")
-    spark.sql("ANALYZE TABLE gold.fact_adverse_events COMPUTE STATISTICS")
+    timed("fact optimize")(
+      optimizeTable(spark, "gold.fact_adverse_events"))
+    timed("fact analyze")(
+      spark.sql("ANALYZE TABLE gold.fact_adverse_events COMPUTE STATISTICS"))
   }
 
   /** The reference's analytics job (`generate_adverse_events_analytics`,
