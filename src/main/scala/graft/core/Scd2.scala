@@ -187,8 +187,12 @@ object Scd2 {
   def seedBucketed(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                    dim: DataFrame, businessKeys: Seq[String],
                    nBuckets: Int = 256): Unit = {
+    // explicit width: a bare repartition(col) lets AQE coalesce the
+    // layout exchange to a couple of tasks that then emit the ~256 bucket
+    // files serially; pinning the count keeps writers wide while the
+    // bucket hash still lands each directory's rows in one task
     dim.withColumn("_bucket", keyBucket(businessKeys, nBuckets))
-      .repartition(col("_bucket"))
+      .repartition(spark.sparkContext.defaultParallelism, col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(tablePath)
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -228,7 +232,9 @@ object Scd2 {
     if (!exists) {
       applyScdType2Merge(None, staged, businessKeys, trackedCols, clock)
         .withColumn("_bucket", bucket)
-        .repartition(col("_bucket")) // one file per bucket directory
+        // one file per bucket directory; explicit width so AQE cannot
+        // serialize the 256-file emit into a couple of tasks
+        .repartition(spark.sparkContext.defaultParallelism, col("_bucket"))
         .write.partitionBy("_bucket").mode("overwrite").parquet(tablePath)
       stampLayout(fs, tablePath)
     } else {
@@ -242,7 +248,8 @@ object Scd2 {
       val merged = applyScdType2Merge(Some(slice), staged,
           businessKeys, trackedCols, clock)
         .withColumn("_bucket", bucket)
-        .repartition(col("_bucket")) // one file per rewritten bucket
+        // one file per rewritten bucket, writers kept wide (see above)
+        .repartition(spark.sparkContext.defaultParallelism, col("_bucket"))
       // per-WRITE dynamic mode (not a session conf set/restore): merges
       // run concurrently across dims — a racing restore would flip a
       // sibling's overwrite to static and wipe its untouched buckets

@@ -1024,7 +1024,15 @@ object TableLog {
     val layoutCols = partitionBy ++ transforms.map(_.dirCol)
     val arranged =
       if (optimizeWrite && layoutCols.nonEmpty)
-        derived.repartition(layoutCols.map(col): _*)
+        // EXPLICIT partition count: a bare repartition(cols) lets AQE
+        // coalesce the layout exchange to ~minPartitionSize chunks — at
+        // MB scale that is 2-3 WRITE TASKS serially emitting one file per
+        // directory (measured 1.4 s for ~120 dirs). Pinning the count
+        // keeps writers as wide as the session's parallelism while the
+        // hash-on-layout-values still lands each directory's rows in one
+        // task → still exactly one file per dir per commit.
+        derived.repartition(spark.sparkContext.defaultParallelism,
+          layoutCols.map(col): _*)
       else derived
     val fresh = writeDataFiles(spark, dir, arranged, commitId, layoutCols)
     val stats = collectStats(spark, dir, fresh,
@@ -1076,7 +1084,9 @@ object TableLog {
     val layoutCols = partitionBy ++ transforms.map(_.dirCol)
     val arranged =
       if (optimizeWrite && layoutCols.nonEmpty)
-        derived.repartition(layoutCols.map(col): _*)
+        // explicit count for the same AQE-coalescing reason as [[append]]
+        derived.repartition(spark.sparkContext.defaultParallelism,
+          layoutCols.map(col): _*)
       else derived
     val fresh = writeDataFiles(spark, dir, arranged, commitId, layoutCols)
     val stats = collectStats(spark, dir, fresh,

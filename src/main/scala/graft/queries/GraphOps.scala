@@ -339,11 +339,7 @@ object GraphOps {
       // order a row_number window gives, without the window's per-node
       // sort (two partial-aggregated hash shuffles per round instead of
       // an agg + sort-window pair; 2.3x on sf0.1)
-      labels = e.join(side(copart, labels), col("src") === col("node"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
-        .select(col("dst").as("node"), (-col("m.neg")).as("label"))
+      labels = lpaRound(e, labels, copart)
         .transform(graft.core.Checkpoint.apply)
       i += 1
     }
@@ -351,6 +347,29 @@ object GraphOps {
       .orderBy(col("n_members").desc, col("label").asc)
       .select(col("label").as("community"), col("n_members"))
   }
+
+  /** One synchronous LPA round — package-visible so the plan spec can pin
+    * its exchange count.
+    *
+    * ONE exchange per round, not two: hash(dst) co-locates every row of a
+    * (dst, label) group AND every row of a dst group, so pinning the
+    * partitioning once up front satisfies both group-bys
+    * (HashPartitioning(dst) ⊆ both clusterings) — the count agg and the
+    * argmax then run back-to-back in a single post-shuffle stage. The
+    * two-exchange form bought map-side partial counts, but in the early
+    * rounds labels are near-distinct per edge, so the "partial" stream
+    * was ~the raw stream and the second exchange was pure cost (measured
+    * r11: q_label_propagation 6.8→4.7 s, q_lpa_copart 6.9→4.5 s at
+    * sf0.1/32 cores).
+    */
+  private[queries] def lpaRound(e: DataFrame, labels: DataFrame,
+                                copart: Boolean): DataFrame =
+    e.join(side(copart, labels), col("src") === col("node"))
+      .repartition(col("dst"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+      .select(col("dst").as("node"), (-col("m.neg")).as("label"))
 
   val labelPropagationSql: String = {
     val iters = (1 to LpaIters).map { i =>
@@ -416,7 +435,10 @@ object GraphOps {
       frontier = reached.join(side(copart, levels.select("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(k).as("lvl"))
         .transform(graft.core.Checkpoint.apply)
-      levels = levels.unionByName(frontier).transform(graft.core.Checkpoint.apply)
+      // levels is a UNION of already-checkpointed frontiers: lineage depth
+      // stays O(depth) without re-materializing the whole O(nodes) union
+      // every round (4 checkpoint jobs saved; members are cached blocks)
+      levels = levels.unionByName(frontier)
     }
     levels.groupBy(col("lvl"))
       .agg(count(lit(1)).as("n_nodes"),

@@ -106,6 +106,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(!plan.contains("Broadcast"), s"broadcast in copartition plan:\n$plan")
   }
 
+  test("LPA round plans exactly one shuffle exchange (count agg + argmax share it)") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .transform(graft.core.Checkpoint.apply)
+    val labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .transform(graft.core.Checkpoint.apply)
+    // broadcast mode (what the bench's auto dial picks): the checkpointed
+    // edge list scans, labels broadcast, and the repartition(dst) is the
+    // ROUND'S ONLY shuffle — both group-bys run on its partitioning
+    val plan = GraphOps.lpaRound(e, labels, copart = false)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"LPA round exchange count drifted:\n$plan")
+  }
+
   test("auto mode is size-thresholded on input bytes") {
     val sf = "/root/testdata/sf0.001"
     // tiny input, default 2 GiB threshold -> broadcast
