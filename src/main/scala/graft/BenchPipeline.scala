@@ -21,11 +21,20 @@ object BenchPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val landing = graft.queries.Scratch.dir("bench_faers_landing")
     graft.faers.SyntheticQuarter.write(landing, nCases)
-    Seq("bronze", "silver", "gold").foreach { db =>
-      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    // bucketed SCD2 stores live OUTSIDE the db.db dirs and their layout is
+    // sticky (isBucketedStore short-circuits useBucketedScd2) — a store
+    // surviving cleanup would silently flip what the measured epoch does
+    // (merge into leftovers instead of initial-loading)
+    def wipeWarehouse(): Unit = {
+      Seq("bronze", "silver", "gold").foreach { db =>
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        graft.queries.Scratch.wipe(
+          graft.queries.Scratch.dir("bench_warehouse") + s"/$db.db")
+      }
       graft.queries.Scratch.wipe(
-        graft.queries.Scratch.dir("bench_warehouse") + s"/$db.db")
+        graft.queries.Scratch.dir("bench_warehouse") + "/gold_scd2")
     }
+    wipeWarehouse()
     val clock = Some(java.time.Instant.parse("2025-01-15T00:00:00Z"))
     val scd = graft.core.ScdClock.fixed("2025-01-15")
     def timed[T](label: String)(f: => T): T = {
@@ -43,11 +52,7 @@ object BenchPipeline {
       graft.faers.Pipeline.runBronze(spark, landing, 25, 1, clock)
       graft.faers.Pipeline.runSilver(spark, clock)
       graft.faers.Pipeline.runGold(spark, scd, Some(scd.today))
-      Seq("bronze", "silver", "gold").foreach { db =>
-        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-        graft.queries.Scratch.wipe(
-          graft.queries.Scratch.dir("bench_warehouse") + s"/$db.db")
-      }
+      wipeWarehouse()
       println("[stage] warm-up epoch done")
     }
     graft.faers.Pipeline.initDatabases(spark)

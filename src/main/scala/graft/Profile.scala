@@ -101,13 +101,25 @@ object Profile {
           // repeated per-commit work shows up as one aggregate line
           val jsnap = stages.synchronized(jobs.toSeq.sortBy(_._1))
           if (jsnap.nonEmpty && sys.env.contains("GRAFT_PROFILE_JOBS")) {
-            val ended = jsnap.filter(_._2.ended > 0)
-            val inJob = ended.map(j => (j._2.ended - j._2.started) / 1e9).sum
-            val gaps = jsnap.sliding(2).collect {
-              case Seq((_, a), (_, b)) if a.ended > 0 && b.started > a.ended =>
-                (b.started - a.ended) / 1e9
-            }.sum
-            println(f"  ${jsnap.size} jobs, ? in-job = $inJob%.3f s, ? inter-job gaps = $gaps%.3f s")
+            // merged-interval union, not a per-job sum: the pipeline (and
+            // every broadcast future) submits jobs CONCURRENTLY, where a
+            // naive sum exceeds wall time and jobId-ordered "gaps" are
+            // meaningless. in-job = union of [start, end] intervals;
+            // gaps = covered span minus that union.
+            val ivs = jsnap.filter(_._2.ended > 0)
+              .map(j => (j._2.started, j._2.ended)).sortBy(_._1)
+            val (inJobNs, overlapped) = ivs.foldLeft((0L, false, Long.MinValue)) {
+              case ((acc, ov, hi), (s0, e0)) =>
+                val covered = math.max(0L, e0 - math.max(s0, hi))
+                (acc + covered, ov || (hi != Long.MinValue && s0 < hi),
+                  math.max(hi, e0))
+            } match { case (acc, ov, _) => (acc, ov) }
+            val spanNs =
+              if (ivs.isEmpty) 0L else ivs.map(_._2).max - ivs.map(_._1).min
+            val inJob = inJobNs / 1e9
+            val gaps = (spanNs - inJobNs) / 1e9
+            val note = if (overlapped) " (concurrent jobs: union-based)" else ""
+            println(f"  ${jsnap.size} jobs, ? in-job = $inJob%.3f s, ? inter-job gaps = $gaps%.3f s$note")
             // jobs carry no description under the noop sink; fall back to
             // the job's first stage's callsite name
             val snapStages = stages.synchronized(stages.toSeq)

@@ -374,6 +374,157 @@ object TableLog {
     org.apache.spark.sql.types.StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(physName(f), f.dataType, f.nullable)))
 
+  /** `_dv_file`/`_dv_idx` — the deletion-vector sidecar schema. Declared
+    * on every dv read so planning never runs a schema-inference job over
+    * sidecars whose shape is fixed by construction.
+    */
+  private[graft] val DvSidecarSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_dv_file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_dv_idx",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  // ---- driver-side parquet footer metadata -------------------------------
+  //
+  // Every data and sidecar file of this format is staged through Spark's
+  // parquet writer, which stamps the catalyst schema into the footer
+  // (ParquetWriteSupport's row.metadata key) and per-column min/max/null
+  // statistics into each row group. Reading a footer is one ranged RPC on
+  // the driver — the table-format move (Delta/Iceberg keep schema + stats
+  // in metadata precisely so that PLANNING never runs a distributed job).
+  // Before round 12 every `spark.read.parquet(...)` without a declared
+  // schema ran a schema-inference JOB (1 task, but a full job submission +
+  // AQE round-trip); the DML family paid 2-4 of them per query.
+
+  private val SparkSchemaKey = "org.apache.spark.sql.parquet.row.metadata"
+
+  /** Recursive nullable=true, matching file-source schema inference. */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(asNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(asNullable(m.keyType), asNullable(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private case class FooterMeta(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      rows: Long,
+      // per-column (min, max, allNull) for INT32/INT64 plain-integer
+      // columns with complete statistics; absent entry = not provable
+      intStats: Map[String, (Long, Long, Boolean)])
+
+  /** (absolute path, file length) -> footer. Staged files are immutable
+    * once a manifest references them; the length guards a
+    * delete-and-recreate at the same path.
+    */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), FooterMeta]()
+
+  private def footerOf(spark: SparkSession, p: Path): FooterMeta = {
+    val conf = spark.sessionState.newHadoopConf()
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    footerCache.computeIfAbsent((p.toString, len), _ => {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val fmd = r.getFooter.getFileMetaData
+        // file-source contract: Spark treats EVERY column read from files
+        // as nullable (its inference forces it; a writer-stamped
+        // non-null field would let the optimizer constant-fold
+        // `IS NULL` over old files that lack the column)
+        val schema = Option(fmd.getKeyValueMetaData.get(SparkSchemaKey))
+          .flatMap(j => scala.util.Try(
+            asNullable(org.apache.spark.sql.types.DataType.fromJson(j))
+              .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+        val blocks = r.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        // fold row groups per column; a column qualifies only when EVERY
+        // block carries complete stats and the physical type is a plain
+        // signed INT32/INT64 (no DATE/TIMESTAMP/unsigned annotation —
+        // their catalyst min/max are not long-castable the same way)
+        val perCol = scala.collection.mutable.Map
+          .empty[String, Option[(Long, Long, Boolean)]]
+        blocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            if (c.getPath.size == 1) {
+              val name = c.getPath.toDotString
+              val pt = c.getPrimitiveType
+              val plainInt =
+                (pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+                  pt.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+                (pt.getLogicalTypeAnnotation == null ||
+                  (pt.getLogicalTypeAnnotation match {
+                    case a: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      a.isSigned
+                    case _ => false
+                  }))
+              val st = c.getStatistics
+              val block: Option[(Long, Long, Boolean)] =
+                if (!plainInt || st == null || st.isEmpty) None
+                else if (st.hasNonNullValue)
+                  Some((st.genericGetMin match {
+                    case i: java.lang.Integer => i.longValue
+                    case l: java.lang.Long => l.longValue
+                  }, st.genericGetMax match {
+                    case i: java.lang.Integer => i.longValue
+                    case l: java.lang.Long => l.longValue
+                  }, false))
+                else if (st.isNumNullsSet && st.getNumNulls == b.getRowCount)
+                  Some((Long.MaxValue, Long.MinValue, true)) // all-null block
+                else None
+              perCol.get(name) match {
+                case None => perCol(name) = block
+                case Some(None) => // already disqualified
+                case Some(Some((mn, mx, an))) => perCol(name) = block.map {
+                  case (bmn, bmx, ban) =>
+                    (math.min(mn, bmn), math.max(mx, bmx), an && ban)
+                }
+              }
+            }
+          }
+        }
+        FooterMeta(schema, r.getRecordCount,
+          perCol.collect { case (k, Some(v)) => k -> v }.toMap)
+      } finally r.close()
+    })
+  }
+
+  /** Total rows across parquet files, from footers alone — no job. */
+  private def footerRowCount(spark: SparkSession, paths: Seq[Path]): Long =
+    paths.map(footerOf(spark, _).rows).sum
+
+  /** The merged Spark schema of `files` (table-relative under `dir`) from
+    * their footers' writer-stamped catalyst schemas, [[lenientMerge]]d on
+    * the driver — the same widest-type result the old
+    * mergeSchema-job-then-lenientMerge dance produced, without the job.
+    * `strict` keeps the old no-`#schema=` contract: genuinely
+    * incompatible twins fail AT PLANNING with the CANNOT_MERGE_SCHEMAS
+    * marker instead of a confusing per-file cast error mid-read. None
+    * when any file lacks the writer stamp (foreign file: callers fall
+    * back to the distributed inference).
+    */
+  private[graft] def footerMergedSchema(spark: SparkSession, dir: String,
+                                        files: Seq[String], strict: Boolean)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val schemas = files.map(f =>
+      footerOf(spark, new Path(dir, f)).schema.getOrElse(return None))
+    if (schemas.isEmpty) None
+    else Some(lenientMerge(schemas,
+      original = if (strict) Some(new org.apache.spark.SparkException(
+        "[CANNOT_MERGE_SCHEMAS] incompatible file schemas under " +
+          s"$dir and no #schema= metadata to arbitrate")) else None))
+  }
+
   /** Is `from` → `to` a LOSSLESS type widening the parquet readers can
     * serve per file at read time (Spark's ParquetVectorUpdaterFactory
     * ships IntegerToLong / IntegerToDouble / FloatToDouble updaters, and
@@ -457,6 +608,29 @@ object TableLog {
       } ++ passthrough.filter(present).map(df(_))
       df.select(cols: _*)
     }
+
+  /** mergeSchema-equivalent multi-file read that PLANS from footers when
+    * possible: declared schema via [[footerMergedSchema]] (no inference
+    * job), the distributed mergeSchema read only for foreign files.
+    * basePath-derived hive partition columns append as usual.
+    */
+  private def readFiles(spark: SparkSession, dir: String, files: Seq[String],
+                        basePath: Option[String] = None): DataFrame = {
+    val r0 = spark.read.option("basePath", basePath.getOrElse(dir))
+    footerMergedSchema(spark, dir, commitReps(files), strict = true)
+      .fold(r0.option("mergeSchema", "true"))(r0.schema)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** One representative file per COMMIT (filename commit-id prefix):
+    * schema can only change at commit granularity, so footer work scales
+    * with commits in the snapshot, not files.
+    */
+  private def commitReps(files: Seq[String]): Seq[String] = {
+    val baseName = (f: String) => f.drop(f.lastIndexOf('/') + 1)
+    files.groupBy(f => baseName(f).takeWhile(_ != '-'))
+      .values.map(_.head).toSeq
+  }
 
   /** Hive partition column names as the manifest's file paths spell
     * them (first file line is representative — commit layouts agree).
@@ -679,7 +853,12 @@ object TableLog {
     import org.apache.spark.sql.functions.substring_index
     val qd = qualifiedDir(spark, dir)
     val r0 = spark.read.option("basePath", dir)
-    declared.fold(r0.option("mergeSchema", "true"))(r0.schema)
+    // no declared schema: derive one from the files' own footers on the
+    // driver (same merge the mergeSchema inference job would run) so
+    // planning costs no job; distributed inference only for foreign files
+    val schema = declared.orElse(
+      footerMergedSchema(spark, dir, commitReps(files), strict = true))
+    schema.fold(r0.option("mergeSchema", "true"))(r0.schema)
       .parquet(files.map(f => s"$dir/$f"): _*)
       .withColumn("_dv_file",
         substring_index(col("_metadata.file_path"), qd + "/", -1))
@@ -697,7 +876,8 @@ object TableLog {
                       tagged: DataFrame, dvs: Seq[String]): DataFrame =
     if (dvs.isEmpty) tagged
     else {
-      val dv = spark.read.parquet(dvs.map(f => s"$dir/$f"): _*)
+      val dv = spark.read.schema(DvSidecarSchema)
+        .parquet(dvs.map(f => s"$dir/$f"): _*)
         .select(col("_dv_file"), col("_dv_idx"))
       tagged.join(dv, Seq("_dv_file", "_dv_idx"), "left_anti")
     }
@@ -971,24 +1151,47 @@ object TableLog {
         .map(v => metaSchema(manifestLines(spark, dir, v)))
         .flatten.map(renameMap).getOrElse(Map.empty)
       val physCols = cols.map(c => l2p.getOrElse(c, c)).distinct
-      val aggs = physCols.flatMap(c => Seq(
-        fmin(col(c)).cast("long").as(s"mn_$c"),
-        fmax(col(c)).cast("long").as(s"mx_$c")))
-      spark.read.option("basePath", dir)
-        .parquet(fresh.map(f => s"$dir/$f"): _*)
-        .groupBy(input_file_name().as("_f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect().toSeq
-        .map { r =>
-          val perCol = physCols.zipWithIndex.flatMap { case (c, i) =>
-            val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
-            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-            else Some(c -> ((r.getLong(mnI), r.getLong(mxI))))
+      // fast path: the freshly written parquet FOOTERS already carry
+      // exact per-row-group min/max for plain integer columns — fold them
+      // on the driver instead of re-scanning the data just written (the
+      // stats job was one full extra read per stats-carrying commit).
+      // Only taken when EVERY (file, col) is provable from footers
+      // (plain signed INT32/INT64, complete statistics); the scan job
+      // remains the exact fallback for every other type.
+      def fromFooters(): Option[Map[String, Map[String, (Long, Long)]]] = {
+        val perFile = fresh.map { f =>
+          val meta = footerOf(spark, new Path(dir, f))
+          val perCol = physCols.flatMap { c =>
+            meta.intStats.get(c) match {
+              case None => return None // not provable -> scan fallback
+              case Some((_, _, true)) => None // all-null: no stats line
+              case Some((mn, mx, false)) => Some(c -> ((mn, mx)))
+            }
           }.toMap
-          toRelative(spark, dir, r.getString(0)) -> perCol
+          f -> perCol
         }
-        .filter(_._2.nonEmpty)
-        .toMap
+        Some(perFile.filter(_._2.nonEmpty).toMap)
+      }
+      fromFooters().getOrElse {
+        val aggs = physCols.flatMap(c => Seq(
+          fmin(col(c)).cast("long").as(s"mn_$c"),
+          fmax(col(c)).cast("long").as(s"mx_$c")))
+        spark.read.option("basePath", dir)
+          .parquet(fresh.map(f => s"$dir/$f"): _*)
+          .groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().toSeq
+          .map { r =>
+            val perCol = physCols.zipWithIndex.flatMap { case (c, i) =>
+              val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+              if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+              else Some(c -> ((r.getLong(mnI), r.getLong(mxI))))
+            }.toMap
+            toRelative(spark, dir, r.getString(0)) -> perCol
+          }
+          .filter(_._2.nonEmpty)
+          .toMap
+      }
     }
   }
 
@@ -1274,7 +1477,11 @@ object TableLog {
       // the lineage-tagged anti-join hides deleted rows (merge-on-read)
       if (dvs.isEmpty) {
         val r0 = spark.read.option("basePath", dir)
-        declared.fold(r0.option("mergeSchema", "true"))(r0.schema)
+        // footer-derived schema when no ALTER metadata declares one:
+        // planning stays job-free (see footerMergedSchema)
+        declared.orElse(
+            footerMergedSchema(spark, dir, commitReps(fl), strict = true))
+          .fold(r0.option("mergeSchema", "true"))(r0.schema)
           .parquet(fl.map(f => s"$dir/$f"): _*)
       } else applyDv(spark, dir, lineageScan(spark, dir, fl, declared), dvs)
         .drop("_dv_file", "_dv_idx")
@@ -1352,16 +1559,16 @@ object TableLog {
     // granularity, and a days×bucket layout has hundreds of directories
     // per commit — reading a footer for each was the dominant cost of
     // opening a transform-partitioned table
-    val baseName = (f: String) => f.drop(f.lastIndexOf('/') + 1)
-    val reps = all.groupBy(f => baseName(f).takeWhile(_ != '-'))
-      .values.map(_.head).toSeq
-    // ONE mergeSchema read over the representatives (the fast path every
-    // never-widened table keeps — a single DataSource resolution); a
-    // widened column's int32-era and int64-era files throw
-    // CANNOT_MERGE_SCHEMAS there, and only then does planning fall back
-    // to per-rep footer reads merged LENIENTLY (widest type wins,
-    // matching what every read will request)
-    val mergedSchema =
+    val reps = commitReps(all)
+    // data schema from the representatives' FOOTERS, merged on the driver
+    // ([[footerMergedSchema]]) — zero Spark jobs to open a table (footers
+    // are cached per JVM, so re-resolving a table after a commit reads
+    // exactly the new commit's footer). The distributed mergeSchema
+    // inference remains only as the foreign-file fallback; its semantics
+    // (CANNOT_MERGE_SCHEMAS at planning on un-arbitrated twins, lenient
+    // widest-type merge when #schema= arbitrates) are preserved.
+    val mergedSchema = footerMergedSchema(spark, dir, reps,
+      strict = metaSchema(lines).isEmpty).getOrElse {
       try spark.read.option("mergeSchema", "true")
         .parquet(reps.map(f => s"$dir/$f"): _*).schema
       catch {
@@ -1371,6 +1578,7 @@ object TableLog {
           lenientMerge(reps.map(f => spark.read.parquet(s"$dir/$f").schema),
             original = if (metaSchema(lines).isEmpty) Some(e) else None)
       }
+    }
     val dataSchema = org.apache.spark.sql.types.StructType(
       mergedSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
     val transforms = layoutTransforms(lines)
@@ -1499,7 +1707,9 @@ object TableLog {
     if (vs.isEmpty) return 0L
     val dvs = dvFiles(manifestLines(spark, dir, vs.last))
     if (dvs.isEmpty) 0L
-    else spark.read.parquet(dvs.map(f => s"$dir/$f"): _*).count()
+    // row counts live in the sidecars' parquet footers — a driver-side
+    // metadata read, where the old scan+count was two jobs
+    else footerRowCount(spark, dvs.map(f => new Path(dir, f)))
   }
 
   /** OPTIMIZE for the deletion-vector SIDECARS: rewrite the tip's dv
@@ -1527,9 +1737,10 @@ object TableLog {
     if (dvs.isEmpty) return (0L, 0L, tip)
     val readLines = dvs.map(f => s"#dvp=$f").toSet
     val live = lines.filterNot(_.startsWith("#"))
-    val entries = spark.read.parquet(dvs.map(f => s"$dir/$f"): _*)
+    val entries = spark.read.schema(DvSidecarSchema)
+      .parquet(dvs.map(f => s"$dir/$f"): _*)
       .select(col("_dv_file"), col("_dv_idx"))
-    val before = entries.count()
+    val before = footerRowCount(spark, dvs.map(f => new Path(dir, f)))
     // live-file filter as a join, not an isin literal: a million-file
     // manifest must not inline into the plan
     val liveDf = spark.createDataFrame(
@@ -1543,12 +1754,12 @@ object TableLog {
     val dvDir = s"$DvDir/$commitId-rewrite"
     surviving.write.parquet(s"$dir/$dvDir")
     val fs = fsOf(spark, dir)
-    val after = spark.read.parquet(s"$dir/$dvDir").count()
-    val fresh =
-      if (after == 0) Seq.empty
-      else fs.listStatus(new Path(dir, dvDir)).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(s => s"$dvDir/${s.getPath.getName}")
+    val written = fs.listStatus(new Path(dir, dvDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s"$dvDir/${s.getPath.getName}")
+    // count from the just-written footers (driver metadata, no job)
+    val after = footerRowCount(spark, written.map(f => new Path(dir, f)))
+    val fresh = if (after == 0) Seq.empty else written
     if (after == 0) fs.delete(new Path(dir, dvDir), true)
     val v = try {
       commit(spark, dir, identity[Seq[String]],
@@ -1696,9 +1907,9 @@ object TableLog {
     val freshDv = fs.listStatus(new Path(dir, dvDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(s => s"$dvDir/${s.getPath.getName}")
-    // row count from the written sidecar's parquet metadata — no second
-    // evaluation of the predicate
-    val nDeleted = spark.read.parquet(s"$dir/$dvDir").count()
+    // row count from the written sidecars' FOOTERS — driver metadata, no
+    // job, no second evaluation of the predicate
+    val nDeleted = footerRowCount(spark, freshDv.map(f => new Path(dir, f)))
     if (nDeleted == 0) {
       fs.delete(new Path(dir, dvDir), true)
       return (tip, 0L)
@@ -1782,7 +1993,13 @@ object TableLog {
                              df: DataFrame, lines: Seq[String]): DataFrame = {
     val groups = eqLines(lines).groupBy(_._2)
     groups.foldLeft(df) { case (acc, (cols, entries)) =>
-      val keys = spark.read.parquet(entries.map(e => s"$dir/${e._1}"): _*)
+      val files = entries.map(_._1)
+      val r0 = spark.read
+      // key sidecars are Spark-staged: schema from their footers, no
+      // inference job (plain read only for foreign files)
+      val keys = footerMergedSchema(spark, dir, files, strict = true)
+        .fold(r0)(r0.schema)
+        .parquet(files.map(f => s"$dir/$f"): _*)
       val cond = cols.map(c => acc(c) <=> keys(c)).reduce(_ && _)
       acc.join(keys, cond, "left_anti")
     }
@@ -2251,9 +2468,8 @@ object TableLog {
     def flushMat(): Unit = if (pendingMat.nonEmpty) {
       val files = pendingMat.toSeq.flatten
       if (files.nonEmpty)
-        frames += spark.read.option("mergeSchema", "true")
-          .option("basePath", s"$dir/$ChangeDataDir")
-          .parquet(files.map(f => s"$dir/$f"): _*)
+        frames += readFiles(spark, dir, files,
+          basePath = Some(s"$dir/$ChangeDataDir"))
           .withColumn("_commit_version", col("_commit_version").cast("long"))
       pendingMat.clear()
     }
@@ -2426,9 +2642,7 @@ object TableLog {
       val ms = metaSchema(lines)
       val partCols = pathPartCols(files)
       def perCommit: DataFrame = group.map { case (v, fl) =>
-        toLogical(spark.read.option("mergeSchema", "true")
-          .option("basePath", dir).parquet(fl.map(f => s"$dir/$f"): _*),
-          ms, passthrough = partCols)
+        toLogical(readFiles(spark, dir, fl), ms, passthrough = partCols)
           .withColumn("_commit_version", lit(v))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       val stamped =
@@ -2439,8 +2653,7 @@ object TableLog {
           val fileVer = group
             .flatMap { case (v, fl) => fl.map(f => (f, v)) }
             .toDF("_chg_file", "_commit_version")
-          val tagged = spark.read.option("mergeSchema", "true")
-            .option("basePath", dir).parquet(files.map(f => s"$dir/$f"): _*)
+          val tagged = readFiles(spark, dir, files)
             .withColumn("_chg_file",
               substring_index(col("_metadata.file_path"), qd + "/", -1))
           toLogical(tagged.join(broadcast(fileVer), Seq("_chg_file")),
@@ -2470,11 +2683,9 @@ object TableLog {
     val post: Option[DataFrame] =
       if (addedFiles.isEmpty) None
       else if (curDv.isEmpty && curEq.isEmpty)
-        // fast path (append-only tables): one mergeSchema read, no
+        // fast path (append-only tables): one footer-planned read, no
         // lineage columns, no join
-        Some(toLogical(
-          spark.read.option("mergeSchema", "true").option("basePath", dir)
-            .parquet(addedFiles.map(f => s"$dir/$f"): _*),
+        Some(toLogical(readFiles(spark, dir, addedFiles),
           ms, passthrough = partCols))
       else
         // a commit can (re-)add files TOGETHER with dv/eq lines hiding
@@ -2508,7 +2719,7 @@ object TableLog {
     val preDv: Option[DataFrame] =
       if (newDvSidecars.isEmpty) None
       else {
-        val entries = spark.read
+        val entries = spark.read.schema(DvSidecarSchema)
           .parquet(newDvSidecars.map(f => s"$dir/$f"): _*)
           .select(col("_dv_file"), col("_dv_idx"))
         val touched = entries.select("_dv_file").distinct()
@@ -2533,7 +2744,11 @@ object TableLog {
           .getOrElse(Map.empty[String, String])
         val visible = read(spark, dir, Some(v - 1))
         val frames = newEq.groupBy(_._2).map { case (cols, entries) =>
-          val keyDf = spark.read.parquet(entries.map(e => s"$dir/${e._1}"): _*)
+          val efiles = entries.map(_._1)
+          val er0 = spark.read
+          val keyDf = footerMergedSchema(spark, dir, efiles, strict = true)
+            .fold(er0)(er0.schema)
+            .parquet(efiles.map(f => s"$dir/$f"): _*)
           val cond = cols.map(c =>
             visible(p2l.getOrElse(c, c)) <=> keyDf(c)).reduce(_ && _)
           visible.join(keyDf, cond, "left_semi")

@@ -226,8 +226,10 @@ object Pipeline {
     else {
       val t0 = System.nanoTime()
       val r = f
+      // no stage prefix: runSilver uses this too, so labels carry their
+      // own stage ("silver.demographics", "dim_patient merge+write")
       System.err.println(
-        f"[gold] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        f"[pipeline] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
 
@@ -251,11 +253,17 @@ object Pipeline {
       else {
         val target = resolveTable(spark, fq)
         // pack the MB-sized dim to one file so the OPTIMIZE below skips
-        // its read+rewrite (metadata-gated — at scale writers stay wide)
+        // its read+rewrite (metadata-gated — at scale writers stay wide).
+        // Gate on the size of what is WRITTEN, not just the quarterly
+        // source: the merged dim carries full SCD2 history, which grows
+        // across epochs while the source stays small — max(source,
+        // existing gold dim) tracks that growth, so a multi-epoch dim
+        // past the gate never gets a single-task write.
         val merged = Scd2.applyScdType2Merge(
           target, staged, spec.businessKeys, spec.trackedCols, scdClock)
           .transform(graft.core.Spread.packForWrite(spark,
-            tableSizeBytes(spark, s"silver.${spec.sourceTable}")))
+            math.max(tableSizeBytes(spark, s"silver.${spec.sourceTable}"),
+              tableSizeBytes(spark, fq))))
         timed(s"${spec.name} merge+write")(
           if (target.isEmpty)
             merged.write.mode("overwrite").saveAsTable(fq)
@@ -286,8 +294,13 @@ object Pipeline {
     // keyed pack: one file per (date, country) leaf, so the per-leaf
     // OPTIMIZE below skips every rewrite (the scan spread above would
     // otherwise fan 32 writers × ~20 leaves into ~600 small files)
+    // gate on what is WRITTEN: the fact join can fan out beyond the
+    // silver footprint, and the fact table itself accretes across
+    // epochs — max(silver inputs, existing gold fact) keeps the pack
+    // from serializing a large multi-epoch rewrite
     val factArranged = fact.transform(graft.core.Spread.packForWrite(spark,
-      silverBytes(spark),
+      math.max(silverBytes(spark),
+        tableSizeBytes(spark, "gold.fact_adverse_events")),
       Seq(org.apache.spark.sql.functions.col("fact_created_date"),
         org.apache.spark.sql.functions.col("reporter_country"))))
     timed("fact write")(factArranged.write

@@ -37,13 +37,33 @@ object Transforms {
   /** String->double coercion gated on `^[0-9]+\.?[0-9]*$` — negatives and
     * exponents intentionally rejected, exactly like the reference
     * (silver_transformations.py:76-90).
+    *
+    * The gate is byte arithmetic, not a regex matcher: a string matches
+    * iff (a) stripping the ASCII digits leaves "" or a single "." and
+    * (b) the first character is a digit — provably the same language as
+    * the anchored regex over end-of-line-free input (TransformsSpec
+    * exhausts the shape space). The ONE divergence is deliberate: Java's
+    * un-flagged `$` also matches before a trailing line terminator
+    * ("12\n" passed rlike), while RE2 — the engine the DuckDB oracle
+    * runs — anchors at end-of-text; this form matches the oracle
+    * exactly. This runs over 7 columns x every silver row — the same
+    * interpreted-regex-in-the-hot-path class the round-11 contains-
+    * rewrite removed from the screens.
     */
   def standardizeNumericFields(df: DataFrame, numericColumns: Seq[String]): DataFrame =
     numericColumns.filter(df.columns.contains).foldLeft(df) { (d, c) =>
       d.withColumn(c,
-        when(col(c).rlike("^[0-9]+\\.?[0-9]*$"), col(c).cast(DoubleType))
+        when(numericShape(col(c)), col(c).cast(DoubleType))
           .otherwise(lit(null).cast(DoubleType)))
     }
+
+  /** `^[0-9]+\.?[0-9]*$` as codegen'd byte ops (see
+    * [[standardizeNumericFields]]): only digits and at most one dot, and
+    * the first char is a digit (which also rejects "" and ".5").
+    */
+  private[faers] def numericShape(c: Column): Column =
+    translate(c, "0123456789", "").isin("", ".") &&
+      substring(c, 1, 1).between("0", "9")
 
   /** Age bucketing; null -> "Unknown"; drops the raw FAERS `age_grp` column
     * (silver_transformations.py:93-107).

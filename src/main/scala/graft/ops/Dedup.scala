@@ -779,8 +779,12 @@ object Dedup {
           col("label").as("old_label"))
       // pointer doubling: label ← label(label). Label values are always
       // node ids present in `labels` (closed by induction), so the
-      // self-join is total. ONE materialization per round: the convergence
-      // probe and the next round's labels both read this checkpoint.
+      // self-join is total. ONE job per round: the convergence probe
+      // rides the checkpoint materialization as an observed metric
+      // (`Dataset.observe` — CollectMetrics computes during the eager
+      // checkpoint's own action), instead of a separate isEmpty job
+      // re-scanning the checkpoint every round.
+      val obs = org.apache.spark.sql.Observation()
       val next = (if (iter < 2)
         propagated.select(col("node"), col("p_label").as("new_label"), col("old_label"))
       else
@@ -788,8 +792,10 @@ object Dedup {
           .join(propagated.select(col("node").as("p_label"), col("p_label").as("g_label")),
             Seq("p_label"))
           .select(col("node"), col("g_label").as("new_label"), col("old_label"))
-      ).transform(graft.core.Checkpoint.apply)
-      converged = next.filter(col("new_label") =!= col("old_label")).isEmpty
+      ).observe(obs, count(when(col("new_label") =!= col("old_label"), 1))
+          .as("n_changed"))
+        .transform(graft.core.Checkpoint.apply)
+      converged = obs.get("n_changed") == 0L
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
     }

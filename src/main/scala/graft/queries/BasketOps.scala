@@ -31,9 +31,17 @@ object BasketOps {
   type Q = (SparkSession, String) => DataFrame
 
   def assocRules: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
+    // ONE lineitem scan for the whole query (guide §6 scan reuse): the
+    // old form planned the scan+distinct subtree FOUR times (basket-count
+    // action, two support broadcasts, self-join probe). Hash the raw
+    // (okey, pkey) stream on okey up front — HashPartitioning(okey)
+    // satisfies both the distinct's {okey, pkey} clustering and the
+    // self-join's okey clustering (§2.4 shared exchange) — and checkpoint
+    // the deduped baskets so every consumer reads the materialized rows.
+    val items = graft.core.Checkpoint(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-      .distinct()
+      .repartition(col("okey"))
+      .distinct())
     val nBaskets = items.select(col("okey")).distinct().count()
     val supports = items.groupBy(col("pkey")).agg(count(lit(1)).as("n_p"))
     val a = items.alias("a")

@@ -315,13 +315,34 @@ object GraphOps {
     * bit-stable at any parallelism.
     */
   def labelPropagation: Q = (s, d) =>
-    lpaCommunities(coPurchaseEdges(s, d), copartitionMode(s, d)).limit(LpaTop)
+    lpaCommunities(coPurchaseEdges(s, d), copartitionMode(s, d),
+      lpaPartialAgg(s, d)).limit(LpaTop)
+
+  /** The LPA round-shape dial (ADVICE r11): the one-shuffle round wins
+    * while the raw edge⋈label stream is cheap to shuffle, but it forfeits
+    * map-side partial counting — in LATE rounds labels converge (many
+    * duplicate (dst, label) rows the partial agg would compress) and a
+    * hot dst lands entirely in one task (AQE skew-split covers joins,
+    * not aggregations). Above the input-size threshold the two-exchange
+    * partial-agg round is the safe shape; both forms are the same
+    * logical computation (hash-gated identical results).
+    */
+  private[queries] def lpaPartialAgg(s: SparkSession, d: String): Boolean =
+    s.conf.get("spark.graft.lpa.round", "auto") match {
+      case "one-shuffle" => false
+      case "partial-agg" => true
+      case _ =>
+        val thresh = s.conf.get("spark.graft.lpa.oneShuffleMaxInputBytes",
+          (2L * 1024 * 1024 * 1024).toString).toLong
+        graphInputBytes(s, d) > thresh
+    }
 
   /** LPA over any canonical (u < v, distinct) edge list: community sizes,
     * largest first (label tie-break). Reusable + directly testable.
     */
   private[queries] def lpaCommunities(e0: DataFrame,
-                                      copart: Boolean = false): DataFrame = {
+                                      copart: Boolean = false,
+                                      partialAgg: Boolean = false): DataFrame = {
     val eRaw = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
     // co-partition mode: pin HashPartitioning(src) once; every round's
@@ -339,7 +360,7 @@ object GraphOps {
       // order a row_number window gives, without the window's per-node
       // sort (two partial-aggregated hash shuffles per round instead of
       // an agg + sort-window pair; 2.3x on sf0.1)
-      labels = lpaRound(e, labels, copart)
+      labels = lpaRound(e, labels, copart, partialAgg)
         .transform(graft.core.Checkpoint.apply)
       i += 1
     }
@@ -363,13 +384,21 @@ object GraphOps {
     * sf0.1/32 cores).
     */
   private[queries] def lpaRound(e: DataFrame, labels: DataFrame,
-                                copart: Boolean): DataFrame =
-    e.join(side(copart, labels), col("src") === col("node"))
-      .repartition(col("dst"))
-      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+                                copart: Boolean,
+                                partialAgg: Boolean = false): DataFrame = {
+    val joined = e.join(side(copart, labels), col("src") === col("node"))
+    // partialAgg (the at-scale shape, [[lpaPartialAgg]]): skip the
+    // up-front repartition so the (dst, label) count keeps its map-side
+    // partial aggregation — two exchanges, but converged-label rounds
+    // compress before the shuffle and hot dst nodes spread over labels
+    val counted =
+      (if (partialAgg) joined else joined.repartition(col("dst")))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+    counted
       .groupBy(col("dst"))
       .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
       .select(col("dst").as("node"), (-col("m.neg")).as("label"))
+  }
 
   val labelPropagationSql: String = {
     val iters = (1 to LpaIters).map { i =>
@@ -674,7 +703,8 @@ object GraphOps {
     "q_triangle_copart" ->
       ((s, d) => triangleCensus(coPurchaseEdges(s, d), copart = true)),
     "q_lpa_copart" ->
-      ((s, d) => lpaCommunities(coPurchaseEdges(s, d), copart = true).limit(LpaTop)),
+      ((s, d) => lpaCommunities(coPurchaseEdges(s, d), copart = true,
+        partialAgg = lpaPartialAgg(s, d)).limit(LpaTop)),
   )
 
   val oracles: Map[String, String] = Map(

@@ -363,7 +363,11 @@ private[sources] class GraftCdcMicroBatchStream(
         !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
     if (parts.isEmpty) return Seq.empty
-    val fileSchema = spark.read.parquet(base).schema
+    // sidecar/spool files are Spark-written in ONE write per version dir:
+    // schema from their footers (driver metadata), not an inference job
+    val fileSchema = TableLog.footerMergedSchema(spark, base,
+        parts.map(_._1), strict = true)
+      .getOrElse(spark.read.parquet(base).schema)
     GraftStreamPlanner.plan(spark, qd, parts, None, Some(fileSchema), out,
       Map("_commit_version" -> v), options)
   }

@@ -172,7 +172,8 @@ object GraftMorScan {
       // ROWS never reach the driver, only one (file, count) row per
       // TOUCHED data file (bounded by the manifest, which the driver
       // already holds line-by-line)
-      val perFile = spark.read.parquet(dvs.toIndexedSeq: _*)
+      val perFile = spark.read.schema(graft.core.TableLog.DvSidecarSchema)
+        .parquet(dvs.toIndexedSeq: _*)
         .groupBy("_dv_file").count().collect()
       val n = perFile.map(_.getLong(1)).sum
       require(n <= cap, s"snapshot at $dir carries $n deletion-vector " +

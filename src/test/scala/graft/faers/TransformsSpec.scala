@@ -35,6 +35,41 @@ class TransformsSpec extends SparkSpec {
     assert(out("abc").isEmpty)
   }
 
+  test("numericShape == anchored regex over the full shape space (r12 rlike removal)") {
+    // exhaustive over the alphabet that decides the predicate: digits, dot,
+    // sign, letter, space, unicode digit — every string up to length 4 plus
+    // targeted longer shapes. Oracle semantics = RE2 end-of-text anchoring,
+    // which for newline-free input equals Java's; trailing-terminator
+    // strings are asserted separately against the DOCUMENTED divergence.
+    val alphabet = Seq("0", "9", "5", ".", "-", "+", "a", " ", "١") // ١ = arabic-indic digit
+    val upTo3 = for {
+      a <- "" +: alphabet; b <- "" +: alphabet; c <- "" +: alphabet
+    } yield a + b + c
+    val longer = Seq("12345", "123.45", "1.2.3", "12.", ".12", "00007",
+      "1234567890123456789", "9.0000000001", "١٢٣", "12 3", "12\t")
+    val cases = (upTo3 ++ longer).distinct.filter(_.nonEmpty)
+    val re = "^[0-9]+\\.?[0-9]*$".r.pattern
+    val df = cases.toDF("s")
+      .select($"s", Transforms.numericShape($"s").as("got"))
+    val out = df.as[(String, Option[Boolean])].collect().toMap
+    cases.foreach { s =>
+      val want = re.matcher(s).matches()
+      assert(out(s).contains(want), s"'$s': builtin=${out(s)} regex=$want")
+    }
+    // the documented divergence: Java's un-flagged $ matches before ONE
+    // trailing line terminator; RE2 (the DuckDB oracle) and the builtin
+    // both anchor at end-of-text and reject
+    val nl = Seq("12\n", "1.5\n", "12\r\n").toDF("s")
+      .select(Transforms.numericShape($"s")).as[Option[Boolean]].collect()
+    assert(nl.forall(_.contains(false)))
+    // null stays null (when(null,...) -> otherwise branch -> null result,
+    // same as rlike's null propagation through the when)
+    val nulled = Transforms.standardizeNumericFields(
+      Seq[Option[String]](None).toDF("wt"), Seq("wt"))
+      .select($"wt").as[Option[Double]].collect()
+    assert(nulled.head.isEmpty)
+  }
+
   test("age groups incl. null -> Unknown (:69-88)") {
     val df = Seq(Some(5.0), Some(18.0), Some(64.0), Some(65.0), None)
       .toDF("age")

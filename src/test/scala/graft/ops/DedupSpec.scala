@@ -110,6 +110,23 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 14, s"took $rounds rounds") // 2 plain + ~log2(1000) doubled
   }
 
+  test("CC convergence probe rides the checkpoint (early exit exact, no extra rounds)") {
+    // a 2-node pair converges in round 1 (both adopt label 1) and the
+    // observed-metric probe must detect the first no-change round and stop
+    // at round 2 — a probe that never fires would run to maxIter, a probe
+    // that misfires early would leave the chain unmerged
+    val (cc1, r1) = Dedup.ccWithRounds(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b", maxIter = 20)
+    assert(cc1.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+    assert(r1 == 2, s"pair took $r1 rounds (1 change round + 1 probe round)")
+    // 4-chain: needs propagation rounds, still exits well before maxIter
+    val (cc2, r2) = Dedup.ccWithRounds(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
+      "id_a", "id_b", maxIter = 20)
+    assert(cc2.as[(Long, Long)].collect().forall(_._2 == 1L))
+    assert(r2 < 20 && r2 >= 3, s"chain took $r2 rounds")
+  }
+
   test("containment catches embedded duplication that Jaccard misses") {
     // doc 2 = doc 1 embedded in 3x more text: containment(1 in 2) = 1.0
     // while Jaccard ~ 0.33 — the asymmetric screen's whole point

@@ -122,6 +122,29 @@ class GraphOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"LPA round exchange count drifted:\n$plan")
+    // the at-scale shape (partialAgg): two exchanges, each fed by a
+    // map-side partial HashAggregate — converged-label rounds compress
+    // BEFORE the shuffle and no single dst owns a whole task
+    val planPA = GraphOps.lpaRound(e, labels, copart = false, partialAgg = true)
+      .queryExecution.executedPlan.toString
+    val exchangesPA = "Exchange hashpartitioning".r.findAllIn(planPA).length
+    assert(exchangesPA == 2, s"partial-agg LPA round shape drifted:\n$planPA")
+  }
+
+  test("LPA round-shape dial: auto is size-thresholded, explicit wins") {
+    val sf = "/root/testdata/sf0.001"
+    assert(!GraphOps.lpaPartialAgg(spark, sf)) // tiny input -> one-shuffle
+    try {
+      spark.conf.set("spark.graft.lpa.oneShuffleMaxInputBytes", "1")
+      assert(GraphOps.lpaPartialAgg(spark, sf)) // above threshold -> partial agg
+      spark.conf.set("spark.graft.lpa.round", "one-shuffle")
+      assert(!GraphOps.lpaPartialAgg(spark, sf)) // explicit beats auto
+      spark.conf.set("spark.graft.lpa.round", "partial-agg")
+      assert(GraphOps.lpaPartialAgg(spark, sf))
+    } finally {
+      spark.conf.unset("spark.graft.lpa.oneShuffleMaxInputBytes")
+      spark.conf.unset("spark.graft.lpa.round")
+    }
   }
 
   test("auto mode is size-thresholded on input bytes") {
